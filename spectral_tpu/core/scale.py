@@ -1,0 +1,63 @@
+"""Normalization / dB mapping for display.
+
+Exact reproduction of the reference's post-processing (PlotEngine.py:126-131):
+
+    base = max(Sxx)            # or caller-supplied global_max if > 0
+    Sxx_norm = clip(Sxx / (base + 1e-20), 0, 1)
+    if log_scale:
+        Sxx_db = 10*log10(Sxx_norm + 1e-12); nan_to_num
+        rng = max_db - min_db
+        Sxx_norm = (Sxx_db - min_db)/rng  if rng > 1e-6 else zeros
+
+The ``global_max`` parameter mirrors PlotEngine.plot_extra/_plot_spectrogram's
+``global_max`` argument (PlotEngine.py:78,110,126): when a batch of sweeps is
+normalized against a shared maximum. Under pjit with a sharded batch, taking
+``jnp.max`` over the whole batch produces that shared maximum with an ICI
+all-reduce inserted by XLA automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def normalize(sxx: Array, log_scale: bool = False,
+              global_max: Optional[Union[float, Array]] = None) -> Array:
+    """Map a PSD spectrogram to the [0, 1] display image.
+
+    global_max semantics (PlotEngine.py:126): used as the base only if > 0,
+    otherwise fall back to max(Sxx). Pass a traced scalar for cross-batch
+    normalization, or None for per-image normalization.
+    """
+    own_max = jnp.max(sxx)
+    if global_max is None:
+        base = own_max
+    else:
+        gm = jnp.asarray(global_max, sxx.dtype)
+        base = jnp.where(gm > 0, gm, own_max)
+    norm = jnp.clip(sxx / (base + 1e-20), 0.0, 1.0)
+    if not log_scale:
+        return norm
+    db = 10.0 * jnp.log10(norm + 1e-12)
+    db = jnp.nan_to_num(db)
+    min_db = jnp.min(db)
+    max_db = jnp.max(db)
+    rng = max_db - min_db
+    rescaled = (db - min_db) / jnp.where(rng > 1e-6, rng, 1.0)
+    return jnp.where(rng > 1e-6, rescaled, jnp.zeros_like(db))
+
+
+def normalize_batch(sxx_batch: Array, log_scale: bool = False,
+                    share_max: bool = False) -> Array:
+    """Normalize a batch (B, F, T). share_max=True uses one max across the
+    batch (the reference's global_max workflow); the dB min-max rescale stays
+    per-image, as each reference figure rescales its own dB range."""
+    if share_max:
+        gm = jnp.max(sxx_batch)
+        return jax.vmap(lambda s: normalize(s, log_scale, gm))(sxx_batch)
+    return jax.vmap(lambda s: normalize(s, log_scale, None))(sxx_batch)

@@ -1,0 +1,277 @@
+"""STFT / power-spectral-density spectrogram core (pure jnp, jit/vmap-friendly).
+
+Reproduces the numerical contract of the reference's compute core,
+``scipy.signal.spectrogram(data, fs=fs, nperseg=nperseg, scaling="density",
+mode="psd")`` at PlotEngine.py:113 (and :232), with all scipy defaults:
+
+  * window     : Tukey(0.25), periodic
+  * noverlap   : nperseg // 8   (hop = nperseg - nperseg // 8)
+  * nfft       : nperseg
+  * detrend    : 'constant' (per-segment mean removed before windowing)
+  * scaling    : 'density'  (PSD scale 1 / (fs * sum(w**2)))
+  * sides      : one-sided rFFT, interior bins doubled
+  * time axis  : t[k] = (nperseg/2 + k*hop) / fs
+  * boundary   : none (trailing samples that do not fill a segment are dropped)
+
+plus a generalized mode (explicit hop, hann/hamming/..., optional centering)
+for the north-star configurations. TPU-first design notes:
+
+  * framing is expressed as reshape + static strided slices + concat (no
+    gather) when gcd(nperseg, hop) > 1, which XLA lowers to cheap data
+    movement; a gather fallback covers pathological hops;
+  * the DFT can be computed either with jnp.fft.rfft or as two real matmuls
+    against a window-folded DFT matrix (MXU-friendly; constant-detrend is
+    folded into the matrix as well) — see :func:`dft_matrices`;
+  * everything is shape-static given (len(x), SpecConfig) and vmaps over a
+    leading batch dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core.windows import get_window
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+def num_frames(n: int, nperseg: int, hop: int) -> int:
+    """Number of complete frames (scipy boundary=None: trailing rest dropped)."""
+    if n < nperseg:
+        return 0
+    return (n - nperseg) // hop + 1
+
+
+def frame_signal(x: Array, nperseg: int, hop: int) -> Array:
+    """Extract overlapping frames: (..., n) -> (..., nframes, nperseg).
+
+    Gather-free when g = gcd(nperseg, hop) > 1: view the signal as rows of
+    width g, then each frame is nperseg/g consecutive row-groups starting
+    every hop/g rows — built from static strided slices + concat.
+    """
+    n = x.shape[-1]
+    nf = num_frames(n, nperseg, hop)
+    if nf <= 0:
+        return jnp.zeros(x.shape[:-1] + (0, nperseg), x.dtype)
+
+    g = math.gcd(nperseg, hop)
+    if g > 1:
+        pieces_per_frame = nperseg // g   # row-groups per frame
+        step = hop // g                   # row stride between frame starts
+        used_rows = (nf - 1) * step + pieces_per_frame
+        rows = x[..., : used_rows * g].reshape(x.shape[:-1] + (used_rows, g))
+        # piece i of every frame: rows[i], rows[i+step], ... (nf entries)
+        pieces = [
+            jax.lax.slice_in_dim(rows, i, i + (nf - 1) * step + 1, stride=step,
+                                 axis=rows.ndim - 2)
+            for i in range(pieces_per_frame)
+        ]
+        return jnp.concatenate(pieces, axis=-1)
+
+    # Fallback: explicit gather (rare: gcd == 1).
+    idx = (np.arange(nf)[:, None] * hop + np.arange(nperseg)[None, :])
+    return x[..., idx]
+
+
+# ---------------------------------------------------------------------------
+# Window / scaling constants (host-side, float64, baked into the program)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _window_f64(cfg: SpecConfig) -> np.ndarray:
+    return get_window(cfg.window, cfg.nperseg, periodic=True)
+
+
+def psd_scale(cfg: SpecConfig, fs: float) -> float:
+    """Scalar PSD scale: 'density' -> 1/(fs*sum(w^2)); 'spectrum' -> 1/sum(w)^2."""
+    w = _window_f64(cfg)
+    if cfg.scaling == "density":
+        return float(1.0 / (fs * np.sum(w * w)))
+    return float(1.0 / (np.sum(w) ** 2))
+
+
+def onesided_weights(cfg: SpecConfig, fs: float) -> np.ndarray:
+    """Per-bin multiplier combining PSD scale and one-sided doubling.
+
+    scipy doubles every interior bin of the one-sided spectrum: bins
+    1..n-2 when nfft is even (Nyquist bin present, not doubled), bins
+    1..n-1 when nfft is odd. DC is never doubled.
+    """
+    scale = psd_scale(cfg, fs)
+    nb = cfg.n_freqs
+    wts = np.full(nb, scale, dtype=np.float64)
+    if cfg.onesided and cfg.mode == "psd":
+        if cfg.nfft_ % 2 == 0:
+            wts[1:-1] *= 2.0
+        else:
+            wts[1:] *= 2.0
+    return wts
+
+
+def freq_axis(cfg: SpecConfig, fs: float) -> np.ndarray:
+    """Frequency bin centers (np.fft.rfftfreq semantics)."""
+    if cfg.onesided:
+        return np.fft.rfftfreq(cfg.nfft_, d=1.0 / fs)
+    return np.fft.fftfreq(cfg.nfft_, d=1.0 / fs)
+
+
+def time_axis(cfg: SpecConfig, fs: float, n: int) -> np.ndarray:
+    """Frame-center times: t[k] = (nperseg/2 + k*hop)/fs (scipy spectrogram).
+
+    When center=True (generalized mode) frames are centered at k*hop/fs.
+    """
+    nf = num_frames(n + (2 * (cfg.nperseg // 2) if cfg.center else 0),
+                    cfg.nperseg, cfg.hop_)
+    k = np.arange(nf, dtype=np.float64)
+    if cfg.center:
+        return k * cfg.hop_ / fs
+    return (cfg.nperseg / 2.0 + k * cfg.hop_) / fs
+
+
+# ---------------------------------------------------------------------------
+# DFT-as-matmul constants (MXU path; constant detrend folded in)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def dft_matrices(cfg: SpecConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Window-folded real-DFT matrices A_re, A_im of shape (nperseg, n_freqs).
+
+    For a raw frame f (length nperseg): X[k] = sum_n d[n] w[n] e^{-2πi nk/nfft}
+    where d = f - mean(f) under constant detrend. Both the window and the
+    detrend projection are folded into the matrices:
+
+        X_re = f @ A_re,  X_im = f @ A_im
+        A[n,k] = w[n] c/s(-2π n k / nfft);  A <- (I - 1 1ᵀ/N) A  (detrend)
+
+    so the full STFT is two MXU matmuls over the framed signal.
+    """
+    N = cfg.nperseg
+    nfft = cfg.nfft_
+    w = _window_f64(cfg)
+    n = np.arange(N, dtype=np.float64)[:, None]
+    k = np.arange(cfg.n_freqs, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / nfft
+    a_re = w[:, None] * np.cos(ang)
+    a_im = w[:, None] * np.sin(ang)
+    if cfg.detrend == "constant":
+        a_re = a_re - np.mean(a_re, axis=0, keepdims=True)
+        a_im = a_im - np.mean(a_im, axis=0, keepdims=True)
+    return np.ascontiguousarray(a_re), np.ascontiguousarray(a_im)
+
+
+# ---------------------------------------------------------------------------
+# Core spectrogram
+# ---------------------------------------------------------------------------
+
+def _prep_frames(x: Array, cfg: SpecConfig) -> Array:
+    """Pad (center mode), frame, detrend. Returns (..., nframes, nperseg)."""
+    if cfg.center:
+        p = cfg.nperseg // 2
+        pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
+        x = jnp.pad(x, pad, mode=cfg.pad_mode)
+    frames = frame_signal(x, cfg.nperseg, cfg.hop_)
+    if cfg.detrend == "constant":
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    return frames
+
+
+def stft(x: Array, cfg: SpecConfig, use_matmul: bool = False) -> Array:
+    """Complex STFT: (..., n) -> (..., nframes, n_freqs), frame-major.
+
+    use_matmul selects the MXU real-DFT path (requires nfft == nperseg).
+    """
+    frames = _prep_frames(x, cfg)
+    w = jnp.asarray(_window_f64(cfg), frames.dtype)
+    if not use_matmul:
+        fw = frames * w
+        if cfg.nfft_ > cfg.nperseg:
+            pad = [(0, 0)] * (fw.ndim - 1) + [(0, cfg.nfft_ - cfg.nperseg)]
+            fw = jnp.pad(fw, pad)
+        if cfg.onesided:
+            return jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1)
+        return jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)
+
+    if cfg.nfft_ != cfg.nperseg:
+        raise ValueError("matmul DFT path requires nfft == nperseg")
+    a_re, a_im = dft_matrices(cfg)
+    prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
+            else jax.lax.Precision.DEFAULT)
+    # detrend+window already folded into the matrices; frames must be raw
+    raw = frame_signal(
+        x if not cfg.center else jnp.pad(
+            x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],
+            mode=cfg.pad_mode),
+        cfg.nperseg, cfg.hop_)
+    xr = jnp.matmul(raw, jnp.asarray(a_re, raw.dtype), precision=prec)
+    xi = jnp.matmul(raw, jnp.asarray(a_im, raw.dtype), precision=prec)
+    return jax.lax.complex(xr, xi)
+
+
+def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
+                      use_matmul: bool = False) -> Array:
+    """PSD spectrogram, frame-major: (..., n) -> (..., nframes, n_freqs).
+
+    Matches scipy.signal.spectrogram(..., scaling=cfg.scaling, mode='psd')
+    values (scipy returns freq-major (n_freqs, nframes); transpose to compare).
+    """
+    frames = _prep_frames(x, cfg)
+    w = jnp.asarray(_window_f64(cfg), frames.dtype)
+    wts = jnp.asarray(onesided_weights(cfg, fs), frames.dtype)
+    if use_matmul:
+        if cfg.nfft_ != cfg.nperseg:
+            raise ValueError("matmul DFT path requires nfft == nperseg")
+        a_re, a_im = dft_matrices(cfg)
+        prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
+                else jax.lax.Precision.DEFAULT)
+        # NOTE: matrices fold window+detrend; recompute raw frames.
+        raw = frame_signal(
+            x if not cfg.center else jnp.pad(
+                x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],
+                mode=cfg.pad_mode),
+            cfg.nperseg, cfg.hop_)
+        xr = jnp.matmul(raw, jnp.asarray(a_re, raw.dtype), precision=prec)
+        xi = jnp.matmul(raw, jnp.asarray(a_im, raw.dtype), precision=prec)
+        p = xr * xr + xi * xi
+    else:
+        fw = frames * w
+        X = jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1) if cfg.onesided \
+            else jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)
+        p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
+    if cfg.mode == "magnitude":
+        # magnitude spectrogram uses sqrt of scale (scipy mode='magnitude')
+        return jnp.sqrt(p) * jnp.sqrt(wts)
+    return p * wts
+
+
+def spectrogram(x: Array, fs: float, cfg: SpecConfig,
+                use_matmul: bool = False
+                ) -> Tuple[np.ndarray, np.ndarray, Array]:
+    """Full reference-parity spectrogram: returns (f, t, Sxx) freq-major.
+
+    Mirrors PlotEngine._plot_spectrogram's compute portion (PlotEngine.py:113-115):
+    scipy call + frequency-band row mask [cfg.fmin, cfg.fmax] applied BEFORE any
+    normalization. f/t are host numpy (static given shapes); Sxx is a device
+    array of shape (..., n_masked_freqs, nframes).
+    """
+    f = freq_axis(cfg, fs)
+    t = time_axis(cfg, fs, x.shape[-1])
+    p = power_spectrogram(x, fs, cfg, use_matmul=use_matmul)  # (..., T, F)
+    sxx = jnp.swapaxes(p, -1, -2)  # freq-major like scipy
+    if cfg.fmin is not None or cfg.fmax is not None:
+        lo = cfg.fmin if cfg.fmin is not None else -np.inf
+        hi = cfg.fmax if cfg.fmax is not None else np.inf
+        mask = (f >= lo) & (f <= hi)  # PlotEngine.py:114
+        f = f[mask]
+        sxx = sxx[..., np.where(mask)[0], :]
+    return f, t, sxx

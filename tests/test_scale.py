@@ -1,0 +1,71 @@
+"""Normalization / dB mapping tests against PlotEngine.py:126-131 semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spectral_tpu.core.scale import normalize, normalize_batch
+
+
+def _ref_normalize(sxx, log_scale=False, global_max=None):
+    """Direct float64 re-statement of PlotEngine.py:126-131."""
+    base = np.max(sxx) if global_max is None or global_max <= 0 else global_max
+    norm = np.clip(sxx / (base + 1e-20), 0.0, 1.0)
+    if log_scale:
+        eps = 1e-12
+        db = 10.0 * np.log10(norm + eps)
+        db = np.nan_to_num(db)
+        mn, mx = np.min(db), np.max(db)
+        norm = (db - mn) / (mx - mn) if (mx - mn) > 1e-6 else np.zeros_like(db)
+    return norm
+
+
+def test_linear_normalize_matches_reference():
+    rng = np.random.RandomState(0)
+    sxx = rng.rand(64, 33).astype(np.float32) * 5.0
+    ours = np.asarray(normalize(jnp.asarray(sxx)))
+    np.testing.assert_allclose(ours, _ref_normalize(sxx), atol=1e-6)
+
+
+def test_log_normalize_matches_reference():
+    rng = np.random.RandomState(1)
+    sxx = (rng.rand(64, 33).astype(np.float32) ** 4) * 3.0
+    ours = np.asarray(normalize(jnp.asarray(sxx), log_scale=True))
+    np.testing.assert_allclose(ours, _ref_normalize(sxx, log_scale=True),
+                               atol=2e-5)
+
+
+def test_global_max_override_and_nonpositive_fallback():
+    rng = np.random.RandomState(2)
+    sxx = rng.rand(16, 8).astype(np.float32)
+    # explicit positive global max is used as base
+    ours = np.asarray(normalize(jnp.asarray(sxx), global_max=10.0))
+    np.testing.assert_allclose(ours, _ref_normalize(sxx, global_max=10.0),
+                               atol=1e-7)
+    # non-positive global max falls back to own max (PlotEngine.py:126)
+    ours = np.asarray(normalize(jnp.asarray(sxx), global_max=0.0))
+    np.testing.assert_allclose(ours, _ref_normalize(sxx), atol=1e-7)
+    ours = np.asarray(normalize(jnp.asarray(sxx), global_max=-3.0))
+    np.testing.assert_allclose(ours, _ref_normalize(sxx), atol=1e-7)
+
+
+def test_degenerate_db_range_gives_zeros():
+    sxx = np.full((8, 8), 2.5, dtype=np.float32)
+    out = np.asarray(normalize(jnp.asarray(sxx), log_scale=True))
+    np.testing.assert_array_equal(out, np.zeros_like(sxx))
+
+
+def test_all_zero_input():
+    sxx = np.zeros((8, 8), dtype=np.float32)
+    out = np.asarray(normalize(jnp.asarray(sxx)))
+    np.testing.assert_array_equal(out, np.zeros_like(sxx))
+
+
+def test_batch_shared_max():
+    rng = np.random.RandomState(3)
+    batch = rng.rand(4, 16, 8).astype(np.float32)
+    batch[2] *= 10.0  # one loud clip dominates the shared max
+    out = np.asarray(normalize_batch(jnp.asarray(batch), share_max=True))
+    gm = batch.max()
+    for b in range(4):
+        np.testing.assert_allclose(out[b], _ref_normalize(batch[b], global_max=gm),
+                                   atol=1e-6)

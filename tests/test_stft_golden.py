@@ -1,0 +1,163 @@
+"""Golden numerical tests: our STFT vs scipy.signal.spectrogram.
+
+The numerical contract is SURVEY.md §0: the reference calls
+scipy.signal.spectrogram(data, fs, nperseg=nperseg, scaling='density',
+mode='psd') with all other defaults (PlotEngine.py:113). scipy is a
+test-only oracle here.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core import stft as stft_mod
+from spectral_tpu.core.scale import normalize
+from spectral_tpu.core.windows import get_window
+
+
+def _signals(n, fs, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / fs
+    return {
+        "noise": rng.randn(n),
+        "sine": np.sin(2 * np.pi * 50.0 * t),
+        "chirp": scipy.signal.chirp(t, f0=1.0, f1=fs / 2.5, t1=t[-1]),
+        "bursty": rng.randn(n) * (0.05 + (np.sin(2 * np.pi * 0.5 * t) > 0.6)),
+        "offset": rng.randn(n) + 7.5,  # exercises constant detrend
+    }
+
+
+@pytest.mark.parametrize("window,periodic_ref", [
+    (("tukey", 0.25), True), ("hann", True), ("hamming", True),
+    ("blackman", True), ("bartlett", True), ("boxcar", True),
+])
+@pytest.mark.parametrize("M", [32, 33, 256, 1024])
+def test_windows_match_scipy(window, periodic_ref, M):
+    ours = get_window(window, M, periodic=True)
+    name = window if isinstance(window, str) else window
+    ref = scipy.signal.get_window(name, M, fftbins=True)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-14)
+
+
+@pytest.mark.parametrize("nperseg", [32, 256, 1024, 4096])
+@pytest.mark.parametrize("sig_name", ["noise", "chirp", "offset"])
+def test_scipy_compat_psd(nperseg, sig_name):
+    fs = 1000.0
+    n = max(nperseg * 6, 8192)
+    x = _signals(n, fs)[sig_name]
+    cfg = SpecConfig.scipy_default(nperseg=nperseg)
+
+    f_ref, t_ref, sxx_ref = scipy.signal.spectrogram(
+        x, fs=fs, nperseg=nperseg, scaling="density", mode="psd")
+
+    f, t, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+    sxx = np.asarray(sxx)
+
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
+    np.testing.assert_allclose(t, t_ref, atol=1e-9)
+    assert sxx.shape == sxx_ref.shape
+    # relative error vs the spectrogram's max (f32 vs f64 tolerance budget)
+    denom = sxx_ref.max()
+    assert np.max(np.abs(sxx - sxx_ref)) / denom < 2e-5
+
+
+@pytest.mark.parametrize("nperseg,hop", [(1024, 256), (512, 128), (256, 64)])
+def test_north_star_hann_psd(nperseg, hop):
+    fs = 16000.0
+    n = 160000  # 10 s @ 16 kHz (BASELINE.json config 1)
+    x = _signals(n, fs)["chirp"]
+    cfg = SpecConfig.north_star(n_fft=nperseg, hop=hop)
+
+    f_ref, t_ref, sxx_ref = scipy.signal.spectrogram(
+        x, fs=fs, window="hann", nperseg=nperseg, noverlap=nperseg - hop,
+        detrend=False, scaling="density", mode="psd")
+
+    f, t, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
+    np.testing.assert_allclose(t, t_ref, atol=1e-9)
+    assert np.max(np.abs(np.asarray(sxx) - sxx_ref)) / sxx_ref.max() < 2e-5
+
+
+@pytest.mark.parametrize("use_matmul", [False, True])
+def test_db_pipeline_error_budget(use_matmul):
+    """North-star acceptance: final dB display image error <= 1e-3 vs scipy."""
+    fs = 16000.0
+    x = _signals(160000, fs)["bursty"]
+    cfg = SpecConfig.north_star(1024, 256, log_scale=True)
+
+    _, _, sxx_ref = scipy.signal.spectrogram(
+        x, fs=fs, window="hann", nperseg=1024, noverlap=768,
+        detrend=False, scaling="density", mode="psd")
+    # reference display pipeline in f64 (PlotEngine.py:126-131)
+    norm = np.clip(sxx_ref / (sxx_ref.max() + 1e-20), 0, 1)
+    db = 10 * np.log10(norm + 1e-12)
+    ref_img = (db - db.min()) / (db.max() - db.min())
+
+    _, _, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg,
+                                     use_matmul=use_matmul)
+    img = np.asarray(normalize(sxx, log_scale=True))
+    # image is in [0,1]; the dB range is 120 dB -> 1e-3 in [0,1] units is
+    # 0.12 dB. We hold the stricter bound: 1e-3 dB on the dB values.
+    db_ours = img * (db.max() - db.min()) + db.min()
+    db_ref = ref_img * (db.max() - db.min()) + db.min()
+    err_db = np.max(np.abs(db_ours - db_ref))
+    assert err_db <= 1e-3, f"max dB error {err_db}"
+
+
+def test_matmul_dft_matches_fft_path():
+    fs = 1000.0
+    x = _signals(16384, fs)["noise"]
+    for cfg in [SpecConfig.scipy_default(256), SpecConfig.north_star(512, 128)]:
+        p_fft = stft_mod.power_spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+        p_mm = stft_mod.power_spectrogram(jnp.asarray(x, jnp.float32), fs, cfg,
+                                          use_matmul=True)
+        ref = np.asarray(p_fft)
+        assert np.max(np.abs(np.asarray(p_mm) - ref)) / ref.max() < 2e-5
+
+
+def test_fmin_fmax_mask_before_normalization():
+    """Row mask applied before normalization (PlotEngine.py:114-115,126)."""
+    fs = 1000.0
+    x = _signals(8192, fs)["chirp"]
+    cfg = SpecConfig.scipy_default(256, fmin=0.0, fmax=30.0)
+    f, t, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+    assert f.min() >= 0.0 and f.max() <= 30.0
+
+    f_ref, _, sxx_ref = scipy.signal.spectrogram(
+        x, fs=fs, nperseg=256, scaling="density", mode="psd")
+    mask = (f_ref >= 0.0) & (f_ref <= 30.0)
+    ref = np.clip(sxx_ref[mask] / (sxx_ref[mask].max() + 1e-20), 0, 1)
+    ours = np.asarray(normalize(sxx))
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def test_vmap_and_jit():
+    fs = 16000.0
+    cfg = SpecConfig.north_star(1024, 256)
+    xs = jnp.asarray(np.random.RandomState(1).randn(4, 32000), jnp.float32)
+    fn = jax.jit(jax.vmap(lambda x: stft_mod.power_spectrogram(x, fs, cfg)))
+    out = fn(xs)
+    assert out.shape == (4, stft_mod.num_frames(32000, 1024, 256), 513)
+    single = stft_mod.power_spectrogram(xs[2], fs, cfg)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(single),
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_frame_signal_gcd_and_gather_paths_agree():
+    x = jnp.asarray(np.random.RandomState(2).randn(5000), jnp.float32)
+    # hop 896 / nperseg 1024 (scipy default for 1024): gcd path, stride 7
+    fr = stft_mod.frame_signal(x, 1024, 896)
+    nf = stft_mod.num_frames(5000, 1024, 896)
+    assert fr.shape == (nf, 1024)
+    xn = np.asarray(x)
+    for k in range(nf):
+        np.testing.assert_array_equal(np.asarray(fr[k]), xn[k * 896:k * 896 + 1024])
+
+
+def test_short_signal_yields_zero_frames():
+    x = jnp.zeros(100, jnp.float32)
+    assert stft_mod.frame_signal(x, 256, 224).shape == (0, 256)
