@@ -8,6 +8,11 @@ on-device colormap rendering with direct PNG export.
 """
 
 from spectral_tpu.config import SpecConfig, ViewSettings
+from spectral_tpu.utils.cache import enable_compilation_cache
+
+# Persistent XLA compile cache: TPU compiles over a tunnel cost tens of
+# seconds; cached reloads cost milliseconds. SPECTRAL_TPU_NO_CACHE=1 opts out.
+enable_compilation_cache()
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,143 @@
+"""Burst detection flows: headless equivalents of the reference's
+PlotEngine.unsupervised_detect (PlotEngine.py:411-473) and
+PlotEngine.learn_and_detect (:244-326), with the HMM state factored out of the
+rendering layer (SURVEY.md §1 calls out that coupling as the reference's main
+architectural weak point).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.core import events as ev
+from spectral_tpu.models import hmm
+
+Event = Tuple[float, float]
+
+
+class BurstDetector:
+    """Holds the persistent 4-state Gaussian HMM and its refinement flag
+    (PlotEngine.py:20-21: GaussianHMM(4, diag, n_iter=100, random_state=42),
+    is_model_refined)."""
+
+    # Below this many feature elements the HMM runs on host CPU: EM on a
+    # hundred-frame sequence is dominated by accelerator round-trips (and,
+    # over a tunneled TPU, costs seconds per dispatch), not compute.
+    AUTO_CPU_THRESHOLD = 262144
+
+    def __init__(self, n_states: int = 4, n_iter: int = 100, seed: int = 42,
+                 device: str = "auto"):
+        """device: 'auto' (CPU for small problems, default backend otherwise),
+        'cpu', or 'default'."""
+        self.n_states = n_states
+        self.n_iter = n_iter
+        self.seed = seed
+        self.device = device
+        self.params: Optional[hmm.HMMParams] = None
+        self.is_model_refined = False
+
+    def _device_ctx(self, n_elems: int):
+        import jax
+        use_cpu = (self.device == "cpu"
+                   or (self.device == "auto"
+                       and n_elems < self.AUTO_CPU_THRESHOLD))
+        if use_cpu:
+            return jax.default_device(jax.devices("cpu")[0])
+        import contextlib
+        return contextlib.nullcontext()
+
+    def reset(self) -> None:
+        """PlotEngine.reset_model (:475-478)."""
+        self.params = None
+        self.is_model_refined = False
+
+    # ------------------------------------------------------------------
+    # Unsupervised detection (PlotEngine.py:411-473)
+    # ------------------------------------------------------------------
+
+    def unsupervised_detect(self, t: np.ndarray, features) -> List[Event]:
+        t = np.asarray(t)
+        if t.size == 0:
+            return []
+        feats_np = np.asarray(features, np.float32)
+
+        with self._device_ctx(feats_np.size):
+            X = jnp.asarray(feats_np)
+            if not self.is_model_refined:
+                if X.shape[0] < self.n_states:
+                    raise ValueError(
+                        "Not enough data to train the model. Signal may be too short.")
+                params0 = hmm.init_params(X, self.n_states, seed=self.seed)
+                params, _, _ = hmm.fit(params0, X, n_iter=self.n_iter)
+                means = np.asarray(params.means)
+                baseline_state = int(np.argmin(means[:, 0]))
+                tm = hmm.patch_escape_routes(np.asarray(params.transmat),
+                                             baseline_state)
+                self.params = params._replace(
+                    transmat=jnp.asarray(tm, params.transmat.dtype))
+
+            states = np.asarray(hmm.viterbi(self.params, X))
+        means = np.asarray(self.params.means)
+        baseline_state = int(np.argmin(means[:, 0]))  # PlotEngine.py:445
+        events = ev.baseline_scan(states, t, baseline_state)
+        return ev.merge_overlapping_events(events)
+
+    # ------------------------------------------------------------------
+    # Semi-supervised "learn from examples" (PlotEngine.py:244-326)
+    # ------------------------------------------------------------------
+
+    def learn_and_detect(self, t: np.ndarray, features,
+                         rois: Sequence[Event]) -> List[Event]:
+        if not rois:
+            raise ValueError("No manual regions provided to learn from.")
+        t = np.asarray(t)
+        X = np.asarray(features, dtype=np.float32)
+
+        precise_bursts: List[Event] = []
+        for roi_start_t, roi_end_t in rois:
+            idx = np.where((t >= roi_start_t) & (t <= roi_end_t))[0]
+            if len(idx) < 2:  # PlotEngine.py:279-281
+                continue
+            pb = self._find_burst_in_roi(X[idx, :], t[idx])
+            if pb:
+                precise_bursts.append(pb)
+
+        if not precise_bursts:
+            raise ValueError(
+                "Could not identify a clear burst in any of the provided regions.")
+
+        labels = ev.build_label_track(t, precise_bursts)
+        self.params = hmm.supervised_fit(X, labels, self.n_states)
+        self.is_model_refined = True  # PlotEngine.py:387
+
+        with self._device_ctx(X.size):
+            states = np.asarray(hmm.viterbi(self.params, jnp.asarray(X)))
+        events = ev.label_scan(states, t)
+        return ev.merge_overlapping_events(events)
+
+    def _find_burst_in_roi(self, roi_features: np.ndarray, roi_t: np.ndarray
+                           ) -> Optional[Event]:
+        """2-state HMM burst localization in one ROI (PlotEngine.py:389-409).
+
+        Note the reference's guard compares against the MAIN model's
+        n_components (4), not the temp model's 2 — reproduced here.
+        """
+        if len(roi_features) < self.n_states:
+            return None
+        with self._device_ctx(roi_features.size):
+            X = jnp.asarray(roi_features, jnp.float32)
+            try:
+                params0 = hmm.init_params(X, 2, seed=self.seed)
+                params, _, _ = hmm.fit(params0, X, n_iter=50)
+            except (ValueError, FloatingPointError):
+                return None
+            means = np.asarray(params.means)
+            burst_state = int(np.argmax(means[:, 0]))  # larger mean log-power
+            states = np.asarray(hmm.viterbi(params, X))
+        burst_idx = np.where(states == burst_state)[0]
+        if len(burst_idx) == 0:
+            return None
+        return float(roi_t[burst_idx[0]]), float(roi_t[burst_idx[-1]])

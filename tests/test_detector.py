@@ -1,0 +1,134 @@
+"""End-to-end detection-flow tests: BurstDetector vs the reference's
+unsupervised_detect / learn_and_detect behavior on synthetic bursty signals."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core import events as ev
+from spectral_tpu.core.stft import power_spectrogram, freq_axis, time_axis
+from spectral_tpu.models.detector import BurstDetector
+
+
+def _bursty_signal(fs=1000.0, dur=60.0, bursts=((10, 15), (30, 38)), seed=0):
+    rng = np.random.RandomState(seed)
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    x = 0.02 * rng.randn(n)
+    for a, b in bursts:
+        m = (t >= a) & (t < b)
+        # Hann envelope: bursts ramp in/out like real discharges. With
+        # razor-sharp edges the 4-state EM isolates the offset frames as
+        # their own state whose mean log-power undercuts the true baseline,
+        # and the reference's argmin-baseline rule (PlotEngine.py:445) then
+        # misidentifies baseline — a reference-faithful failure mode, not a
+        # detection-path bug.
+        env = np.hanning(m.sum())
+        x[m] += 0.6 * env * np.sin(2 * np.pi * 6.0 * t[m])
+    return x.astype(np.float32)
+
+
+def _features(x, fs, cfg, fmin, fmax):
+    psd = power_spectrogram(jnp.asarray(x), fs, cfg)
+    f = freq_axis(cfg, fs)
+    t = time_axis(cfg, fs, len(x))
+    feat = np.asarray(ev.features_from_psd(f, psd, fmin, fmax))
+    return t, feat
+
+
+def _iou(a, b):
+    inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+    union = max(a[1], b[1]) - min(a[0], b[0])
+    return inter / union
+
+
+def test_unsupervised_detect_finds_bursts():
+    fs = 1000.0
+    bursts = ((10, 15), (30, 38))
+    x = _bursty_signal(fs=fs, bursts=bursts)
+    cfg = SpecConfig.scipy_default(1024)
+    t, feat = _features(x, fs, cfg, 0.0, 30.0)
+
+    det = BurstDetector(seed=42)
+    events = det.unsupervised_detect(t, feat)
+    assert len(events) == 2, events
+    for found, true in zip(events, bursts):
+        assert _iou(found, true) > 0.7, (found, true)
+    # model persists: second call must not refit (refined via patching flow
+    # does not set is_model_refined, mirroring the reference) but must be
+    # deterministic
+    events2 = det.unsupervised_detect(t, feat)
+    assert events == events2
+
+
+def test_unsupervised_raises_on_short_signal():
+    det = BurstDetector()
+    t = np.array([0.0, 1.0])
+    feat = np.zeros((2, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="Not enough data"):
+        det.unsupervised_detect(t, feat)
+
+
+def test_unsupervised_empty_time_returns_empty():
+    det = BurstDetector()
+    assert det.unsupervised_detect(np.array([]), np.zeros((0, 2))) == []
+
+
+def test_learn_and_detect_flow():
+    fs = 1000.0
+    bursts = ((10, 15), (30, 38))
+    x = _bursty_signal(fs=fs, bursts=bursts)
+    cfg = SpecConfig.scipy_default(1024)
+    t, feat = _features(x, fs, cfg, 0.0, 30.0)
+
+    det = BurstDetector(seed=42)
+    # user draws sloppy ROIs around the true bursts
+    rois = [(8.0, 17.0), (28.0, 40.0)]
+    events = det.learn_and_detect(t, feat, rois)
+    assert det.is_model_refined
+    assert len(events) >= 2
+    # the two largest events line up with the true bursts
+    events = sorted(events, key=lambda e: e[1] - e[0], reverse=True)[:2]
+    events = sorted(events)
+    for found, true in zip(events, bursts):
+        assert _iou(found, true) > 0.6, (found, true)
+
+    # refined model now drives unsupervised_detect without refitting
+    ev2 = det.unsupervised_detect(t, feat)
+    assert len(ev2) >= 2
+
+
+def test_learn_and_detect_requires_rois():
+    det = BurstDetector()
+    with pytest.raises(ValueError, match="No manual regions"):
+        det.learn_and_detect(np.arange(10.0), np.zeros((10, 2)), [])
+
+
+def test_learn_and_detect_rejects_empty_rois():
+    det = BurstDetector()
+    t = np.arange(100.0)
+    feat = np.random.RandomState(0).randn(100, 2).astype(np.float32)
+    # ROI entirely outside the time grid -> no points -> no clear burst
+    with pytest.raises(ValueError, match="Could not identify"):
+        det.learn_and_detect(t, feat, [(1000.0, 1001.0)])
+
+
+def test_roi_with_fewer_than_two_points_skipped():
+    det = BurstDetector()
+    t = np.arange(100.0)
+    rng = np.random.RandomState(0)
+    feat = rng.randn(100, 2).astype(np.float32)
+    feat[40:50, 0] += 6.0  # clear burst for the valid ROI
+    # first ROI covers one point only -> skipped; second is valid
+    events = det.learn_and_detect(t, feat, [(5.0, 5.5), (35.0, 55.0)])
+    assert det.is_model_refined
+    assert any(35.0 <= s <= 55.0 for s, _ in events)
+
+
+def test_reset_model():
+    det = BurstDetector()
+    det.is_model_refined = True
+    det.params = "sentinel"
+    det.reset()
+    assert det.params is None and not det.is_model_refined

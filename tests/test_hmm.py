@@ -1,0 +1,218 @@
+"""Gaussian HMM tests: equivalence with closed-form hand computations,
+EM behavior, Viterbi, supervised fit, escape patch (SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.models import hmm
+
+
+def _two_state_data(T=400, seed=0):
+    """Well-separated 2-state sequence with known segmentation."""
+    rng = np.random.RandomState(seed)
+    states = np.zeros(T, dtype=int)
+    states[100:200] = 1
+    states[300:380] = 1
+    means = np.array([[-4.0, 0.0], [1.0, 0.0]])
+    X = means[states] + 0.15 * rng.randn(T, 2)
+    return X.astype(np.float32), states
+
+
+def _params(start, trans, means, covars):
+    return hmm.HMMParams(jnp.asarray(start, jnp.float32),
+                         jnp.asarray(trans, jnp.float32),
+                         jnp.asarray(means, jnp.float32),
+                         jnp.asarray(covars, jnp.float32))
+
+
+# ---- emission / forward hand-check ----------------------------------------
+
+def test_log_emission_matches_hand_formula():
+    p = _params([0.5, 0.5], [[0.9, 0.1], [0.1, 0.9]],
+                [[0.0, 0.0], [2.0, -1.0]], [[1.0, 0.5], [2.0, 1.0]])
+    X = np.array([[0.3, -0.2], [1.5, 0.5]], dtype=np.float32)
+    out = np.asarray(hmm.log_emission(p, jnp.asarray(X)))
+    for t in range(2):
+        for k in range(2):
+            m = np.asarray(p.means)[k]
+            v = np.asarray(p.covars)[k]
+            ref = -0.5 * np.sum((X[t] - m) ** 2 / v + np.log(2 * np.pi * v))
+            np.testing.assert_allclose(out[t, k], ref, rtol=1e-4)
+
+
+def test_forward_loglik_matches_brute_force():
+    """Log-likelihood vs explicit sum over all state paths (T=4, K=2)."""
+    p = _params([0.6, 0.4], [[0.7, 0.3], [0.2, 0.8]],
+                [[0.0, 0.0], [1.5, 1.0]], [[0.5, 0.5], [0.8, 0.3]])
+    rng = np.random.RandomState(1)
+    X = rng.randn(4, 2).astype(np.float32)
+    log_b = np.asarray(hmm.log_emission(p, jnp.asarray(X)), dtype=np.float64)
+    start = np.asarray(p.startprob, np.float64)
+    trans = np.asarray(p.transmat, np.float64)
+    total = 0.0
+    import itertools
+    for path in itertools.product([0, 1], repeat=4):
+        pr = start[path[0]] * np.exp(log_b[0, path[0]])
+        for t in range(1, 4):
+            pr *= trans[path[t - 1], path[t]] * np.exp(log_b[t, path[t]])
+        total += pr
+    _, ll = hmm.forward_log(p, jnp.asarray(log_b, jnp.float32))
+    np.testing.assert_allclose(float(ll), np.log(total), rtol=1e-4)
+
+
+def test_viterbi_matches_brute_force():
+    p = _params([0.6, 0.4], [[0.7, 0.3], [0.2, 0.8]],
+                [[0.0, 0.0], [1.5, 1.0]], [[0.5, 0.5], [0.8, 0.3]])
+    rng = np.random.RandomState(2)
+    X = rng.randn(5, 2).astype(np.float32)
+    log_b = np.asarray(hmm.log_emission(p, jnp.asarray(X)), dtype=np.float64)
+    start = np.log(np.asarray(p.startprob, np.float64))
+    trans = np.log(np.asarray(p.transmat, np.float64))
+    import itertools
+    best, best_path = -np.inf, None
+    for path in itertools.product([0, 1], repeat=5):
+        s = start[path[0]] + log_b[0, path[0]]
+        for t in range(1, 5):
+            s += trans[path[t - 1], path[t]] + log_b[t, path[t]]
+        if s > best:
+            best, best_path = s, path
+    states = np.asarray(hmm.viterbi(p, jnp.asarray(X)))
+    np.testing.assert_array_equal(states, np.asarray(best_path))
+
+
+# ---- EM -------------------------------------------------------------------
+
+def test_em_loglik_monotone_and_recovers_states():
+    X, true_states = _two_state_data()
+    params0 = hmm.init_params(X, 2, seed=42)
+    # manual EM loop: loglik must be non-decreasing (within fp noise)
+    p = params0
+    prev = -np.inf
+    for _ in range(15):
+        gamma, xi, ll = hmm._e_step(p, jnp.asarray(X))
+        assert float(ll) >= prev - 1e-3
+        prev = float(ll)
+        p = hmm._m_step(p, jnp.asarray(X), gamma, xi)
+
+    params, ll, n_it = hmm.fit(params0, jnp.asarray(X), n_iter=100)
+    states = np.asarray(hmm.viterbi(params, jnp.asarray(X)))
+    # map state identity by mean ordering
+    hi = int(np.argmax(np.asarray(params.means)[:, 0]))
+    pred = (states == hi).astype(int)
+    accuracy = (pred == true_states).mean()
+    assert accuracy > 0.97, accuracy
+    # means recovered
+    ms = np.sort(np.asarray(params.means)[:, 0])
+    np.testing.assert_allclose(ms, [-4.0, 1.0], atol=0.15)
+
+
+def test_fit_determinism():
+    X, _ = _two_state_data(seed=3)
+    p1, ll1, _ = hmm.fit(hmm.init_params(X, 2, seed=42), jnp.asarray(X))
+    p2, ll2, _ = hmm.fit(hmm.init_params(X, 2, seed=42), jnp.asarray(X))
+    np.testing.assert_array_equal(np.asarray(p1.means), np.asarray(p2.means))
+    assert float(ll1) == float(ll2)
+
+
+def test_fit_early_stops_on_convergence():
+    X, _ = _two_state_data()
+    _, _, n_it = hmm.fit(hmm.init_params(X, 2, seed=42), jnp.asarray(X),
+                         n_iter=100)
+    assert int(n_it) < 100  # converged before the cap on easy data
+
+
+def test_fit_vmappable():
+    Xs = np.stack([_two_state_data(seed=s)[0] for s in range(3)])
+    ps = [hmm.init_params(X, 2, seed=42) for X in Xs]
+    batched = jax.tree.map(lambda *a: jnp.stack(a), *ps)
+    fitv = jax.vmap(lambda p, x: hmm.fit(p, x, n_iter=30)[1])
+    lls = np.asarray(fitv(batched, jnp.asarray(Xs)))
+    for i in range(3):
+        ll_i = float(hmm.fit(ps[i], jnp.asarray(Xs[i]), n_iter=30)[1])
+        np.testing.assert_allclose(lls[i], ll_i, rtol=1e-4)
+
+
+# ---- supervised fit (PlotEngine.py:328-387) --------------------------------
+
+def test_supervised_fit_hand_computed():
+    X = np.array([[0.0, 0.0], [2.0, 0.0], [4.0, 0.0], [6.0, 0.0],
+                  [1.0, 1.0], [0.5, 0.5]], dtype=np.float32)
+    labels = np.array([0, 1, 2, 2, 3, 0])
+    p = hmm.supervised_fit(X, labels, 4)
+    means = np.asarray(p.means)
+    covars = np.asarray(p.covars)
+    # state 0: samples rows 0,5 -> mean (0.25, 0.25), var + 1e-6
+    np.testing.assert_allclose(means[0], [0.25, 0.25], atol=1e-6)
+    np.testing.assert_allclose(covars[0], np.var([[0, 0], [0.5, 0.5]], axis=0) + 1e-6,
+                               rtol=1e-4)
+    # state 1: single sample -> mean = x, var = 1e-6
+    np.testing.assert_allclose(means[1], [2.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(covars[1], [1e-6, 1e-6], rtol=1e-3)
+    # transitions: 0->1, 1->2, 2->2, 2->3, 3->0(forced anyway), 3->0 counted
+    tm = np.asarray(p.transmat)
+    np.testing.assert_allclose(tm[0], [0, 1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(tm[1], [0, 0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(tm[2], [0, 0, 0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(tm[3], [1, 0, 0, 0], atol=1e-6)  # forced 3->0
+    np.testing.assert_allclose(np.asarray(p.startprob), [1, 0, 0, 0], atol=1e-7)
+
+
+def test_supervised_fit_zero_sample_state_and_absorbing_row():
+    X = np.array([[1.0], [2.0], [3.0]], dtype=np.float32)
+    labels = np.array([0, 0, 1])  # states 2,3 unseen; label 1 has no outgoing
+    p = hmm.supervised_fit(X, labels, 4)
+    means = np.asarray(p.means)
+    np.testing.assert_allclose(means[2], [0.0], atol=1e-7)  # default mean 0
+    tm = np.asarray(p.transmat)
+    # state 1 has no outgoing transitions -> self-prob 1
+    np.testing.assert_allclose(tm[1], [0, 1, 0, 0], atol=1e-7)
+    # state 2 unseen -> self-prob 1
+    np.testing.assert_allclose(tm[2], [0, 0, 1, 0], atol=1e-7)
+    # state 3 forced 3->0 even though unseen
+    np.testing.assert_allclose(tm[3], [1, 0, 0, 0], atol=1e-7)
+
+
+# ---- escape-route patch (PlotEngine.py:423-437) ----------------------------
+
+def test_patch_escape_routes():
+    tm = np.array([
+        [0.98, 0.02, 0.0, 0.0],    # baseline row (state 0): untouched
+        [0.0, 0.99, 0.01, 0.0],    # trapped: self 0.99>0.1, to-base 0 -> donate
+        [0.05, 0.0, 0.95, 0.0],    # already has 0.05 to baseline: untouched
+        [0.0, 0.5, 0.45, 0.05],    # self 0.05<0.1: untouched despite no escape
+    ])
+    out = hmm.patch_escape_routes(tm, baseline_state=0)
+    np.testing.assert_allclose(out[0], tm[0])
+    # donation = min(0.99*0.05, 0.05) = 0.0495
+    np.testing.assert_allclose(out[1], [0.0495, 0.9405, 0.01, 0.0], atol=1e-12)
+    np.testing.assert_allclose(out[2], tm[2])
+    np.testing.assert_allclose(out[3], tm[3])
+    # rows still sum to 1
+    np.testing.assert_allclose(out.sum(1), np.ones(4), atol=1e-12)
+
+
+def test_patch_donation_capped_at_005():
+    tm = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = hmm.patch_escape_routes(tm, baseline_state=0)
+    # donation = min(1.0*0.05, 0.05) = 0.05
+    np.testing.assert_allclose(out[1], [0.05, 0.95], atol=1e-12)
+
+
+# ---- kmeans ----------------------------------------------------------------
+
+def test_kmeans_separates_clusters():
+    rng = np.random.RandomState(0)
+    X = np.concatenate([rng.randn(50, 2) * 0.1 + [0, 0],
+                        rng.randn(50, 2) * 0.1 + [5, 5]])
+    c = hmm.kmeans(X, 2, seed=42)
+    c = c[np.argsort(c[:, 0])]
+    np.testing.assert_allclose(c, [[0, 0], [5, 5]], atol=0.15)
+
+
+def test_kmeans_deterministic():
+    rng = np.random.RandomState(1)
+    X = rng.randn(100, 2)
+    np.testing.assert_array_equal(hmm.kmeans(X, 4, seed=42),
+                                  hmm.kmeans(X, 4, seed=42))
