@@ -1,0 +1,166 @@
+"""Sweep registry: the framework's data-management core.
+
+Preserves the reference's de-facto data API — ``SweepManager.data``, a dict
+keyed by display name with schema ``{filepath, sweep_idx, fs, fs_raw, raw,
+processed}`` (SweepManager.py:10, :48-55, :139-146) — including the exact
+``get_signal`` fallback rules (:151-185): requesting the processed signal
+falls back to raw (with fs_raw) when absent; requesting raw uses fs_raw with
+fs as the fallback.
+
+File-type dispatch extends the reference's {.abf, .h5} (:12-19) with .wav and
+.npz for the north-star audio workloads.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SweepEntry:
+    """One sweep's registry record (the reference's per-name dict)."""
+    filepath: str
+    sweep_idx: int
+    fs: float
+    fs_raw: Optional[float]
+    raw: Optional[np.ndarray]
+    processed: Optional[np.ndarray]
+
+    def to_dict(self) -> dict:
+        return {"filepath": self.filepath, "sweep_idx": self.sweep_idx,
+                "fs": self.fs, "fs_raw": self.fs_raw, "raw": self.raw,
+                "processed": self.processed}
+
+
+class SweepRegistry:
+    """In-memory registry of loaded sweeps (reference: SweepManager)."""
+
+    def __init__(self):
+        self.data: Dict[str, SweepEntry] = {}
+
+    # -- loading ------------------------------------------------------------
+
+    def load_file(self, filepath: str) -> List[str]:
+        """Dispatch on extension; returns the display names registered
+        (SweepManager.load_file, :12-19)."""
+        ext = os.path.splitext(filepath)[1].lower()
+        if ext == ".abf":
+            from spectral_tpu.io import abf
+            return abf.load_abf(filepath, self)
+        elif ext in (".h5", ".nix"):
+            from spectral_tpu.io import nix
+            return nix.load_nix_h5(filepath, self)
+        elif ext == ".wav":
+            from spectral_tpu.io import wav
+            return wav.load_wav(filepath, self)
+        elif ext == ".npz":
+            return self._load_npz(filepath)
+        raise ValueError(f"Unsupported file type: {ext}")
+
+    def _load_npz(self, filepath: str) -> List[str]:
+        """npz convenience format: arrays 'raw'/'processed' (1-D or
+        (sweeps, n)), scalar 'fs' (and optional 'fs_raw')."""
+        z = np.load(filepath)
+        if "fs" not in z:
+            raise ValueError("npz file must contain an 'fs' scalar")
+        fs = float(np.asarray(z["fs"]).reshape(-1)[0])
+        fs_raw = float(np.asarray(z["fs_raw"]).reshape(-1)[0]) if "fs_raw" in z else fs
+        raw = z["raw"] if "raw" in z else None
+        proc = z["processed"] if "processed" in z else None
+        src = raw if raw is not None else proc
+        if src is None:
+            raise ValueError("npz file must contain 'raw' or 'processed'")
+        src2 = np.atleast_2d(src)
+        proc2 = np.atleast_2d(proc) if proc is not None else None
+        base = os.path.splitext(os.path.basename(filepath))[0]
+        names = []
+        for i in range(src2.shape[0]):
+            name = f"{base}_sweep{i}"
+            self.register(name, SweepEntry(
+                filepath=filepath, sweep_idx=i, fs=fs, fs_raw=fs_raw,
+                raw=np.asarray(src2[i]) if raw is not None else None,
+                processed=np.asarray(proc2[i]) if proc2 is not None else None))
+            names.append(name)
+        return names
+
+    # -- registry API -------------------------------------------------------
+
+    def register(self, name: str, entry: SweepEntry) -> None:
+        self.data[name] = entry
+
+    def names(self) -> List[str]:
+        return list(self.data.keys())
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.data
+
+    def get_signal(self, display_name: str, processed: bool = False
+                   ) -> Tuple[np.ndarray, float]:
+        """Exact reproduction of SweepManager.get_signal (:151-185)."""
+        if display_name not in self.data:
+            raise KeyError(f"{display_name} not found in registry")
+        e = self.data[display_name]
+
+        if processed:
+            sig = e.processed
+            if sig is None:
+                sig = e.raw
+                if sig is None:
+                    raise KeyError(
+                        f"No 'processed' or 'raw' signal for {display_name}")
+                fs = e.fs_raw if e.fs_raw is not None else e.fs
+            else:
+                fs = e.fs
+            if fs is None:
+                raise KeyError(
+                    f"No sampling rate for processed signal of {display_name}")
+            return sig, fs
+
+        sig = e.raw
+        if sig is None:
+            raise KeyError(f"No 'raw' signal for {display_name}")
+        fs = e.fs_raw if e.fs_raw is not None else e.fs
+        if fs is None:
+            raise KeyError(f"No sampling rate for raw signal of {display_name}")
+        return sig, fs
+
+    # -- combined sweeps (GUI.py:226-276 registers "combine{n}" entries) ----
+
+    def register_combined(self, names: List[str], use_processed: bool = True
+                          ) -> str:
+        """Concatenate the named sweeps and register the result as a new
+        'combineN' entry, mirroring the GUI's persistent-combine flow."""
+        sigs, fss = [], []
+        for n in names:
+            sig, fs = self.get_signal(n, processed=use_processed)
+            sigs.append(np.asarray(sig))
+            fss.append(fs)
+        if len(set(fss)) > 1:
+            raise ValueError(f"Mixed sampling rates: {sorted(set(fss))}")
+        combined = np.concatenate(sigs)
+        idx = 0
+        while f"combine{idx}" in self.data:
+            idx += 1
+        name = f"combine{idx}"
+        self.register(name, SweepEntry(
+            filepath="<combined>", sweep_idx=idx, fs=fss[0], fs_raw=fss[0],
+            raw=None if use_processed else combined,
+            processed=combined if use_processed else None))
+        return name
+
+
+# The reference parses sweep indices out of display names with this pattern
+# (ExportManager.py:61-63); kept as a module helper.
+_SWEEP_RE = re.compile(r"_sweep(\d+)$")
+
+
+def split_display_name(name: str) -> Tuple[str, Optional[str]]:
+    """'{base}_sweep{i}' -> (base, 'i'); no match -> (name, None)."""
+    base = _SWEEP_RE.sub("", os.path.basename(name))
+    m = _SWEEP_RE.search(name)
+    return base, (m.group(1) if m else None)

@@ -1,0 +1,108 @@
+"""WAV loading (stdlib-only).
+
+The reference loads only ABF and NIX-HDF5 (SweepManager.py:12-19); the
+north-star workloads (BASELINE.json configs 1, 2, 5) are WAV audio clips, so a
+zero-dependency RIFF/WAVE reader is part of the IO layer. Supports PCM 8/16/
+24/32-bit and IEEE float32/64, mono or multi-channel.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+
+def read_wav(filepath: str) -> Tuple[np.ndarray, float]:
+    """Read a WAV file -> (float32 array (n,) or (n, ch) in [-1, 1], fs)."""
+    with open(filepath, "rb") as fh:
+        riff, _size, wave = struct.unpack("<4sI4s", fh.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"{filepath}: not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                break
+            tag, sz = struct.unpack("<4sI", hdr)
+            payload = fh.read(sz)
+            if sz % 2:  # chunks are word-aligned
+                fh.read(1)
+            if tag == b"fmt ":
+                fmt = payload
+            elif tag == b"data":
+                data = payload
+        if fmt is None or data is None:
+            raise ValueError(f"{filepath}: missing fmt/data chunk")
+
+    (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        audio_fmt = struct.unpack("<H", fmt[24:26])[0]
+
+    if audio_fmt == 1:  # PCM
+        if bits == 8:
+            x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            as32 = (raw[:, 0].astype(np.int32)
+                    | (raw[:, 1].astype(np.int32) << 8)
+                    | (raw[:, 2].astype(np.int32) << 16))
+            as32 = np.where(as32 >= 1 << 23, as32 - (1 << 24), as32)
+            x = as32.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth: {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, "<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(data, "<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth: {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format code: {audio_fmt}")
+
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch)
+    return x, float(fs)
+
+
+def write_wav(filepath: str, x: np.ndarray, fs: float, bits: int = 16) -> None:
+    """Write float [-1, 1] (n,) or (n, ch) to 16-bit PCM (test fixture aid)."""
+    x = np.asarray(x)
+    n_ch = 1 if x.ndim == 1 else x.shape[1]
+    if bits != 16:
+        raise ValueError("only 16-bit PCM writing is supported")
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    payload = pcm.tobytes()
+    with open(filepath, "wb") as fh:
+        fh.write(struct.pack("<4sI4s", b"RIFF", 36 + len(payload), b"WAVE"))
+        fh.write(struct.pack("<4sI", b"fmt ", 16))
+        fh.write(struct.pack("<HHIIHH", 1, n_ch, int(fs),
+                             int(fs) * n_ch * 2, n_ch * 2, 16))
+        fh.write(struct.pack("<4sI", b"data", len(payload)))
+        fh.write(payload)
+
+
+def load_wav(filepath: str, registry) -> List[str]:
+    """Register a WAV file: one display name per channel for multi-channel
+    files ('{base}_sweep{ch}'), matching the registry's sweep convention."""
+    from spectral_tpu.io.registry import SweepEntry
+    x, fs = read_wav(filepath)
+    base = os.path.splitext(os.path.basename(filepath))[0]
+    chans = x[:, None] if x.ndim == 1 else x
+    names = []
+    for ch in range(chans.shape[1]):
+        name = f"{base}_sweep{ch}"
+        registry.register(name, SweepEntry(
+            filepath=filepath, sweep_idx=ch, fs=fs, fs_raw=fs,
+            raw=np.ascontiguousarray(chans[:, ch]), processed=None))
+        names.append(name)
+    return names

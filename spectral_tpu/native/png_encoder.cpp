@@ -1,0 +1,104 @@
+// Native PNG encoder (zlib-backed).
+//
+// The reference's export hot loop is matplotlib savefig at dpi=3000
+// (ExportManager.py:108,184; ~12 s/figure). In this framework pixels arrive
+// ready-made from the device, so export cost is pure PNG encoding; this
+// encoder avoids Python-level overhead and lets callers trade compression
+// level for speed.
+//
+// Scanline filtering: filter 0 (None) for speed at low levels, per-row Sub
+// filter at higher levels (cheap and effective on smooth colormap images).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+inline void put_be32(std::vector<uint8_t>& out, uint32_t v) {
+  out.push_back((v >> 24) & 0xFF);
+  out.push_back((v >> 16) & 0xFF);
+  out.push_back((v >> 8) & 0xFF);
+  out.push_back(v & 0xFF);
+}
+
+void put_chunk(std::vector<uint8_t>& out, const char tag[4],
+               const uint8_t* payload, size_t n) {
+  put_be32(out, static_cast<uint32_t>(n));
+  size_t tag_pos = out.size();
+  out.insert(out.end(), tag, tag + 4);
+  out.insert(out.end(), payload, payload + n);
+  uint32_t crc = crc32(0L, Z_NULL, 0);
+  crc = crc32(crc, out.data() + tag_pos, static_cast<uInt>(4 + n));
+  put_be32(out, crc);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode H x W x C (C in {1,3,4}) 8-bit pixels into a PNG in `out`.
+// Returns bytes written, or -1 (bad args) / -2 (out too small) / -3 (zlib).
+long png_encode(const uint8_t* pixels, int h, int w, int c, int level,
+                uint8_t* out, long out_cap) {
+  if (!pixels || !out || h <= 0 || w <= 0 || (c != 1 && c != 3 && c != 4))
+    return -1;
+  if (level < 0) level = 0;
+  if (level > 9) level = 9;
+
+  const size_t stride = static_cast<size_t>(w) * c;
+  const size_t raw_len = static_cast<size_t>(h) * (stride + 1);
+  std::vector<uint8_t> raw(raw_len);
+
+  const bool use_sub = level >= 4;
+  for (int y = 0; y < h; ++y) {
+    uint8_t* row_out = raw.data() + static_cast<size_t>(y) * (stride + 1);
+    const uint8_t* row_in = pixels + static_cast<size_t>(y) * stride;
+    if (use_sub) {
+      row_out[0] = 1;  // Sub filter
+      for (size_t i = 0; i < stride; ++i) {
+        uint8_t left = (i >= static_cast<size_t>(c)) ? row_in[i - c] : 0;
+        row_out[1 + i] = static_cast<uint8_t>(row_in[i] - left);
+      }
+    } else {
+      row_out[0] = 0;  // None filter
+      std::memcpy(row_out + 1, row_in, stride);
+    }
+  }
+
+  uLongf comp_cap = compressBound(static_cast<uLong>(raw_len));
+  std::vector<uint8_t> comp(comp_cap);
+  if (compress2(comp.data(), &comp_cap, raw.data(),
+                static_cast<uLong>(raw_len), level) != Z_OK)
+    return -3;
+
+  std::vector<uint8_t> png;
+  png.reserve(comp_cap + 128);
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'};
+  png.insert(png.end(), sig, sig + 8);
+
+  uint8_t ihdr[13];
+  ihdr[0] = (w >> 24) & 0xFF; ihdr[1] = (w >> 16) & 0xFF;
+  ihdr[2] = (w >> 8) & 0xFF;  ihdr[3] = w & 0xFF;
+  ihdr[4] = (h >> 24) & 0xFF; ihdr[5] = (h >> 16) & 0xFF;
+  ihdr[6] = (h >> 8) & 0xFF;  ihdr[7] = h & 0xFF;
+  ihdr[8] = 8;  // bit depth
+  ihdr[9] = (c == 1) ? 0 : (c == 3) ? 2 : 6;  // color type
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  put_chunk(png, "IHDR", ihdr, 13);
+  put_chunk(png, "IDAT", comp.data(), comp_cap);
+  put_chunk(png, "IEND", nullptr, 0);
+
+  if (static_cast<long>(png.size()) > out_cap) return -2;
+  std::memcpy(out, png.data(), png.size());
+  return static_cast<long>(png.size());
+}
+
+// Upper bound on encoded size for buffer allocation.
+long png_encode_bound(int h, int w, int c) {
+  size_t raw_len = static_cast<size_t>(h) * (static_cast<size_t>(w) * c + 1);
+  return static_cast<long>(compressBound(static_cast<uLong>(raw_len))) + 256;
+}
+
+}  // extern "C"

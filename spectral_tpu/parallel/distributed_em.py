@@ -1,0 +1,92 @@
+"""Data-parallel HMM training over a device mesh.
+
+The reference trains its HMM on one sequence in-process (PlotEngine.py:420).
+At fleet scale the natural extension is EM over a *batch* of sequences with
+the E-step sharded across chips: every chip computes sufficient statistics
+for its shard of sequences, the statistics are summed with an ICI all-reduce
+(psum via jnp sums over a sharded batch under jit), and the M-step runs on
+the combined statistics — one global model per EM iteration, mathematically
+identical to single-chip EM over the concatenated batch.
+
+This is the framework's multi-chip "training step" (exercised by
+__graft_entry__.dryrun_multichip on a virtual mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spectral_tpu.models import hmm
+
+Array = jax.Array
+
+
+def _batch_e_step(params: hmm.HMMParams, Xb: Array):
+    """Per-sequence E-step over (B, T, D); returns summed sufficient stats."""
+    def one(X):
+        gamma, xi_sum, ll = hmm._e_step(params, X)
+        return (gamma[0], xi_sum, jnp.sum(gamma, axis=0),
+                gamma.T @ X, gamma.T @ (X * X), ll)
+
+    g0, xi, denom, obs, obs2, ll = jax.vmap(one)(Xb)
+    # sums over the (sharded) batch dim -> XLA inserts the all-reduce
+    return (jnp.sum(g0, 0), jnp.sum(xi, 0), jnp.sum(denom, 0),
+            jnp.sum(obs, 0), jnp.sum(obs2, 0), jnp.sum(ll))
+
+
+def em_step(params: hmm.HMMParams, Xb: Array,
+            covars_prior: float = hmm.COVARS_PRIOR,
+            min_covar: float = hmm.MIN_COVAR
+            ) -> Tuple[hmm.HMMParams, Array]:
+    """One global EM step on a (sharded) batch (B, T, D).
+
+    Returns (new_params, total log-likelihood). Jit this with the batch
+    sharded over the mesh's 'data' axis; parameters replicate.
+    """
+    g0, xi_sum, denom, obs, obs2, total_ll = _batch_e_step(params, Xb)
+
+    start_new = g0 / jnp.maximum(jnp.sum(g0), 1e-30)
+    row = jnp.sum(xi_sum, axis=1, keepdims=True)
+    trans_new = jnp.where(row > 0, xi_sum / jnp.maximum(row, 1e-30),
+                          params.transmat)
+    d = jnp.maximum(denom, 1e-30)[:, None]
+    means_new = jnp.where(denom[:, None] > 0, obs / d, params.means)
+    num = obs2 - 2.0 * means_new * obs + means_new ** 2 * denom[:, None]
+    covars_new = (covars_prior + num) / jnp.maximum(denom[:, None], 1e-5)
+    covars_new = jnp.maximum(covars_new, min_covar)
+    return hmm.HMMParams(start_new, trans_new, means_new, covars_new), total_ll
+
+
+def make_sharded_em_step(mesh: Mesh, batch_axis: str = "data"):
+    """jit em_step with the batch sharded and the model replicated."""
+    data_sh = NamedSharding(mesh, P(batch_axis))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        em_step,
+        in_shardings=(rep, data_sh),
+        out_shardings=(rep, rep),
+    )
+
+
+def fit_sharded(params0: hmm.HMMParams, Xb: Array, mesh: Mesh,
+                n_iter: int = 100, tol: float = hmm.DEFAULT_TOL,
+                batch_axis: str = "data") -> Tuple[hmm.HMMParams, float, int]:
+    """Full data-parallel EM fit (host loop over jitted global steps)."""
+    step = make_sharded_em_step(mesh, batch_axis)
+    Xb = jax.device_put(Xb, NamedSharding(mesh, P(batch_axis)))
+    params = jax.device_put(params0, NamedSharding(mesh, P()))
+    prev = -float("inf")
+    ll = prev
+    it = 0
+    for it in range(1, n_iter + 1):
+        params, ll_arr = step(params, Xb)
+        ll = float(ll_arr)
+        if ll - prev < tol and it > 1:
+            break
+        prev = ll
+    return params, ll, it

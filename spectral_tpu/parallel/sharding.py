@@ -1,0 +1,82 @@
+"""Sharded batch pipelines (pjit / NamedSharding).
+
+The throughput workloads (BASELINE.json config 5: 10k clips end-to-end across
+a v5e-8) are embarrassingly parallel over clips: shard the batch dimension
+over the 'data' mesh axis and let every chip run the fused
+STFT -> scale -> colormap pipeline on its shard. The only cross-chip
+communication is the optional shared normalization maximum (the reference's
+``global_max`` parameter, PlotEngine.py:78,110,126), which XLA lowers to an
+ICI all-reduce when requested.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core.scale import normalize
+from spectral_tpu.core.stft import power_spectrogram
+from spectral_tpu.core.mel import mel_filterbank
+from spectral_tpu.ops.colormap import apply_colormap_packed
+
+Array = jax.Array
+
+
+def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
+                           use_matmul: bool = True,
+                           colormap: Optional[str] = "jet",
+                           share_max: bool = False):
+    """Build the per-shard batch pipeline (B, n) -> dict of outputs.
+
+    Returns a plain jax-traceable function; wrap with jit/pjit via
+    :func:`shard_pipeline` or call directly under vmap.
+    """
+    n_mels = cfg.n_mels
+
+    def fn(xb: Array):
+        psd = power_spectrogram(xb, fs, cfg, use_matmul=use_matmul)  # (B,T,F)
+        out = {"psd": psd}
+        if n_mels:
+            fb = mel_filterbank(n_mels, psd.shape[-1], fs, cfg.mel_fmin,
+                                cfg.mel_fmax, cfg.mel_htk)
+            out["mel"] = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype))
+        base = out["mel"] if n_mels else psd
+        img_src = jnp.swapaxes(base, -1, -2)  # freq-major images
+        if share_max:
+            gm = jnp.max(img_src)  # global across the sharded batch => psum
+            img = jax.vmap(lambda s: normalize(s, cfg.log_scale, gm))(img_src)
+        else:
+            img = jax.vmap(lambda s: normalize(s, cfg.log_scale, None))(img_src)
+        out["image"] = img
+        if colormap:
+            out["rgb_packed"] = apply_colormap_packed(img, colormap,
+                                                      flip_rows=True)
+        return out
+
+    return fn
+
+
+def shard_pipeline(mesh: Mesh, fs: float, cfg: SpecConfig, *,
+                   use_matmul: bool = True,
+                   colormap: Optional[str] = "jet",
+                   share_max: bool = False,
+                   batch_axis: str = "data"):
+    """jit the batch pipeline with the batch dim sharded over `batch_axis`.
+
+    The batch size must be divisible by the mesh axis size.
+    """
+    fn = batched_spectrogram_fn(fs, cfg, use_matmul=use_matmul,
+                                colormap=colormap, share_max=share_max)
+    in_sh = NamedSharding(mesh, P(batch_axis))
+    out_sh = NamedSharding(mesh, P(batch_axis))
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+
+
+def global_max_psd(psd_sharded: Array) -> Array:
+    """Shared normalization base across a sharded batch (ICI all-reduce)."""
+    return jnp.max(psd_sharded)

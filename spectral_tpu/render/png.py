@@ -1,0 +1,108 @@
+"""PNG encoding.
+
+The reference's export path is matplotlib ``savefig(dpi=3000,
+transparent=True)`` (ExportManager.py:108,184), measured at ~12 s and ~2 MB
+per figure — the dominant cost of its export workloads (SURVEY.md §6). Here
+pixels come straight from the device (colormap gather) and only need PNG
+encoding on host. Three backends, fastest available wins:
+
+  1. native C++ encoder (zlib), built from spectral_tpu/native — see
+     :mod:`spectral_tpu.native.build`;
+  2. PIL (if installed);
+  3. pure-Python stdlib-zlib fallback (always available).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+_native = None
+_native_checked = False
+
+
+def _get_native():
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from spectral_tpu.native import png_native
+            _native = png_native if png_native.available() else None
+        except Exception:
+            _native = None
+    return _native
+
+
+def _normalize_array(arr: np.ndarray) -> np.ndarray:
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype != np.uint8:
+        raise TypeError(f"expected uint8 pixels, got {arr.dtype}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected (H, W, {{1,3,4}}) image, got {arr.shape}")
+    return arr
+
+
+def encode_png_pure(arr: np.ndarray, compress_level: int = 6) -> bytes:
+    """Stdlib-only PNG encoder (filter 0 scanlines + one zlib stream)."""
+    arr = _normalize_array(arr)
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 per scanline
+    raw = np.concatenate([np.zeros((h, 1), np.uint8),
+                          arr.reshape(h, w * c)], axis=1).tobytes()
+    idat = zlib.compress(raw, compress_level)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def encode_png(arr, path: Optional[str] = None, compress_level: int = 6
+               ) -> Optional[bytes]:
+    """Encode uint8 (H, W[, C]) pixels to PNG. Writes to ``path`` if given,
+    else returns the bytes. Uses the fastest available backend."""
+    arr = _normalize_array(np.asarray(arr))
+
+    native = _get_native()
+    if native is not None:
+        data = native.encode(arr, compress_level)
+    else:
+        try:
+            import io
+            from PIL import Image
+            mode = {1: "L", 3: "RGB", 4: "RGBA"}[arr.shape[2]]
+            img = Image.fromarray(arr.squeeze() if mode == "L" else arr, mode)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG", compress_level=compress_level)
+            data = buf.getvalue()
+        except ImportError:
+            data = encode_png_pure(arr, compress_level)
+
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return None
+    return data
+
+
+def decode_png(path_or_bytes) -> np.ndarray:
+    """Decode a PNG back to a uint8 array (test/round-trip helper)."""
+    try:
+        import io
+        from PIL import Image
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            img = Image.open(io.BytesIO(path_or_bytes))
+        else:
+            img = Image.open(path_or_bytes)
+        return np.asarray(img)
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("PNG decoding requires PIL") from e

@@ -1,0 +1,219 @@
+"""IO-layer tests: registry semantics, WAV/NIX/ABF/NPZ loaders."""
+
+import numpy as np
+import pytest
+
+from spectral_tpu.io.registry import SweepRegistry, SweepEntry, split_display_name
+from spectral_tpu.io import wav as wav_mod
+from spectral_tpu.io import nix as nix_mod
+from spectral_tpu.io import abf as abf_mod
+
+
+# ---- registry / get_signal fallback rules (SweepManager.py:151-185) --------
+
+def _entry(**kw):
+    base = dict(filepath="f", sweep_idx=0, fs=1000.0, fs_raw=500.0,
+                raw=np.arange(5.0), processed=np.arange(3.0))
+    base.update(kw)
+    return SweepEntry(**base)
+
+
+def test_get_signal_processed_standard():
+    r = SweepRegistry()
+    r.register("a_sweep0", _entry())
+    sig, fs = r.get_signal("a_sweep0", processed=True)
+    assert fs == 1000.0 and len(sig) == 3
+
+
+def test_get_signal_processed_fallback_to_raw_uses_fs_raw():
+    r = SweepRegistry()
+    r.register("a_sweep0", _entry(processed=None))
+    sig, fs = r.get_signal("a_sweep0", processed=True)
+    assert fs == 500.0 and len(sig) == 5
+
+
+def test_get_signal_raw_prefers_fs_raw_with_fs_fallback():
+    r = SweepRegistry()
+    r.register("a_sweep0", _entry())
+    _, fs = r.get_signal("a_sweep0", processed=False)
+    assert fs == 500.0
+    r.register("b_sweep0", _entry(fs_raw=None))
+    _, fs = r.get_signal("b_sweep0", processed=False)
+    assert fs == 1000.0
+
+
+def test_get_signal_missing_raises():
+    r = SweepRegistry()
+    with pytest.raises(KeyError, match="not found"):
+        r.get_signal("nope")
+    r.register("x", _entry(raw=None, processed=None))
+    with pytest.raises(KeyError, match="No 'processed' or 'raw'"):
+        r.get_signal("x", processed=True)
+    with pytest.raises(KeyError, match="No 'raw'"):
+        r.get_signal("x", processed=False)
+
+
+def test_register_combined():
+    r = SweepRegistry()
+    r.register("a_sweep0", _entry(raw=np.ones(4), processed=np.ones(4) * 2,
+                                  fs=100.0, fs_raw=100.0))
+    r.register("a_sweep1", _entry(raw=np.ones(6), processed=np.ones(6) * 2,
+                                  fs=100.0, fs_raw=100.0))
+    name = r.register_combined(["a_sweep0", "a_sweep1"], use_processed=True)
+    assert name == "combine0"
+    sig, fs = r.get_signal(name, processed=True)
+    assert len(sig) == 10 and fs == 100.0 and (sig == 2).all()
+    # mixed rates rejected (GUI.py:416-418 semantics)
+    r.register("b_sweep0", _entry(fs=200.0, fs_raw=200.0))
+    with pytest.raises(ValueError, match="Mixed sampling rates"):
+        r.register_combined(["a_sweep0", "b_sweep0"])
+
+
+def test_split_display_name():
+    assert split_display_name("rec_sweep12") == ("rec", "12")
+    assert split_display_name("plain") == ("plain", None)
+
+
+def test_unsupported_extension():
+    with pytest.raises(ValueError, match="Unsupported file type"):
+        SweepRegistry().load_file("x.xyz")
+
+
+# ---- WAV -------------------------------------------------------------------
+
+def test_wav_roundtrip_mono(tmp_path):
+    fs = 16000.0
+    x = (np.sin(2 * np.pi * 440 * np.arange(1600) / fs) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    wav_mod.write_wav(p, x, fs)
+    y, fs2 = wav_mod.read_wav(p)
+    assert fs2 == fs and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32767)
+
+
+def test_wav_stereo_registers_two_sweeps(tmp_path):
+    fs = 8000.0
+    x = np.stack([np.ones(100) * 0.25, -np.ones(100) * 0.25], axis=1)
+    p = str(tmp_path / "st.wav")
+    wav_mod.write_wav(p, x, fs)
+    r = SweepRegistry()
+    names = r.load_file(p)
+    assert names == ["st_sweep0", "st_sweep1"]
+    s0, f0 = r.get_signal("st_sweep0")
+    s1, _ = r.get_signal("st_sweep1")
+    assert f0 == fs
+    np.testing.assert_allclose(s0, 0.25, atol=1e-3)
+    np.testing.assert_allclose(s1, -0.25, atol=1e-3)
+
+
+def test_wav_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.wav")
+    with open(p, "wb") as fh:
+        fh.write(b"not a wav file at all")
+    with pytest.raises(ValueError, match="not a RIFF"):
+        wav_mod.read_wav(p)
+
+
+# ---- NIX HDF5 --------------------------------------------------------------
+
+def test_nix_roundtrip_name_matching(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    p = str(tmp_path / "rec.h5")
+    segs = [
+        {"raw_ch0": np.arange(10.0), "proc_ch0": np.arange(10.0) * 2},
+        {"only_raw": np.ones(5)},          # 'raw' in name -> raw, cross-fill
+        {"mystery": np.ones(7) * 3},        # no raw/proc -> first as processed
+    ]
+    nix_mod.write_nix_fixture(p, segs, fs=250.0)
+    r = SweepRegistry()
+    names = r.load_file(p)
+    assert names == ["rec_sweep0", "rec_sweep1", "rec_sweep2"]
+
+    sig, fs = r.get_signal("rec_sweep0", processed=True)
+    assert fs == 250.0
+    np.testing.assert_array_equal(sig, np.arange(10.0) * 2)
+    sig, _ = r.get_signal("rec_sweep0", processed=False)
+    np.testing.assert_array_equal(sig, np.arange(10.0))
+
+    # sweep1: raw-only -> processed cross-filled from raw
+    sig, _ = r.get_signal("rec_sweep1", processed=True)
+    np.testing.assert_array_equal(sig, np.ones(5))
+
+    # sweep2: fallback signal registered as processed AND raw
+    sig, _ = r.get_signal("rec_sweep2", processed=False)
+    np.testing.assert_array_equal(sig, np.ones(7) * 3)
+
+
+def test_generic_h5_fallback(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    p = str(tmp_path / "plain.h5")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("session1")
+        d = g.create_dataset("raw_lfp", data=np.arange(20.0))
+        d.attrs["fs"] = 2000.0
+    r = SweepRegistry()
+    names = r.load_file(p)
+    assert len(names) == 1
+    sig, fs = r.get_signal(names[0])
+    assert fs == 2000.0 and len(sig) == 20
+
+
+# ---- ABF -------------------------------------------------------------------
+
+def test_abf2_fixture_roundtrip(tmp_path):
+    fs = 10000.0
+    rng = np.random.RandomState(0)
+    sweeps = rng.randn(3, 1000) * 2.0
+    p = str(tmp_path / "rec.abf")
+    abf_mod.write_abf2_fixture(p, sweeps, fs)
+
+    info = abf_mod.AbfInfo(p)
+    assert info.n_sweeps == 3 and info.n_channels == 1
+    np.testing.assert_allclose(info.data_rate, fs, rtol=1e-6)
+    for i in range(3):
+        np.testing.assert_allclose(info.sweep(i, 0), sweeps[i], atol=1e-3)
+
+
+def test_abf_loader_channel_heuristic(tmp_path):
+    # channel 0 all zero, channel 1 carries signal -> loader picks channel 1
+    fs = 5000.0
+    n = 500
+    sig = np.sin(np.linspace(0, 10, n))
+    inter = np.zeros((1, 2 * n))
+    inter[0, 1::2] = sig  # interleaved: ch0 zero, ch1 = sig
+    p = str(tmp_path / "two.abf")
+    abf_mod.write_abf2_fixture(p, inter, fs, n_channels=2)
+
+    r = SweepRegistry()
+    names = r.load_file(p)
+    assert names == ["two_sweep0"]
+    out, fs2 = r.get_signal("two_sweep0")
+    np.testing.assert_allclose(fs2, fs, rtol=1e-6)
+    np.testing.assert_allclose(out, sig, atol=1e-3)
+
+
+def test_abf_rejects_non_abf(tmp_path):
+    p = str(tmp_path / "no.abf")
+    with open(p, "wb") as fh:
+        fh.write(b"JUNKJUNKJUNK" * 100)
+    with pytest.raises(ValueError, match="not an ABF"):
+        abf_mod.AbfInfo(p)
+
+
+# ---- NPZ -------------------------------------------------------------------
+
+def test_npz_loader(tmp_path):
+    p = str(tmp_path / "d.npz")
+    np.savez(p, raw=np.ones((2, 50)), processed=np.zeros((2, 50)), fs=123.0)
+    r = SweepRegistry()
+    names = r.load_file(p)
+    assert names == ["d_sweep0", "d_sweep1"]
+    sig, fs = r.get_signal("d_sweep1", processed=True)
+    assert fs == 123.0 and (sig == 0).all()
+
+
+def test_npz_requires_fs(tmp_path):
+    p = str(tmp_path / "nofs.npz")
+    np.savez(p, raw=np.ones(10))
+    with pytest.raises(ValueError, match="'fs'"):
+        SweepRegistry().load_file(p)

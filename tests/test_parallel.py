@@ -1,0 +1,180 @@
+"""Parallel-layer tests on the 8-device virtual CPU mesh: sharded batch
+pipeline, shared-max collective, streaming STFT equivalence, distributed EM."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core.stft import power_spectrogram, num_frames
+from spectral_tpu.parallel.mesh import make_mesh, batch_sharding
+from spectral_tpu.parallel.sharding import shard_pipeline, batched_spectrogram_fn
+from spectral_tpu.parallel.streaming import (StreamingSTFT, stream_spectrogram,
+                                             carry_len, iter_stream)
+from spectral_tpu.parallel import distributed_em
+from spectral_tpu.models import hmm
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_pipeline_matches_single_device():
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128, log_scale=True)
+    rng = np.random.RandomState(0)
+    xb = rng.randn(8, 16000).astype(np.float32)
+
+    mesh = make_mesh()
+    fn = shard_pipeline(mesh, fs, cfg, use_matmul=True, colormap="jet")
+    out = fn(jnp.asarray(xb))
+    # compare against the unsharded pipeline
+    ref_fn = batched_spectrogram_fn(fs, cfg, use_matmul=True, colormap="jet")
+    ref = ref_fn(jnp.asarray(xb))
+    np.testing.assert_allclose(np.asarray(out["psd"]), np.asarray(ref["psd"]),
+                               rtol=1e-5, atol=1e-12)
+    # different fusion orders perturb the float image at ~1e-7, which can
+    # push isolated pixels into an adjacent 1/256 LUT bin: require byte-exact
+    # agreement for >99.9% of pixels
+    a = np.asarray(out["rgb_packed"]).ravel()
+    b = np.asarray(ref["rgb_packed"]).ravel()
+    assert (a != b).mean() < 1e-3
+    # outputs are actually sharded over the batch
+    assert len(out["psd"].sharding.device_set) == 8
+
+
+def test_shared_max_collective():
+    fs = 8000.0
+    cfg = SpecConfig.north_star(256, 64)
+    rng = np.random.RandomState(1)
+    xb = rng.randn(8, 4096).astype(np.float32)
+    xb[5] *= 50.0  # one loud clip on one shard dominates the global max
+
+    mesh = make_mesh()
+    fn = shard_pipeline(mesh, fs, cfg, share_max=True, colormap=None)
+    out = fn(jnp.asarray(xb))
+    psd = np.asarray(out["psd"])
+    img = np.asarray(out["image"])
+    gm = psd.max()
+    for b in range(8):
+        ref = np.clip(psd[b].T / (gm + 1e-20), 0, 1)
+        np.testing.assert_allclose(img[b], ref, atol=1e-6)
+    # quiet clips normalized against the loud one's max -> far below 1
+    assert img[0].max() < 0.5 and abs(img[5].max() - 1.0) < 1e-6
+
+
+def test_mel_in_pipeline():
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128, n_mels=64)
+    xb = np.random.RandomState(2).randn(8, 8192).astype(np.float32)
+    mesh = make_mesh()
+    fn = shard_pipeline(mesh, fs, cfg)
+    out = fn(jnp.asarray(xb))
+    T = num_frames(8192, 512, 128)
+    assert out["mel"].shape == (8, T, 64)
+    assert out["image"].shape == (8, 64, T)
+
+
+# ---- streaming -------------------------------------------------------------
+
+@pytest.mark.parametrize("cfg,chunk", [
+    (SpecConfig.north_star(1024, 256), 4096),
+    (SpecConfig.scipy_default(1024), 8960),      # hop 896 (gcd path)
+    (SpecConfig.north_star(256, 64), 1024),
+])
+def test_streaming_equals_monolithic(cfg, chunk):
+    rng = np.random.RandomState(0)
+    n = 50000
+    x = rng.randn(n).astype(np.float32)
+    fs = 16000.0
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+    out = np.asarray(stream_spectrogram(x, fs, cfg, chunk))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-9)
+
+
+def test_streaming_random_lengths():
+    cfg = SpecConfig.north_star(512, 128)
+    fs = 1000.0
+    for n in (512, 513, 5000, 12345):
+        x = np.random.RandomState(n).randn(n).astype(np.float32)
+        ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+        out = np.asarray(stream_spectrogram(x, fs, cfg, 1024))
+        assert out.shape == ref.shape, n
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-9)
+
+
+def test_streaming_validates_chunk_size():
+    cfg = SpecConfig.north_star(1024, 256)
+    with pytest.raises(ValueError, match="multiple of hop"):
+        StreamingSTFT(1000.0, cfg, 1000)
+    with pytest.raises(ValueError, match=">= nperseg"):
+        StreamingSTFT(1000.0, cfg, 512)
+    s = StreamingSTFT(1000.0, cfg, 2048)
+    with pytest.raises(ValueError, match="expected chunk"):
+        s.process(jnp.zeros(100))
+
+
+def test_carry_len_covers_scipy_hop():
+    # nperseg 1024 hop 896: carry must be a hop multiple >= 128
+    assert carry_len(SpecConfig.scipy_default(1024)) == 896
+    assert carry_len(SpecConfig.north_star(1024, 256)) == 768
+
+
+def test_iter_stream_indices():
+    cfg = SpecConfig.north_star(256, 64)
+    fs = 1000.0
+    x = np.random.RandomState(3).randn(4096).astype(np.float32)
+    blocks = list(iter_stream(iter([x[:1024], x[1024:2048], x[2048:3072],
+                                    x[3072:]]), fs, cfg, 1024))
+    # indices are contiguous and start at 0
+    idx = 0
+    for psd, first in blocks:
+        assert first == idx
+        idx += psd.shape[0]
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+    cat = np.concatenate([b for b, _ in blocks])[:ref.shape[0]]
+    np.testing.assert_allclose(cat, ref, rtol=1e-4, atol=1e-9)
+
+
+# ---- distributed EM --------------------------------------------------------
+
+def _batch_sequences(B=8, T=200, seed=0):
+    rng = np.random.RandomState(seed)
+    Xs = []
+    for b in range(B):
+        states = (rng.rand(T) < 0.3).astype(int)
+        means = np.array([[-3.0, 0.0], [1.5, 0.5]])
+        Xs.append(means[states] + 0.2 * rng.randn(T, 2))
+    return np.asarray(Xs, np.float32)
+
+
+def test_distributed_em_matches_serial():
+    Xb = _batch_sequences()
+    p0 = hmm.init_params(Xb.reshape(-1, 2), 2, seed=42)
+    mesh = make_mesh()
+    params_d, ll_d, _ = distributed_em.fit_sharded(p0, jnp.asarray(Xb), mesh,
+                                                   n_iter=10, tol=-1.0)
+    # serial: same global EM step without sharding
+    params_s = p0
+    for _ in range(10):
+        params_s, ll_s = distributed_em.em_step(params_s, jnp.asarray(Xb))
+    np.testing.assert_allclose(np.asarray(params_d.means),
+                               np.asarray(params_s.means), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(ll_d, float(ll_s), rtol=1e-4)
+
+
+def test_distributed_em_loglik_increases():
+    Xb = _batch_sequences(seed=1)
+    p0 = hmm.init_params(Xb.reshape(-1, 2), 2, seed=42)
+    mesh = make_mesh()
+    step = distributed_em.make_sharded_em_step(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    Xs = jax.device_put(jnp.asarray(Xb), NamedSharding(mesh, P("data")))
+    params = p0
+    lls = []
+    for _ in range(8):
+        params, ll = step(params, Xs)
+        lls.append(float(ll))
+    assert all(b >= a - 1e-2 for a, b in zip(lls, lls[1:])), lls

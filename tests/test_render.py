@@ -1,0 +1,176 @@
+"""Render-layer tests: LUT pixel parity vs matplotlib, colormap gather,
+PNG round trips (all three encoders), waveform rasterizer."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from spectral_tpu.render.lut import get_lut, get_lut_f32, available_colormaps
+from spectral_tpu.render import png as png_mod
+from spectral_tpu.render.waveform import waveform_image, waveform_rgba
+from spectral_tpu.ops.colormap import apply_colormap, apply_colormap_rgba
+
+
+# ---- LUT parity (SURVEY.md §7 hard-part 5) ---------------------------------
+
+def test_jet_lut_matches_matplotlib_bytes():
+    matplotlib = pytest.importorskip("matplotlib")
+    ref = matplotlib.colormaps["jet"](np.linspace(0, 1, 256), bytes=True)
+    lut = get_lut("jet")
+    np.testing.assert_array_equal(lut, ref[:, :3])
+
+
+def test_gray_and_hot_luts_match_matplotlib():
+    matplotlib = pytest.importorskip("matplotlib")
+    for name in ("gray", "hot"):
+        ref = matplotlib.colormaps[name](np.linspace(0, 1, 256), bytes=True)
+        np.testing.assert_array_equal(get_lut(name), ref[:, :3])
+
+
+def test_unknown_colormap_raises():
+    with pytest.raises(ValueError, match="unknown colormap"):
+        get_lut("plasma9000")
+    assert "jet" in available_colormaps()
+
+
+def test_lut_f32_range():
+    lut = get_lut_f32("jet")
+    assert lut.dtype == np.float32
+    assert lut.min() >= 0.0 and lut.max() <= 1.0
+
+
+# ---- colormap gather -------------------------------------------------------
+
+def test_apply_colormap_index_mapping_matches_matplotlib():
+    matplotlib = pytest.importorskip("matplotlib")
+    jet = matplotlib.colormaps["jet"]
+    img = np.linspace(0, 1, 101).reshape(1, 101).astype(np.float32)
+    ref = jet(img, bytes=True)[..., :3]
+    ours = np.asarray(apply_colormap(jnp.asarray(img)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_apply_colormap_shapes_and_flip():
+    img = jnp.asarray(np.random.RandomState(0).rand(8, 5).astype(np.float32))
+    rgb = np.asarray(apply_colormap(img))
+    assert rgb.shape == (8, 5, 3) and rgb.dtype == np.uint8
+    flipped = np.asarray(apply_colormap(img, flip_rows=True))
+    np.testing.assert_array_equal(flipped, rgb[::-1])
+    # batched
+    b = jnp.stack([img, img])
+    rgbb = np.asarray(apply_colormap(b))
+    assert rgbb.shape == (2, 8, 5, 3)
+
+
+def test_apply_colormap_rgba_alpha():
+    img = jnp.zeros((4, 4), jnp.float32)
+    rgba = np.asarray(apply_colormap_rgba(img))
+    assert rgba.shape == (4, 4, 4)
+    np.testing.assert_array_equal(rgba[..., 3], 255)
+    alpha = jnp.zeros((4, 4), jnp.float32)
+    rgba = np.asarray(apply_colormap_rgba(img, alpha=alpha))
+    np.testing.assert_array_equal(rgba[..., 3], 0)
+
+
+# ---- PNG encoders ----------------------------------------------------------
+
+def _rand_img(h, w, c, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_pure_png_roundtrip(c):
+    img = _rand_img(33, 47, c)
+    data = png_mod.encode_png_pure(img)
+    out = png_mod.decode_png(data)
+    np.testing.assert_array_equal(out.reshape(img.shape), img)
+
+
+def test_default_encoder_roundtrip_and_file(tmp_path):
+    img = _rand_img(20, 30, 3, seed=1)
+    p = str(tmp_path / "x.png")
+    assert png_mod.encode_png(img, path=p) is None
+    np.testing.assert_array_equal(png_mod.decode_png(p), img)
+    data = png_mod.encode_png(img)
+    np.testing.assert_array_equal(png_mod.decode_png(data), img)
+
+
+def test_native_encoder_if_buildable():
+    from spectral_tpu.native import png_native
+    if not png_native.available():
+        pytest.skip("no C++ toolchain available")
+    for c in (1, 3, 4):
+        img = _rand_img(25, 31, c, seed=c)
+        for level in (1, 6, 9):
+            data = png_native.encode(img, level)
+            out = png_mod.decode_png(data)
+            np.testing.assert_array_equal(out.reshape(img.shape), img)
+
+
+def test_encode_rejects_bad_input():
+    with pytest.raises(TypeError):
+        png_mod.encode_png(np.zeros((4, 4), np.float32))
+    with pytest.raises(ValueError):
+        png_mod.encode_png(np.zeros((4, 4, 2), np.uint8))
+
+
+# ---- waveform rasterizer ---------------------------------------------------
+
+def test_waveform_line_positions():
+    # constant zero -> horizontal line through the vertical center
+    x = jnp.zeros(1000, jnp.float32)
+    mask = np.asarray(waveform_image(x, height=100, width=50, y_limit=1.0))
+    assert mask.shape == (100, 50)
+    rows = np.where(mask.any(axis=1))[0]
+    assert set(rows) <= {49, 50}
+    assert mask[rows[0]].all()  # line spans every column
+
+
+def test_waveform_amplitude_scaling():
+    # full-scale square wave with the shared y-limit reaches top/bottom rows
+    x = jnp.asarray(np.tile([1.0, -1.0], 500).astype(np.float32))
+    mask = np.asarray(waveform_image(x, height=100, width=50, y_limit=1.0))
+    assert mask[0].any() and mask[-1].any()
+    # halving the amplitude under the same limit halves the extent
+    mask2 = np.asarray(waveform_image(x * 0.5, height=100, width=50, y_limit=1.0))
+    rows2 = np.where(mask2.any(axis=1))[0]
+    assert rows2.min() >= 24 and rows2.max() <= 75
+
+
+def test_waveform_fixed_window_leaves_tail_empty():
+    # reference hardcodes a 0-300 s x-window; short signals leave blank cols
+    x = jnp.ones(100, jnp.float32)
+    mask = np.asarray(waveform_image(x, height=10, width=50, y_limit=1.0,
+                                     n_samples_visible=200))
+    assert mask[:, :25].any()
+    assert not mask[:, 26:].any()
+
+
+def test_waveform_rgba_transparency():
+    x = jnp.zeros(100, jnp.float32)
+    img = np.asarray(waveform_rgba(x, height=20, width=20, y_limit=1.0))
+    assert img.shape == (20, 20, 4)
+    line = img[..., 3] == 255
+    assert line.any()
+    np.testing.assert_array_equal(img[line][:, :3], 0)  # black line
+    assert (img[~line][:, 3] == 0).all()                # transparent bg
+
+
+def test_waveform_batched():
+    xs = jnp.asarray(np.random.RandomState(0).randn(3, 500).astype(np.float32))
+    masks = np.asarray(waveform_image(xs, height=40, width=30))
+    assert masks.shape == (3, 40, 30)
+
+
+def test_packed_colormap_matches_rgba():
+    from spectral_tpu.ops.colormap import apply_colormap_packed, unpack_rgba
+    img = jnp.asarray(np.random.RandomState(3).rand(16, 9).astype(np.float32))
+    rgba_ref = np.asarray(apply_colormap_rgba(img))
+    packed = np.asarray(apply_colormap_packed(img))
+    assert packed.dtype == np.uint32
+    out = unpack_rgba(packed)
+    np.testing.assert_array_equal(out, rgba_ref)
+    # flip parity too
+    packed_f = np.asarray(apply_colormap_packed(img, flip_rows=True))
+    np.testing.assert_array_equal(unpack_rgba(packed_f),
+                                  np.asarray(apply_colormap_rgba(img, flip_rows=True)))
