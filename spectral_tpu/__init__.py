@@ -10,9 +10,10 @@ on-device colormap rendering with direct PNG export.
 from spectral_tpu.config import SpecConfig, ViewSettings
 from spectral_tpu.utils.cache import enable_compilation_cache
 
-# Persistent XLA compile cache: TPU compiles over a tunnel cost tens of
-# seconds; cached reloads cost milliseconds. SPECTRAL_TPU_NO_CACHE=1 opts out.
-enable_compilation_cache()
+# NOTE: enable_compilation_cache() is NOT called at import time: it must ask
+# for the default backend, and initializing an accelerator runtime as an
+# import side effect both slows startup and defeats late platform overrides
+# (e.g. the CLI's --cpu). Heavy entry points call it lazily instead.
 
 __version__ = "0.1.0"
 

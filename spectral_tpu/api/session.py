@@ -1,0 +1,356 @@
+"""Headless analysis session: the framework's primary user-facing API.
+
+Covers the reference's PlotEngine + GUI-orchestration surface (SURVEY.md §1
+L1/L2/L3 + C6/C20) without any GUI: sweep composition with segment-map
+provenance, spectrogram computation/normalization, burst detection
+(unsupervised + learn-from-examples), ROI editing operations, band powers,
+and state for the exporters. The compute core stays jit/vmap-friendly; this
+class is the thin stateful shell around it, mirroring the reference's
+implicit state API (last_f/last_t/last_Sxx, last_detected_events,
+segment_map, spec_data_source, currently_plotted_items — PlotEngine.py:22-29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.config import SpecConfig, ViewSettings
+from spectral_tpu.core import events as ev
+from spectral_tpu.core.scale import normalize
+from spectral_tpu.core.stft import freq_axis, power_spectrogram, time_axis
+from spectral_tpu.io.registry import SweepRegistry, split_display_name
+from spectral_tpu.models.detector import BurstDetector
+
+Event = Tuple[float, float]
+
+
+@dataclasses.dataclass
+class SegmentRecord:
+    """Provenance of one sweep inside a combined plot
+    (PlotEngine.segment_map entries, PlotEngine.py:184-188)."""
+    start_time_combined: float
+    end_time_combined: float
+    source_name: str
+
+
+@dataclasses.dataclass
+class SpectrogramResult:
+    """What the reference renders: masked frequency axis, frame times,
+    raw PSD (freq-major), and the normalized [0,1] display image."""
+    f: np.ndarray
+    t: np.ndarray
+    sxx: np.ndarray
+    image: np.ndarray
+
+    @property
+    def total_power(self) -> float:
+        return float(np.sum(self.sxx))
+
+
+class AnalysisSession:
+    """Headless equivalent of the reference application.
+
+    Typical flow::
+
+        s = AnalysisSession()
+        s.load("recording.h5")
+        result = s.plot_sweeps(s.registry.names()[:3],
+                               SpecConfig.scipy_default(1024, fmin=0, fmax=30),
+                               ViewSettings(combine=True))
+        events = s.unsupervised_detect()
+        s.export_csv("bursts.csv")
+        s.export_png("figure.png")
+    """
+
+    def __init__(self, registry: Optional[SweepRegistry] = None,
+                 detector: Optional[BurstDetector] = None):
+        from spectral_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+        self.registry = registry if registry is not None else SweepRegistry()
+        self.detector = detector if detector is not None else BurstDetector()
+        self.config: Optional[SpecConfig] = None
+        self.view = ViewSettings()
+        # reference state mirror
+        self.last_fs: Optional[float] = None
+        self.last_f: Optional[np.ndarray] = None
+        self.last_t: np.ndarray = np.array([])
+        self.last_sxx: Optional[np.ndarray] = None
+        self.last_image: Optional[np.ndarray] = None
+        self.segment_map: List[SegmentRecord] = []
+        self.currently_plotted_items: List[str] = []
+        self.last_detected_events: List[Event] = []
+        self.rois: List[Event] = []
+        self.spec_data_source: Optional[np.ndarray] = None
+        self.signal_raw: Optional[np.ndarray] = None
+        self.signal_proc: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    def load(self, filepath: str) -> List[str]:
+        return self.registry.load_file(filepath)
+
+    # ------------------------------------------------------------------
+    # Plot path (GUI.plot_selected + PlotEngine.plot_sweeps semantics)
+    # ------------------------------------------------------------------
+
+    def clear(self) -> None:
+        """PlotEngine.clear (:68-76)."""
+        self.segment_map.clear()
+        self.currently_plotted_items.clear()
+        self.last_detected_events = []
+        self.rois = []
+        self.last_t = np.array([])
+        self.last_fs = None
+        self.last_sxx = None
+        self.last_image = None
+        self.spec_data_source = None
+        self.signal_raw = None
+        self.signal_proc = None
+
+    def plot_sweeps(self, names: Sequence[str],
+                    config: Optional[SpecConfig] = None,
+                    view: Optional[ViewSettings] = None,
+                    global_max: Optional[float] = None
+                    ) -> Optional[SpectrogramResult]:
+        """Compose sweeps and compute the spectrogram.
+
+        Mirrors GUI.plot_selected validation (:392-418: authoritative fs from
+        the registry; mixed sampling rates rejected) + PlotEngine.plot_sweeps
+        (:147-213: combine concatenation, segment-map provenance,
+        processed-over-raw source preference).
+        """
+        if not names:
+            raise ValueError("no sweeps selected")
+        if config is not None:
+            self.config = config
+        if self.config is None:
+            self.config = SpecConfig.scipy_default()
+        if view is not None:
+            self.view = view
+        v = self.view
+
+        self.clear()
+        self.currently_plotted_items = list(names)
+
+        infos = []
+        fs_set = set()
+        for name in names:
+            entry = self.registry.data[name]
+            fs = entry.fs
+            raw = entry.raw
+            proc = entry.processed
+            infos.append((name, raw, proc, fs))
+            fs_set.add(fs)
+        if len(fs_set) > 1:  # GUI.py:416-418
+            raise ValueError(f"Mixed sampling rates: {sorted(fs_set)}")
+        fs0 = infos[0][3]
+
+        sig_raw_plot = sig_proc_plot = None
+        if v.combine:
+            use_proc = v.draw_proc  # PlotEngine.py:167
+            offset = 0.0
+            pieces = []
+            any_proc = any(p is not None for _, _, p, _ in infos)
+            for name, raw, proc, fs in infos:
+                proc_eff = proc if proc is not None else raw
+                sig = proc_eff if use_proc else raw
+                if sig is None:
+                    continue
+                dur = len(sig) / fs
+                self.segment_map.append(SegmentRecord(offset, offset + dur, name))
+                pieces.append(np.asarray(sig))
+                offset += dur
+            if pieces:
+                final = np.concatenate(pieces)
+                if use_proc and any_proc:
+                    sig_proc_plot = final
+                else:
+                    sig_raw_plot = final
+        else:  # first sweep only (PlotEngine.py:203-206)
+            name, raw, proc, fs = infos[0]
+            sig_raw_plot = raw if v.draw_raw else None
+            sig_proc_plot = proc if v.draw_proc else None
+
+        self.signal_raw, self.signal_proc = sig_raw_plot, sig_proc_plot
+        self.last_fs = fs0
+
+        # spectrogram source selection: PROC wins over RAW (PlotEngine.py:95-99)
+        source = None
+        if v.mode_proc in ("Spectrogram", "Both") and sig_proc_plot is not None:
+            source = sig_proc_plot
+        elif v.mode_raw in ("Spectrogram", "Both") and sig_raw_plot is not None:
+            source = sig_raw_plot
+        # headless default: if no mode requests a spectrogram, still compute
+        # from whatever is available (proc preferred), since detection and
+        # export need it
+        if source is None:
+            source = sig_proc_plot if sig_proc_plot is not None else sig_raw_plot
+        if source is None:
+            return None
+        self.spec_data_source = np.asarray(source, np.float32)
+        return self._compute_spectrogram(global_max)
+
+    def _compute_spectrogram(self, global_max: Optional[float] = None
+                             ) -> SpectrogramResult:
+        """PlotEngine._plot_spectrogram compute portion (:110-131)."""
+        cfg, fs = self.config, self.last_fs
+        x = jnp.asarray(self.spec_data_source)
+        psd = power_spectrogram(x, fs, cfg)  # (T, F)
+        f = freq_axis(cfg, fs)
+        t = time_axis(cfg, fs, len(self.spec_data_source))
+        sxx = np.asarray(psd).T  # freq-major
+        if cfg.fmin is not None or cfg.fmax is not None:
+            lo = cfg.fmin if cfg.fmin is not None else -np.inf
+            hi = cfg.fmax if cfg.fmax is not None else np.inf
+            mask = (f >= lo) & (f <= hi)
+            f, sxx = f[mask], sxx[mask, :]
+        self.last_f, self.last_t, self.last_sxx = f, t, sxx
+        if sxx.size == 0:  # PlotEngine.py:122-124
+            self.last_t = np.array([])
+            self.last_image = None
+            return SpectrogramResult(f, np.array([]), sxx,
+                                     np.zeros_like(sxx))
+        img = np.asarray(normalize(jnp.asarray(sxx), cfg.log_scale,
+                                   global_max))
+        self.last_image = img
+        return SpectrogramResult(f, t, sxx, img)
+
+    # ------------------------------------------------------------------
+    # Detection (PlotEngine.py:244-473 flows via BurstDetector)
+    # ------------------------------------------------------------------
+
+    def _features(self):
+        if self.spec_data_source is None:
+            raise ValueError("Please plot a spectrogram before detecting.")
+        cfg, fs = self.config, self.last_fs
+        psd = power_spectrogram(jnp.asarray(self.spec_data_source), fs, cfg)
+        f = freq_axis(cfg, fs)
+        t = time_axis(cfg, fs, len(self.spec_data_source))
+        fmin = cfg.fmin if cfg.fmin is not None else 0.0
+        fmax = cfg.fmax if cfg.fmax is not None else float(f[-1])
+        feat = np.asarray(ev.features_from_psd(f, psd, fmin, fmax))
+        return t, feat
+
+    def unsupervised_detect(self) -> List[Event]:
+        t, feat = self._features()
+        self.last_detected_events = self.detector.unsupervised_detect(t, feat)
+        return self.last_detected_events
+
+    def learn_and_detect(self, rois: Optional[Sequence[Event]] = None
+                         ) -> List[Event]:
+        if rois is None:
+            rois = self.rois
+        if not rois:
+            raise ValueError("No manual regions provided to learn from.")
+        t, feat = self._features()
+        self.last_detected_events = self.detector.learn_and_detect(
+            t, feat, rois)
+        return self.last_detected_events
+
+    def reset_model(self) -> None:
+        self.detector.reset()
+
+    # ------------------------------------------------------------------
+    # ROI editing (pure-function ops over session state)
+    # ------------------------------------------------------------------
+
+    def min_roi_width(self) -> float:
+        """One sample period (PlotEngine.py:627-631)."""
+        if self.last_fs:
+            return 1.0 / self.last_fs
+        return 0.01
+
+    def add_roi(self, start: float, end: float) -> List[Event]:
+        self.rois = ev.add_roi(self.rois, start, end, self.min_roi_width())
+        self.last_detected_events = ev.add_roi(
+            self.last_detected_events, start, end, self.min_roi_width())
+        return self.rois
+
+    def delete_roi(self, roi: Event) -> List[Event]:
+        self.rois = ev.delete_roi(self.rois, roi)
+        self.last_detected_events = ev.delete_roi(self.last_detected_events, roi)
+        return self.rois
+
+    def merge_rois(self, container: Event) -> List[Event]:
+        self.last_detected_events = sorted(ev.merge_contained_rois(
+            self.last_detected_events, container))
+        self.rois = list(self.last_detected_events)
+        return self.rois
+
+    # ------------------------------------------------------------------
+    # Analytics (PlotEngine.py:686-719)
+    # ------------------------------------------------------------------
+
+    def calculate_absolute_power(self) -> Optional[float]:
+        if self.last_sxx is None:
+            return None
+        return ev.absolute_power(self.last_sxx)
+
+    def calculate_band_powers(self, bands=None) -> Optional[Dict[str, float]]:
+        if self.last_sxx is None or self.last_f is None:
+            return None
+        return ev.band_powers(self.last_f, self.last_sxx, bands)
+
+    # ------------------------------------------------------------------
+    # Export (delegates; see spectral_tpu.api.export)
+    # ------------------------------------------------------------------
+
+    def export_csv(self, filepath: str) -> str:
+        from spectral_tpu.api import export
+        return export.export_events_csv(filepath, self)
+
+    def export_png(self, filepath: str, colormap: str = "jet",
+                   compress_level: int = 4) -> str:
+        from spectral_tpu.api import export
+        return export.export_spectrogram_png(filepath, self, colormap,
+                                             compress_level)
+
+    def export_batch_png(self, out_dir: str, names: Sequence[str],
+                         use_proc: bool = False, use_raw: bool = True,
+                         **kw) -> str:
+        from spectral_tpu.api import export
+        return export.export_batch_signals_png(out_dir, self.registry, names,
+                                               use_proc=use_proc,
+                                               use_raw=use_raw, **kw)
+
+    # ------------------------------------------------------------------
+    # Persistence (checkpoint/resume — absent in the reference, SURVEY §5)
+    # ------------------------------------------------------------------
+
+    def save_state(self, filepath: str) -> None:
+        """Serialize model params + events + config to an .npz."""
+        payload = {
+            "events": np.asarray(self.last_detected_events, dtype=np.float64
+                                 ).reshape(-1, 2),
+            "rois": np.asarray(self.rois, dtype=np.float64).reshape(-1, 2),
+            "is_model_refined": np.asarray(self.detector.is_model_refined),
+            "config_json": np.asarray(
+                self.config.to_json() if self.config else ""),
+        }
+        if self.detector.params is not None:
+            p = self.detector.params
+            payload.update(hmm_startprob=np.asarray(p.startprob),
+                           hmm_transmat=np.asarray(p.transmat),
+                           hmm_means=np.asarray(p.means),
+                           hmm_covars=np.asarray(p.covars))
+        np.savez(filepath, **payload)
+
+    def load_state(self, filepath: str) -> None:
+        from spectral_tpu.models.hmm import HMMParams
+        z = np.load(filepath, allow_pickle=False)
+        self.last_detected_events = [tuple(r) for r in z["events"]]
+        self.rois = [tuple(r) for r in z["rois"]]
+        self.detector.is_model_refined = bool(z["is_model_refined"])
+        cfg_json = str(z["config_json"])
+        if cfg_json:
+            self.config = SpecConfig.from_json(cfg_json)
+        if "hmm_means" in z:
+            self.detector.params = HMMParams(
+                jnp.asarray(z["hmm_startprob"]), jnp.asarray(z["hmm_transmat"]),
+                jnp.asarray(z["hmm_means"]), jnp.asarray(z["hmm_covars"]))

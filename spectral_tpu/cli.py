@@ -1,0 +1,213 @@
+"""Command-line interface.
+
+The reference has no CLI (entry point: ``python GUI.py``, GUI.py:588-598);
+headless operation is a new capability. Subcommands mirror the app's actions:
+
+  render      file(s) -> spectrogram PNG
+  detect      file -> burst events (unsupervised), optional CSV
+  learn       file + ROI list -> refined detection, optional CSV
+  bands       file -> EEG band powers
+  export-batch  files -> per-sweep waveform PNGs
+  info        file -> registered sweeps
+  bench       quick throughput probe on the current backend
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _make_config(args) -> "SpecConfig":
+    from spectral_tpu.config import SpecConfig
+    if args.scipy_compat:
+        return SpecConfig.scipy_default(
+            nperseg=args.nperseg, fmin=args.fmin, fmax=args.fmax,
+            log_scale=args.log)
+    return SpecConfig.north_star(
+        n_fft=args.nperseg, hop=args.hop or args.nperseg // 4,
+        window=args.window, fmin=args.fmin, fmax=args.fmax,
+        log_scale=args.log,
+        n_mels=args.mels if getattr(args, "mels", 0) else None)
+
+
+def _session_for(paths: List[str], args):
+    from spectral_tpu.api.session import AnalysisSession
+    from spectral_tpu.config import ViewSettings
+    s = AnalysisSession()
+    names = []
+    for p in paths:
+        try:
+            names += s.load(p)
+        except FileNotFoundError:
+            sys.exit(f"error: file not found: {p}")
+        except ValueError as e:
+            sys.exit(f"error: {e}")
+    if not names:
+        sys.exit("no sweeps loaded")
+    sel = names if args.combine else names[:1]
+    s.plot_sweeps(sel, _make_config(args),
+                  ViewSettings(combine=args.combine, mode_proc="Spectrogram",
+                               mode_raw="Spectrogram"))
+    return s, names
+
+
+def _add_spec_args(p):
+    p.add_argument("--nperseg", type=int, default=1024)
+    p.add_argument("--hop", type=int, default=None,
+                   help="frame hop (default nperseg//4; scipy mode ignores)")
+    p.add_argument("--window", default="hann")
+    p.add_argument("--scipy-compat", action="store_true",
+                   help="reference-exact mode: Tukey(0.25), hop=nperseg-nperseg//8")
+    p.add_argument("--fmin", type=float, default=None)
+    p.add_argument("--fmax", type=float, default=None)
+    p.add_argument("--log", action="store_true", help="dB display scale")
+    p.add_argument("--combine", action="store_true",
+                   help="concatenate all sweeps (reference combine mode)")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="spectral-tpu",
+        description="TPU-native spectrogram / burst-detection toolkit")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on host CPU (JAX_PLATFORMS is not honored once "
+                         "an accelerator plugin is installed; this flag is)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="spectrogram PNG from a recording")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--cmap", default="jet")
+    p.add_argument("--mels", type=int, default=0, help="mel bins (0 = linear)")
+    _add_spec_args(p)
+
+    p = sub.add_parser("detect", help="unsupervised burst detection")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--csv", default=None, help="write burst table here")
+    _add_spec_args(p)
+
+    p = sub.add_parser("learn", help="learn-from-examples detection")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--roi", action="append", required=True,
+                   help="start:end seconds (repeatable)")
+    p.add_argument("--csv", default=None)
+    _add_spec_args(p)
+
+    p = sub.add_parser("bands", help="EEG band powers")
+    p.add_argument("files", nargs="+")
+    _add_spec_args(p)
+
+    p = sub.add_parser("export-batch", help="per-sweep waveform PNGs")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-o", "--out-dir", required=True)
+    p.add_argument("--proc", action="store_true")
+    p.add_argument("--window-seconds", type=float, default=None)
+
+    p = sub.add_parser("info", help="list sweeps in files")
+    p.add_argument("files", nargs="+")
+
+    p = sub.add_parser("bench", help="quick throughput probe")
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--fs", type=float, default=16000.0)
+
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "info":
+        from spectral_tpu.io.registry import SweepRegistry
+        r = SweepRegistry()
+        for f in args.files:
+            for n in r.load_file(f):
+                e = r.data[n]
+                nraw = len(e.raw) if e.raw is not None else 0
+                nproc = len(e.processed) if e.processed is not None else 0
+                print(f"{n}: fs={e.fs:g} raw={nraw} processed={nproc}")
+        return 0
+
+    if args.cmd == "render":
+        s, _ = _session_for(args.files, args)
+        print(s.export_png(args.out, colormap=args.cmap))
+        return 0
+
+    if args.cmd == "detect":
+        s, _ = _session_for(args.files, args)
+        events = s.unsupervised_detect()
+        for a, b in events:
+            print(f"{a:.4f}\t{b:.4f}")
+        if args.csv:
+            print(s.export_csv(args.csv))
+        return 0
+
+    if args.cmd == "learn":
+        s, _ = _session_for(args.files, args)
+        rois = []
+        for spec in args.roi:
+            try:
+                a, b = spec.split(":")
+                rois.append((float(a), float(b)))
+            except ValueError:
+                sys.exit(f"error: --roi expects start:end seconds, got {spec!r}")
+        events = s.learn_and_detect(rois)
+        for a, b in events:
+            print(f"{a:.4f}\t{b:.4f}")
+        if args.csv:
+            print(s.export_csv(args.csv))
+        return 0
+
+    if args.cmd == "bands":
+        s, _ = _session_for(args.files, args)
+        bp = s.calculate_band_powers()
+        print(json.dumps({k: round(v, 6) for k, v in bp.items()},
+                         ensure_ascii=False, indent=2))
+        return 0
+
+    if args.cmd == "export-batch":
+        from spectral_tpu.api.export import export_batch_signals_png
+        from spectral_tpu.io.registry import SweepRegistry
+        r = SweepRegistry()
+        names = []
+        for f in args.files:
+            names += r.load_file(f)
+        print(export_batch_signals_png(args.out_dir, r, names,
+                                       use_proc=args.proc, use_raw=not args.proc,
+                                       window_seconds=args.window_seconds))
+        return 0
+
+    if args.cmd == "bench":
+        import time
+        import jax
+        import jax.numpy as jnp
+        from spectral_tpu.config import SpecConfig
+        from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+        n = int(args.seconds * args.fs)
+        rng = np.random.RandomState(0)
+        xb = jnp.asarray(rng.randn(args.batch, n).astype(np.float32))
+        cfg = SpecConfig.north_star(1024, 256, log_scale=True)
+        fn = jax.jit(batched_spectrogram_fn(args.fs, cfg, use_matmul=True))
+        out = fn(xb)
+        jax.block_until_ready(out)  # compile + warm
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            jax.block_until_ready(fn(xb))
+        dt = (time.time() - t0) / reps
+        audio_h = args.batch * args.seconds / 3600.0
+        print(f"backend={jax.default_backend()} batch={args.batch} "
+              f"clip={args.seconds}s: {dt*1000:.1f} ms/batch, "
+              f"{audio_h / (dt / 60):.1f} audio-hours/min")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,193 @@
+"""Fused Pallas STFT kernel (TPU).
+
+The hot op of the whole framework (reference code path: scipy spectrogram at
+PlotEngine.py:113). One kernel instance computes a block of frames end to end
+in VMEM:
+
+    hop-rows of signal (HBM->VMEM via the grid)
+      -> overlapped framing (static slices + concat)       [BF, nperseg]
+      -> real-DFT as two MXU matmuls against window-folded
+         (and detrend-folded) DFT matrices                  [BF, Fpad]
+      -> |X|^2 * one-sided/PSD scale                        VPU, fused
+      -> optional log10                                     VPU, fused
+
+avoiding the (nperseg/hop)x HBM blowup of materializing frames. Overlap
+between adjacent frame blocks is handled by reading TWO adjacent row blocks
+per grid step (plain Blocked indexing — no overlapping BlockSpecs needed):
+frames in block j start inside rows [j*BF, (j+1)*BF) and extend at most
+r-1 = nperseg/hop - 1 rows past it, which the second block covers since
+r - 1 <= BF.
+
+The matmul-DFT trades ~40x the FLOPs of an rFFT for MXU throughput and
+fusion (GEMM-native NDFT, cf. the MelT paper in PAPERS.md) — the op stays
+memory-bound on v5e, so the extra FLOPs are free.
+
+Constraints: hop | nperseg and nfft == nperseg (north-star configs; the jnp
+path covers the rest), and the two DFT matrices must fit VMEM (nperseg <=
+1024 at f32 — larger FFTs fall back to the jnp path until frequency tiling
+lands).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core.stft import dft_matrices, num_frames, onesided_weights
+
+Array = jax.Array
+
+LANE = 128
+MAX_NPERSEG_VMEM = 1024  # 2 matrices: 2 * 1024 * 640 * 4 B = 5.2 MB
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _padded_consts(cfg: SpecConfig, fs: float):
+    """(A_re, A_im, weights) with the frequency axis padded to a lane
+    multiple. Window + constant detrend are folded into the matrices
+    (core.stft.dft_matrices)."""
+    a_re, a_im = dft_matrices(cfg)   # (nperseg, F) float64
+    wts = onesided_weights(cfg, fs)  # (F,)
+    F = a_re.shape[1]
+    Fp = _round_up(F, LANE)
+    pad = ((0, 0), (0, Fp - F))
+    hop = cfg.hop_
+    r = cfg.nperseg // hop
+    # reshape to per-hop-piece stacks: frames @ A == sum_k piece_k @ A[k]
+    a_re = np.pad(a_re, pad).astype(np.float32).reshape(r, hop, Fp)
+    a_im = np.pad(a_im, pad).astype(np.float32).reshape(r, hop, Fp)
+    return a_re, a_im, np.pad(wts, (0, Fp - F)).astype(np.float32)
+
+
+def pallas_supported(cfg: SpecConfig) -> bool:
+    return (cfg.nperseg % cfg.hop_ == 0
+            and cfg.nfft_ == cfg.nperseg
+            and cfg.nperseg <= MAX_NPERSEG_VMEM
+            and cfg.nperseg // cfg.hop_ >= 1)
+
+
+def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
+                    block_frames: int = 128,
+                    log10_out: bool = False,
+                    interpret: Optional[bool] = None) -> Array:
+    """Fused PSD spectrogram: (n,) or (B, n) -> (B?, T, F) float32.
+
+    Matches core.stft.power_spectrogram (and scipy) for supported configs.
+    interpret=None auto-selects interpreter mode off-TPU (tests).
+    """
+    if x.ndim == 1:
+        return stft_psd_pallas(x[None], fs, cfg, block_frames, log10_out,
+                               interpret)[0]
+    if not pallas_supported(cfg):
+        raise ValueError(
+            "config unsupported by the pallas kernel (need hop | nperseg, "
+            f"nfft == nperseg, nperseg <= {MAX_NPERSEG_VMEM}); "
+            "use core.stft.power_spectrogram")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nperseg, hop = cfg.nperseg, cfg.hop_
+    r = nperseg // hop
+
+    B, n = x.shape
+    T = num_frames(n, nperseg, hop)
+    if T <= 0:
+        return jnp.zeros((B, 0, cfg.n_freqs), jnp.float32)
+
+    a_re, a_im, wts = _padded_consts(cfg, fs)
+    Fp = a_re.shape[2]
+    F = cfg.n_freqs
+
+    BF = min(block_frames, _round_up(T, 8))
+    if r - 1 > BF:  # overlap must fit in the second row block
+        BF = _round_up(r - 1, 8)
+    n_blocks = -(-T // BF)
+    Tp = n_blocks * BF
+
+    # rows of `hop` samples; (n_blocks + 1) blocks of BF rows so the dual
+    # read's j+1 block always exists
+    rows_padded = (n_blocks + 1) * BF
+    total = rows_padded * hop
+    xp = jnp.pad(x, ((0, 0), (0, total - n))) if total > n else x[:, :total]
+    rows = xp.reshape(B, rows_padded, hop)
+
+    def kernel(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref):
+        # frame i of this block = rows[i : i + r] flattened; instead of
+        # materializing frames (Mosaic rejects the offset concat), decompose
+        # the DFT matmul over hop-pieces and accumulate on the MXU:
+        #   frames @ A == sum_k rows[k : k + BF] @ A[k*hop : (k+1)*hop]
+        rows2 = jnp.concatenate([rows_a[:, :], rows_b[:, :]], axis=0)
+        xr = jnp.zeros((BF, Fp), jnp.float32)
+        xi = jnp.zeros((BF, Fp), jnp.float32)
+        for k in range(r):
+            piece = jax.lax.slice(rows2, (k, 0), (k + BF, hop))
+            xr = xr + jnp.dot(piece, are_ref[k],
+                              preferred_element_type=jnp.float32)
+            xi = xi + jnp.dot(piece, aim_ref[k],
+                              preferred_element_type=jnp.float32)
+        p = (xr * xr + xi * xi) * wts_ref[:, :]
+        if log10_out:
+            p = jnp.log10(p + 1e-20)
+        out_ref[:, :] = p
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((None, BF, hop), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, BF, hop), lambda b, j: (b, j + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, hop, Fp), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, hop, Fp), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, BF, Fp), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Fp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * Tp * nperseg * Fp,
+            bytes_accessed=(B * total * 4 * 2 + 2 * nperseg * Fp * 4
+                            + B * Tp * Fp * 4),
+            transcendentals=B * Tp * Fp if log10_out else 0,
+        ),
+        interpret=interpret,
+    )(rows, rows, a_re, a_im, wts[None, :])
+    return out[:, :T, :F]
+
+
+def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
+                       colormap: Optional[str] = "jet",
+                       block_frames: int = 128,
+                       interpret: Optional[bool] = None):
+    """Full display pipeline with the Pallas kernel as the STFT stage:
+    (B, n) -> {psd, image, rgb_packed?}, output-compatible with
+    parallel.sharding.batched_spectrogram_fn."""
+    from spectral_tpu.core.scale import normalize
+    from spectral_tpu.ops.colormap import apply_colormap_packed
+
+    def fn(xb: Array):
+        psd = stft_psd_pallas(xb, fs, cfg, block_frames, interpret=interpret)
+        out = {"psd": psd}
+        img_src = jnp.swapaxes(psd, -1, -2)
+        img = jax.vmap(lambda s: normalize(s, cfg.log_scale, None))(img_src)
+        out["image"] = img
+        if colormap:
+            out["rgb_packed"] = apply_colormap_packed(img, colormap,
+                                                      flip_rows=True)
+        return out
+
+    return fn

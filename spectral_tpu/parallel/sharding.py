@@ -70,6 +70,8 @@ def shard_pipeline(mesh: Mesh, fs: float, cfg: SpecConfig, *,
 
     The batch size must be divisible by the mesh axis size.
     """
+    from spectral_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     fn = batched_spectrogram_fn(fs, cfg, use_matmul=use_matmul,
                                 colormap=colormap, share_max=share_max)
     in_sh = NamedSharding(mesh, P(batch_axis))

@@ -1,0 +1,208 @@
+"""API-layer tests: session flows, exporters, persistence, CLI."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from spectral_tpu.api.session import AnalysisSession
+from spectral_tpu.config import SpecConfig, ViewSettings
+from spectral_tpu.io.registry import SweepRegistry, SweepEntry
+from spectral_tpu.io.wav import write_wav
+from spectral_tpu.render.png import decode_png
+
+
+def _bursty(fs=1000.0, dur=60.0, bursts=((10, 15), (30, 38)), seed=0):
+    rng = np.random.RandomState(seed)
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    x = 0.02 * rng.randn(n)
+    for a, b in bursts:
+        m = (t >= a) & (t < b)
+        x[m] += 0.6 * np.hanning(m.sum()) * np.sin(2 * np.pi * 6.0 * t[m])
+    return x.astype(np.float32)
+
+
+def _session_with_sweeps(n_sweeps=2, fs=1000.0, dur=30.0):
+    s = AnalysisSession()
+    for i in range(n_sweeps):
+        x = _bursty(fs=fs, dur=dur, bursts=((5, 9),), seed=i)
+        s.registry.register(f"rec_sweep{i}", SweepEntry(
+            filepath="rec.h5", sweep_idx=i, fs=fs, fs_raw=fs,
+            raw=x, processed=x * 0.5))
+    return s
+
+
+def test_plot_single_sweep_and_analytics():
+    s = _session_with_sweeps()
+    res = s.plot_sweeps(["rec_sweep0"], SpecConfig.scipy_default(
+        512, fmin=0.0, fmax=30.0), ViewSettings())
+    assert res is not None
+    assert res.f.max() <= 30.0
+    assert s.last_sxx is not None and s.last_image is not None
+    assert res.image.min() >= 0 and res.image.max() <= 1
+    assert s.calculate_absolute_power() == pytest.approx(res.total_power)
+    bp = s.calculate_band_powers()
+    assert abs(sum(bp.values()) - 1.0) < 0.05  # masked to 0-30 Hz
+
+
+def test_combine_builds_segment_map_and_prefers_processed():
+    s = _session_with_sweeps(3, dur=10.0)
+    s.plot_sweeps([f"rec_sweep{i}" for i in range(3)],
+                  SpecConfig.scipy_default(512),
+                  ViewSettings(combine=True, mode_proc="Spectrogram"))
+    assert len(s.segment_map) == 3
+    assert s.segment_map[1].start_time_combined == pytest.approx(10.0)
+    assert s.segment_map[2].end_time_combined == pytest.approx(30.0)
+    # combined source is the processed (scaled 0.5) signal
+    assert np.abs(s.spec_data_source).max() < 0.5
+
+
+def test_mixed_fs_rejected():
+    s = _session_with_sweeps(1, fs=1000.0)
+    x = np.zeros(100, np.float32)
+    s.registry.register("other_sweep0", SweepEntry(
+        filepath="o", sweep_idx=0, fs=2000.0, fs_raw=2000.0, raw=x,
+        processed=None))
+    with pytest.raises(ValueError, match="Mixed sampling rates"):
+        s.plot_sweeps(["rec_sweep0", "other_sweep0"],
+                      SpecConfig.scipy_default(256), ViewSettings(combine=True))
+
+
+def test_detect_and_csv_export(tmp_path):
+    s = _session_with_sweeps(1, dur=60.0)
+    x = _bursty(dur=60.0)
+    s.registry.data["rec_sweep0"].raw = x
+    s.registry.data["rec_sweep0"].processed = None
+    s.plot_sweeps(["rec_sweep0"], SpecConfig.scipy_default(
+        1024, fmin=0.0, fmax=30.0), ViewSettings())
+    events = s.unsupervised_detect()
+    assert len(events) == 2
+
+    p = str(tmp_path / "bursts.csv")
+    msg = s.export_csv(p)
+    assert "Successfully exported 2 events" in msg
+    with open(p) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["Burst ID", "Source File", "Sweep",
+                       "Start Time (s)", "End Time (s)",
+                       "Inter Burst Interval (s)"]
+    assert rows[1][1] == "rec" and rows[1][2] == "0"
+    assert rows[1][5] == "nan"  # first IBI is NaN
+    ibi = float(rows[2][5])
+    assert ibi == pytest.approx(float(rows[2][3]) - float(rows[1][4]))
+
+
+def test_csv_combined_attribution(tmp_path):
+    s = _session_with_sweeps(2, dur=30.0)
+    s.plot_sweeps(["rec_sweep0", "rec_sweep1"],
+                  SpecConfig.scipy_default(512),
+                  ViewSettings(combine=True))
+    # events: one in sweep0's window, one in sweep1's (offset 30 s)
+    s.last_detected_events = [(5.0, 9.0), (35.0, 39.0)]
+    p = str(tmp_path / "c.csv")
+    s.export_csv(p)
+    with open(p) as fh:
+        rows = list(csv.reader(fh))[1:]
+    assert rows[0][2] == "0" and rows[1][2] == "1"
+
+
+def test_csv_no_events(tmp_path):
+    s = _session_with_sweeps(1)
+    s.plot_sweeps(["rec_sweep0"], SpecConfig.scipy_default(512), ViewSettings())
+    msg = s.export_csv(str(tmp_path / "x.csv"))
+    assert msg.startswith("Error: No burst data")
+
+
+def test_png_export_roundtrip(tmp_path):
+    s = _session_with_sweeps(1)
+    s.plot_sweeps(["rec_sweep0"],
+                  SpecConfig.scipy_default(512, fmin=0.0, fmax=100.0,
+                                           log_scale=True),
+                  ViewSettings())
+    p = str(tmp_path / "spec.png")
+    msg = s.export_png(p)
+    assert "Successfully" in msg
+    img = decode_png(p)
+    F, T = s.last_image.shape
+    assert img.shape == (F, T, 4)
+
+
+def test_roi_ops_and_learn(tmp_path):
+    s = _session_with_sweeps(1, dur=60.0)
+    x = _bursty(dur=60.0)
+    s.registry.data["rec_sweep0"].raw = x
+    s.registry.data["rec_sweep0"].processed = None
+    s.plot_sweeps(["rec_sweep0"], SpecConfig.scipy_default(
+        1024, fmin=0.0, fmax=30.0), ViewSettings())
+    s.add_roi(17.0, 8.0)   # endpoints get sorted
+    s.add_roi(28.0, 40.0)
+    assert s.rois == [(8.0, 17.0), (28.0, 40.0)]
+    s.add_roi(50.0, 50.0)  # below min width -> dropped
+    assert len(s.rois) == 2
+    events = s.learn_and_detect()
+    assert s.detector.is_model_refined and len(events) >= 2
+    s.delete_roi((8.0, 17.0))
+    assert s.rois == [(28.0, 40.0)] or len(s.rois) >= 1
+
+
+def test_state_persistence_roundtrip(tmp_path):
+    s = _session_with_sweeps(1, dur=60.0)
+    x = _bursty(dur=60.0)
+    s.registry.data["rec_sweep0"].raw = x
+    s.registry.data["rec_sweep0"].processed = None
+    cfg = SpecConfig.scipy_default(1024, fmin=0.0, fmax=30.0)
+    s.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+    s.unsupervised_detect()
+    p = str(tmp_path / "state.npz")
+    s.save_state(p)
+
+    s2 = AnalysisSession()
+    s2.load_state(p)
+    assert s2.config == cfg
+    assert s2.last_detected_events == s.last_detected_events
+    assert s2.detector.params is not None
+    np.testing.assert_array_equal(np.asarray(s2.detector.params.means),
+                                  np.asarray(s.detector.params.means))
+
+
+def test_empty_selection_raises():
+    s = _session_with_sweeps(1)
+    with pytest.raises(ValueError, match="no sweeps selected"):
+        s.plot_sweeps([], SpecConfig.scipy_default(256), ViewSettings())
+
+
+# ---- CLI -------------------------------------------------------------------
+
+def test_cli_render_and_detect(tmp_path):
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "sig.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=60.0) * 0.5, fs)
+
+    out_png = str(tmp_path / "o.png")
+    assert main(["render", wav_path, "-o", out_png, "--nperseg", "512",
+                 "--log"]) == 0
+    assert os.path.exists(out_png)
+
+    csv_path = str(tmp_path / "o.csv")
+    assert main(["detect", wav_path, "--scipy-compat", "--nperseg", "1024",
+                 "--fmin", "0", "--fmax", "30", "--csv", csv_path]) == 0
+    assert os.path.exists(csv_path)
+
+
+def test_cli_info_and_batch(tmp_path, capsys):
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "sig.wav")
+    write_wav(wav_path, np.sin(np.linspace(0, 60, 6000)).astype(np.float32), fs)
+    assert main(["info", wav_path]) == 0
+    out = capsys.readouterr().out
+    assert "sig_sweep0" in out and "fs=1000" in out
+
+    out_dir = str(tmp_path / "batch")
+    os.makedirs(out_dir)
+    assert main(["export-batch", wav_path, "-o", out_dir]) == 0
+    assert os.path.exists(os.path.join(out_dir, "sig_sweep0.png"))

@@ -1,0 +1,103 @@
+"""Pallas fused STFT kernel: equivalence with the jnp reference path.
+
+On the CPU test rig the kernel runs in interpreter mode (same program,
+unlowered); on-TPU compiled equivalence is exercised by bench/verify runs.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core.stft import power_spectrogram, num_frames
+from spectral_tpu.ops.stft_pallas import (stft_psd_pallas, pallas_supported,
+                                          pallas_pipeline_fn)
+
+
+@pytest.mark.parametrize("nperseg,hop,n", [
+    (1024, 256, 160000),   # north-star config 1
+    (1024, 256, 5000),     # short signal, partial last block
+    (512, 128, 16000),
+    (256, 64, 4096),
+    (1024, 1024, 20000),   # non-overlapping frames (r = 1)
+    (256, 128, 10000),     # r = 2
+])
+def test_pallas_matches_jnp(nperseg, hop, n):
+    fs = 16000.0
+    cfg = SpecConfig.north_star(nperseg, hop)
+    rng = np.random.RandomState(0)
+    x = rng.randn(n).astype(np.float32)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg,
+                                       use_matmul=True))
+    out = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
+    assert out.shape == ref.shape == (num_frames(n, nperseg, hop),
+                                      cfg.n_freqs)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-10)
+
+
+def test_pallas_batched_and_scipy_compat_detrend():
+    # scipy-default semantics with a dividing hop: tukey window + constant
+    # detrend folded into the DFT matrices
+    fs = 1000.0
+    cfg = SpecConfig(nperseg=512, hop=256)  # tukey(.25), detrend constant
+    rng = np.random.RandomState(1)
+    xb = rng.randn(3, 8192).astype(np.float32) + 5.0  # DC offset: detrend!
+    ref = np.asarray(power_spectrogram(jnp.asarray(xb), fs, cfg,
+                                       use_matmul=True))
+    out = np.asarray(stft_psd_pallas(jnp.asarray(xb), fs, cfg))
+    # near-zero bins under a +5 DC offset see catastrophic cancellation;
+    # bound them by an absolute floor relative to the spectrum peak
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=ref.max() * 1e-6)
+
+    import scipy.signal
+    f, t, sxx = scipy.signal.spectrogram(np.asarray(xb[0], np.float64),
+                                         fs=fs, nperseg=512, noverlap=256,
+                                         scaling="density", mode="psd")
+    np.testing.assert_allclose(out[0].T, sxx, rtol=2e-4,
+                               atol=sxx.max() * 2e-5)
+
+
+def test_pallas_log10_output():
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128)
+    x = np.random.RandomState(2).randn(8000).astype(np.float32)
+    lin = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
+    logd = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg,
+                                      log10_out=True))
+    np.testing.assert_allclose(logd, np.log10(lin + 1e-20), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_pallas_rejects_unsupported():
+    with pytest.raises(ValueError, match="unsupported"):
+        stft_psd_pallas(jnp.zeros(10000), 1000.0,
+                        SpecConfig.scipy_default(1024))  # hop 896
+    assert not pallas_supported(SpecConfig.scipy_default(1024))
+    assert not pallas_supported(SpecConfig.north_star(2048, 512))
+    assert pallas_supported(SpecConfig.north_star(1024, 256))
+
+
+def test_pallas_short_signal_zero_frames():
+    cfg = SpecConfig.north_star(1024, 256)
+    out = stft_psd_pallas(jnp.zeros(100), 16000.0, cfg)
+    assert out.shape == (0, 513)
+
+
+def test_pallas_pipeline_matches_xla_pipeline():
+    from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128, log_scale=True)
+    xb = jnp.asarray(np.random.RandomState(3).randn(2, 16000)
+                     .astype(np.float32))
+    ref = batched_spectrogram_fn(fs, cfg, use_matmul=True)(xb)
+    out = pallas_pipeline_fn(fs, cfg)(xb)
+    np.testing.assert_allclose(np.asarray(out["psd"]), np.asarray(ref["psd"]),
+                               rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=5e-5)
+    # different accumulation orders perturb the image at ~4e-5, pushing a
+    # small fraction of pixels across a 1/256 LUT-bin edge
+    a = np.asarray(out["rgb_packed"]).ravel()
+    b = np.asarray(ref["rgb_packed"]).ravel()
+    assert (a != b).mean() < 5e-3
