@@ -64,13 +64,14 @@ def main() -> int:
         return jax.lax.map(lambda x: fn_raw(x)["rgb_packed"], xs)
 
     many_j = jax.jit(many)
+    checksum_j = jax.jit(lambda o: jnp.sum(o[:, 0, 0, 0].astype(jnp.float32)))
     xs = jnp.stack([xb if i % 2 == 0 else xb * 0.5 for i in range(reps)])
-    out = many_j(xs)
-    float(out[0, 0, 0, 0])  # warm: compile + first device->host transfer
+    # warm: compiles for BOTH programs + first device->host transfer — all
+    # excluded from the timed region
+    float(checksum_j(many_j(xs)))
 
     t0 = time.time()
-    out = many_j(xs)
-    checksum = float(jnp.sum(out[:, 0, 0, 0].astype(jnp.float32)))
+    checksum = float(checksum_j(many_j(xs)))
     dt = (time.time() - t0) / reps
     assert checksum == checksum  # not NaN
 

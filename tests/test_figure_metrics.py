@@ -1,0 +1,72 @@
+"""Decorated-figure rendering and observability utilities."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from spectral_tpu.api.session import AnalysisSession
+from spectral_tpu.config import SpecConfig, ViewSettings
+from spectral_tpu.io.registry import SweepEntry
+from spectral_tpu.utils.metrics import (ThroughputMeter, configure_logging,
+                                        timed, trace_annotation, logger)
+
+
+def _session():
+    s = AnalysisSession()
+    rng = np.random.RandomState(0)
+    x = rng.randn(20000).astype(np.float32) * 0.1
+    s.registry.register("rec_sweep0", SweepEntry(
+        filepath="rec", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=x, processed=x * 0.5))
+    s.plot_sweeps(["rec_sweep0"],
+                  SpecConfig.scipy_default(512, fmin=0.0, fmax=100.0,
+                                           log_scale=True),
+                  ViewSettings(mode_proc="Spectrogram"))
+    return s
+
+
+def test_render_session_figure(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    from spectral_tpu.render.figure import render_session_figure
+    s = _session()
+    s.last_detected_events = [(3.0, 5.0)]
+    p = str(tmp_path / "fig.png")
+    fig = render_session_figure(s, path=p, dpi=72)
+    assert os.path.exists(p) and os.path.getsize(p) > 1000
+    # two axes: signal over spectrogram (+ colorbar axis)
+    assert len(fig.axes) >= 2
+    # burst overlay landed on both main axes
+    assert any(len(ax.patches) for ax in fig.axes[:2])
+
+
+def test_render_transparent_strips_legend(tmp_path):
+    pytest.importorskip("matplotlib")
+    from spectral_tpu.render.figure import render_session_figure
+    s = _session()
+    fig = render_session_figure(s, dpi=72, transparent=True)
+    assert fig.axes[0].get_legend() is None
+
+
+def test_throughput_meter():
+    m = ThroughputMeter()
+    m.add(16000 * 10, 16000.0, n_frames=622)
+    r = m.report()
+    assert r["audio_hours"] == pytest.approx(10 / 3600.0, abs=1e-4)
+    assert r["frames_per_s"] > 0
+    assert r["audio_hours_per_min"] > 0
+
+
+def test_timed_and_logging(caplog):
+    configure_logging()
+    with caplog.at_level(logging.INFO, logger="spectral_tpu"):
+        with timed("unit-test-op") as t:
+            pass
+    assert "seconds" in t
+    assert any("unit-test-op" in r.message for r in caplog.records)
+
+
+def test_trace_annotation_noop():
+    with trace_annotation("x"):
+        pass  # must never raise, with or without a profiler backend
