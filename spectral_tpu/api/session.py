@@ -68,8 +68,6 @@ class AnalysisSession:
 
     def __init__(self, registry: Optional[SweepRegistry] = None,
                  detector: Optional[BurstDetector] = None):
-        from spectral_tpu.utils.cache import enable_compilation_cache
-        enable_compilation_cache()
         self.registry = registry if registry is not None else SweepRegistry()
         self.detector = detector if detector is not None else BurstDetector()
         self.config: Optional[SpecConfig] = None
@@ -199,6 +197,9 @@ class AnalysisSession:
     def _compute_spectrogram(self, global_max: Optional[float] = None
                              ) -> SpectrogramResult:
         """PlotEngine._plot_spectrogram compute portion (:110-131)."""
+        # first device work: platform selection is final by now
+        from spectral_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         cfg, fs = self.config, self.last_fs
         x = jnp.asarray(self.spec_data_source)
         psd = power_spectrogram(x, fs, cfg)  # (T, F)
