@@ -1,0 +1,79 @@
+"""Parameter-sweep grids: many (nperseg, hop, window) combos on one signal.
+
+BASELINE.json config 3: "16 combos of (n_fft in 256..4096, hop, window fn)
+over one clip, vmapped into one TPU launch". Combos that share (nperseg,
+hop, detrend, scaling) produce identically-shaped outputs and differ only in
+the window — and since the DFT is a matmul with the window folded into the
+matrix (core.stft.dft_matrices), a window sweep is ONE batched matmul over
+stacked DFT matrices: frames are built once per shape group and shared.
+Different shapes launch separately but share the same signal buffer in HBM
+(SURVEY.md §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core.stft import (dft_matrices, frame_signal, num_frames,
+                                    onesided_weights)
+
+Array = jax.Array
+
+
+def _shape_key(cfg: SpecConfig) -> Tuple:
+    return (cfg.nperseg, cfg.hop_, cfg.nfft_, cfg.detrend, cfg.scaling,
+            cfg.center, cfg.onesided)
+
+
+def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
+               ) -> List[Array]:
+    """Compute PSD spectrograms for every config over one signal.
+
+    Returns one frame-major PSD array per config (same order). Within a
+    shape group the window dimension is vmapped: stacked window-folded DFT
+    matrices, one framing, one batched MXU matmul.
+    """
+    groups: Dict[Tuple, List[int]] = defaultdict(list)
+    for i, cfg in enumerate(configs):
+        if cfg.nfft_ != cfg.nperseg:
+            raise ValueError("sweep_grid requires nfft == nperseg")
+        groups[_shape_key(cfg)].append(i)
+
+    results: List[Array] = [None] * len(configs)  # type: ignore
+    for key, idxs in groups.items():
+        nperseg, hop = key[0], key[1]
+        frames = frame_signal(x, nperseg, hop)  # shared per group
+        a_re = np.stack([dft_matrices(configs[i])[0] for i in idxs])
+        a_im = np.stack([dft_matrices(configs[i])[1] for i in idxs])
+        wts = np.stack([onesided_weights(configs[i], fs) for i in idxs])
+
+        def one(ar, ai, w):
+            xr = jnp.matmul(frames, ar, precision=jax.lax.Precision.HIGHEST)
+            xi = jnp.matmul(frames, ai, precision=jax.lax.Precision.HIGHEST)
+            return (xr * xr + xi * xi) * w
+
+        psds = jax.vmap(one)(jnp.asarray(a_re, frames.dtype),
+                             jnp.asarray(a_im, frames.dtype),
+                             jnp.asarray(wts, frames.dtype)[:, None, :])
+        for j, i in enumerate(idxs):
+            results[i] = psds[j]
+    return results
+
+
+def default_grid(n_ffts=(256, 512, 1024, 2048),
+                 windows=("hann", "hamming", ("tukey", 0.25), "blackman"),
+                 hop_divisor: int = 4) -> List[SpecConfig]:
+    """The 16-combo north-star grid: n_fft x window, hop = n_fft / divisor."""
+    out = []
+    for n in n_ffts:
+        for w in windows:
+            out.append(SpecConfig(nperseg=n, hop=n // hop_divisor, window=w,
+                                  detrend="none"))
+    return out

@@ -1,0 +1,122 @@
+"""Sweep-grid vmap and batched detection tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core.stft import power_spectrogram, num_frames, time_axis, freq_axis
+from spectral_tpu.core import events as ev
+from spectral_tpu.parallel.sweep_grid import sweep_grid, default_grid
+from spectral_tpu.models.batch import batch_unsupervised_detect, batch_viterbi_detect
+from spectral_tpu.models import hmm
+
+
+def test_default_grid_is_16_combos():
+    grid = default_grid()
+    assert len(grid) == 16
+    assert len({(c.nperseg, c.hop_, c.window) for c in grid}) == 16
+
+
+def test_sweep_grid_matches_individual_configs():
+    fs = 8000.0
+    x = jnp.asarray(np.random.RandomState(0).randn(16384).astype(np.float32))
+    configs = [
+        SpecConfig(nperseg=256, hop=64, window="hann", detrend="none"),
+        SpecConfig(nperseg=256, hop=64, window="hamming", detrend="none"),
+        SpecConfig(nperseg=256, hop=64, window=("tukey", 0.25), detrend="constant"),
+        SpecConfig(nperseg=512, hop=128, window="hann", detrend="none"),
+    ]
+    outs = sweep_grid(x, fs, configs)
+    assert len(outs) == 4
+    for cfg, out in zip(configs, outs):
+        ref = np.asarray(power_spectrogram(x, fs, cfg, use_matmul=True))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
+                                   atol=ref.max() * 1e-7)
+
+
+def test_sweep_grid_full_north_star():
+    fs = 16000.0
+    x = jnp.asarray(np.random.RandomState(1).randn(32768).astype(np.float32))
+    grid = default_grid()
+    outs = sweep_grid(x, fs, grid)
+    for cfg, out in zip(grid, outs):
+        T = num_frames(32768, cfg.nperseg, cfg.hop_)
+        assert out.shape == (T, cfg.n_freqs)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+# ---- batched detection -----------------------------------------------------
+
+def _batch_features(B=3, fs=1000.0, dur=60.0):
+    cfg = SpecConfig.scipy_default(1024)
+    rng = np.random.RandomState(7)
+    feats, truths = [], []
+    n = int(fs * dur)
+    tt = np.arange(n) / fs
+    for b in range(B):
+        bursts = ((10 + b, 16 + b), (35 - b, 42 - b))
+        x = 0.02 * rng.randn(n)
+        for a, c in bursts:
+            m = (tt >= a) & (tt < c)
+            x[m] += 0.6 * np.hanning(m.sum()) * np.sin(2 * np.pi * 6.0 * tt[m])
+        psd = power_spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+        f = freq_axis(cfg, fs)
+        feats.append(np.asarray(ev.features_from_psd(f, psd, 0.0, 30.0)))
+        truths.append(bursts)
+    t = time_axis(cfg, fs, n)
+    return t, np.stack(feats), truths
+
+
+def _iou(a, b):
+    inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+    return inter / (max(a[1], b[1]) - min(a[0], b[0]))
+
+
+def test_batch_unsupervised_detect():
+    t, feats, truths = _batch_features()
+    results = batch_unsupervised_detect(t, feats)
+    assert len(results) == 3
+    for evs, truth in zip(results, truths):
+        assert len(evs) == 2, evs
+        for found, true in zip(evs, truth):
+            assert _iou(found, true) > 0.6, (found, true)
+
+
+def test_batch_viterbi_detect_supervised_on_source_clip():
+    t, feats, truths = _batch_features()
+    # supervised model from clip 0's ground-truth labels decodes clip 0
+    # exactly; its tight variance floors make it clip-specific by design
+    # (reference-faithful, PlotEngine.py:337-355)
+    labels = ev.build_label_track(t, truths[0])
+    params = hmm.supervised_fit(feats[0], labels, 4)
+    results = batch_viterbi_detect(params, t, feats, scan="label")
+    assert len(results) == 3
+    evs = results[0]
+    assert len(evs) == 2
+    for found, true in zip(sorted(evs), truths[0]):
+        assert _iou(found, true) > 0.6, (found, true)
+
+
+def test_batch_viterbi_detect_em_model_generalizes():
+    t, feats, truths = _batch_features()
+    # EM-fitted (then escape-patched) model from clip 0 decodes every clip
+    params0 = hmm.init_params(feats[0], 4, seed=42)
+    params, _, _ = hmm.fit(params0, np.asarray(feats[0]), n_iter=100)
+    baseline = int(np.argmin(np.asarray(params.means)[:, 0]))
+    import jax.numpy as jnp
+    params = params._replace(transmat=jnp.asarray(
+        hmm.patch_escape_routes(np.asarray(params.transmat), baseline),
+        jnp.float32))
+    results = batch_viterbi_detect(params, t, feats, scan="baseline")
+    for evs, truth in zip(results, truths):
+        big = sorted(evs, key=lambda e: e[1] - e[0], reverse=True)[:2]
+        assert len(big) == 2, evs
+        for found, true in zip(sorted(big), truth):
+            assert _iou(found, true) > 0.5, (found, true)
+
+
+def test_batch_detect_rejects_short():
+    with pytest.raises(ValueError, match="Not enough data"):
+        batch_unsupervised_detect(np.arange(2.0), np.zeros((2, 2, 2)))
