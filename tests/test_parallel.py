@@ -178,3 +178,31 @@ def test_distributed_em_loglik_increases():
         params, ll = step(params, Xs)
         lls.append(float(ll))
     assert all(b >= a - 1e-2 for a, b in zip(lls, lls[1:])), lls
+
+
+# ---- end-to-end export pipeline -------------------------------------------
+
+def test_export_pipeline_writes_pngs(tmp_path):
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    from spectral_tpu.render.png import decode_png
+    fs = 8000.0
+    n = 8000
+    rng = np.random.RandomState(0)
+    clips = [(f"clip{i}", rng.randn(n).astype(np.float32)) for i in range(5)]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path),
+                                clip_samples=n, batch=2)
+    assert stats.clips == 5 and stats.pngs_written == 5
+    img = decode_png(str(tmp_path / "clip3.png"))
+    from spectral_tpu.core.stft import num_frames
+    assert img.shape == (129, num_frames(n, 256, 64), 4)
+
+
+def test_export_pipeline_pads_short_clips(tmp_path):
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    fs = 8000.0
+    clips = [("short", np.ones(1000, np.float32))]
+    cfg = SpecConfig.north_star(256, 64)
+    stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path),
+                                clip_samples=4000, batch=4)
+    assert stats.pngs_written == 1

@@ -174,3 +174,28 @@ def test_packed_colormap_matches_rgba():
     packed_f = np.asarray(apply_colormap_packed(img, flip_rows=True))
     np.testing.assert_array_equal(unpack_rgba(packed_f),
                                   np.asarray(apply_colormap_rgba(img, flip_rows=True)))
+
+
+def test_arith_colormap_byte_exact_all_indices():
+    from spectral_tpu.ops.colormap import apply_colormap_packed, _hinge_coeffs
+    # one pixel per possible LUT index
+    img = jnp.asarray((np.arange(256) / 256.0 + 1 / 512.0)
+                      .astype(np.float32).reshape(16, 16))
+    for name in ("jet", "gray", "hot"):
+        assert _hinge_coeffs(name) is not None, name
+        pa = np.asarray(apply_colormap_packed(img, name, method="arith"))
+        pg = np.asarray(apply_colormap_packed(img, name, method="gather"))
+        np.testing.assert_array_equal(pa, pg)
+    # boundary values
+    for v in (0.0, 1.0, 0.999999, 1e-9):
+        x = jnp.full((4, 4), v, jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(apply_colormap_packed(x, "jet", method="arith")),
+            np.asarray(apply_colormap_packed(x, "jet", method="gather")))
+
+
+def test_arith_colormap_rejects_unknown_method():
+    from spectral_tpu.ops.colormap import apply_colormap_packed
+    img = jnp.zeros((2, 2), jnp.float32)
+    # method='arith' on a verified map works; auto is default elsewhere
+    apply_colormap_packed(img, "jet", method="arith")
