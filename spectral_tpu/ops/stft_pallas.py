@@ -129,11 +129,17 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         rows2 = jnp.concatenate([rows_a[:, :], rows_b[:, :]], axis=0)
         xr = jnp.zeros((BF, Fp), jnp.float32)
         xi = jnp.zeros((BF, Fp), jnp.float32)
+        # NOTE: precision must be explicit — a bare f32 jnp.dot lowers to a
+        # single-pass bf16 MXU matmul under Mosaic (measured 18 dB error);
+        # HIGHEST selects the multi-pass f32 path (2.7e-4 dB vs scipy) and
+        # still runs at ~0.07 ms/clip. Mosaic supports only DEFAULT/HIGHEST.
+        prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
+                else jax.lax.Precision.DEFAULT)
         for k in range(r):
             piece = jax.lax.slice(rows2, (k, 0), (k + BF, hop))
-            xr = xr + jnp.dot(piece, are_ref[k],
+            xr = xr + jnp.dot(piece, are_ref[k], precision=prec,
                               preferred_element_type=jnp.float32)
-            xi = xi + jnp.dot(piece, aim_ref[k],
+            xi = xi + jnp.dot(piece, aim_ref[k], precision=prec,
                               preferred_element_type=jnp.float32)
         p = (xr * xr + xi * xi) * wts_ref[:, :]
         if log10_out:

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Full benchmark suite: per-stage timings across the framework.
+
+Writes a JSON report (default BENCH_REPORT.json) covering every hot path:
+fused STFT (pallas + XLA variants), colormap, PNG encoders, HMM fit/decode,
+streaming STFT, and the end-to-end export pipeline. `bench.py` stays the
+driver's single-line contract; this is the engineering view.
+
+Usage: python tools/bench_report.py [--out FILE] [--cpu] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timer(fn_make_out, warm=2, reps=4):
+    """Time a thunk that returns a device array; forces completion via a
+    warmed checksum program."""
+    import jax
+    import jax.numpy as jnp
+    cs = jax.jit(lambda o: o.ravel()[0].astype(jnp.float32))
+    for _ in range(warm):
+        float(cs(fn_make_out()))
+    t0 = time.time()
+    outs = [fn_make_out() for _ in range(reps)]
+    s = jax.jit(lambda os_: sum(o.ravel()[0].astype(jnp.float32) for o in os_))
+    float(s(outs))
+    return (time.time() - t0) / reps
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_REPORT.json")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from spectral_tpu.config import SpecConfig
+    from spectral_tpu.core.stft import power_spectrogram, num_frames
+    from spectral_tpu.core.scale import normalize
+    from spectral_tpu.ops.colormap import apply_colormap_packed, unpack_rgba
+    from spectral_tpu.ops.stft_pallas import stft_psd_pallas, pallas_supported
+    from spectral_tpu.render.png import encode_png
+    from spectral_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    report = {"backend": jax.default_backend(),
+              "n_devices": len(jax.devices()),
+              "timestamp": time.time(), "stages": {}}
+    S = report["stages"]
+
+    fs = 16000.0
+    B = 32 if args.quick else 256
+    n = 160000
+    cfg = SpecConfig.north_star(1024, 256, log_scale=True)
+    rng = np.random.RandomState(0)
+    xb = jnp.asarray(rng.randn(B, n).astype(np.float32))
+    clip_h = B * (n / fs) / 3600.0
+
+    def ahpm(dt):
+        return round(clip_h / (dt / 60.0), 1)
+
+    # STFT variants
+    if pallas_supported(cfg):
+        p = jax.jit(lambda x: stft_psd_pallas(x, fs, cfg))
+        dt = _timer(lambda: p(xb))
+        S["stft_pallas"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+                            "audio_hours_per_min": ahpm(dt)}
+    p = jax.jit(lambda x: power_spectrogram(x, fs, cfg, use_matmul=True))
+    dt = _timer(lambda: p(xb))
+    S["stft_xla_matmul"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+                            "audio_hours_per_min": ahpm(dt)}
+    p = jax.jit(lambda x: power_spectrogram(x, fs, cfg, use_matmul=False))
+    dt = _timer(lambda: p(xb))
+    S["stft_xla_fft"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+                         "audio_hours_per_min": ahpm(dt)}
+
+    # full pipeline (arith colormap)
+    def full(x):
+        img = jax.vmap(lambda s: normalize(s, True, None))(
+            jnp.swapaxes(stft_psd_pallas(x, fs, cfg) if pallas_supported(cfg)
+                         else power_spectrogram(x, fs, cfg, use_matmul=True),
+                         -1, -2))
+        return apply_colormap_packed(img, "jet", flip_rows=True)
+    p = jax.jit(full)
+    dt = _timer(lambda: p(xb))
+    S["pipeline_full"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+                          "audio_hours_per_min": ahpm(dt)}
+
+    # PNG encode (host)
+    packed = np.asarray(p(xb)[:4])
+    rgba = unpack_rgba(packed)
+    for lvl in (1, 4):
+        t0 = time.time()
+        for i in range(4):
+            encode_png(rgba[i], path=os.devnull if False else None,
+                       compress_level=lvl)
+        S[f"png_encode_l{lvl}"] = {
+            "ms_per_image": round((time.time() - t0) / 4 * 1000, 2)}
+
+    # HMM fit + viterbi (host CPU device, as the detector places it)
+    from spectral_tpu.models import hmm
+    T = 600
+    feats = np.asarray(rng.randn(T, 2), np.float32)
+    feats[100:200] += 3.0
+    with jax.default_device(jax.devices("cpu")[0]):
+        p0 = hmm.init_params(feats, 4, seed=42)
+        t0 = time.time()
+        params, ll, it = hmm.fit(p0, jnp.asarray(feats), n_iter=100)
+        ll = float(ll)
+        fit_s = time.time() - t0
+        t0 = time.time()
+        st = np.asarray(hmm.viterbi(params, jnp.asarray(feats)))
+        vit_s = time.time() - t0
+    S["hmm_fit_T600"] = {"seconds": round(fit_s, 3), "iters": int(it)}
+    S["hmm_viterbi_T600"] = {"ms": round(vit_s * 1000, 2)}
+
+    # streaming STFT throughput (1 minute of 48 kHz audio)
+    from spectral_tpu.parallel.streaming import stream_spectrogram
+    long_x = rng.randn(48000 * 60).astype(np.float32)
+    t0 = time.time()
+    stream_spectrogram(long_x, 48000.0, SpecConfig.north_star(1024, 256),
+                       chunk_size=1 << 19)
+    dt = time.time() - t0
+    S["streaming_1min_48k"] = {
+        "seconds": round(dt, 3),
+        "audio_hours_per_min": round((1 / 60.0) / (dt / 60.0), 1)}
+
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps(report["stages"], indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
