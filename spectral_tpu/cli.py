@@ -111,6 +111,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("info", help="list sweeps in files")
     p.add_argument("files", nargs="+")
 
+    p = sub.add_parser("gui", help="launch the Qt GUI client (needs PyQt5)")
+
     p = sub.add_parser("bench", help="quick throughput probe")
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--batch", type=int, default=32)
@@ -181,6 +183,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        use_proc=args.proc, use_raw=not args.proc,
                                        window_seconds=args.window_seconds))
         return 0
+
+    if args.cmd == "gui":
+        from spectral_tpu.gui.app import main as gui_main
+        return gui_main()
 
     if args.cmd == "bench":
         import time

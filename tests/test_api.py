@@ -206,3 +206,14 @@ def test_cli_info_and_batch(tmp_path, capsys):
     os.makedirs(out_dir)
     assert main(["export-batch", wav_path, "-o", out_dir]) == 0
     assert os.path.exists(os.path.join(out_dir, "sig_sweep0.png"))
+
+
+def test_gui_graceful_without_qt(capsys):
+    from spectral_tpu.cli import main
+    # PyQt5 absent in this image: the gui subcommand must fail helpfully
+    try:
+        import PyQt5  # noqa: F401
+        pytest.skip("PyQt5 present; GUI would actually launch")
+    except ImportError:
+        pass
+    assert main(["gui"]) == 2
