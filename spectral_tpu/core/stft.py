@@ -273,5 +273,12 @@ def spectrogram(x: Array, fs: float, cfg: SpecConfig,
         hi = cfg.fmax if cfg.fmax is not None else np.inf
         mask = (f >= lo) & (f <= hi)  # PlotEngine.py:114
         f = f[mask]
-        sxx = sxx[..., np.where(mask)[0], :]
+        # the band is contiguous: slice instead of gather (gathers are
+        # disproportionately slow on TPU)
+        idx = np.where(mask)[0]
+        if idx.size:
+            sxx = jax.lax.slice_in_dim(sxx, int(idx[0]), int(idx[-1]) + 1,
+                                       axis=sxx.ndim - 2)
+        else:
+            sxx = sxx[..., :0, :]
     return f, t, sxx

@@ -35,6 +35,27 @@ def _timer(fn_make_out, warm=2, reps=4):
     return (time.time() - t0) / reps
 
 
+def _timer_amortized(per_batch_fn, xb, K=8, reps=2):
+    """Per-batch time with K sub-batches inside one dispatch: remote
+    runtimes add O(100 ms) per dispatch, which otherwise floors every
+    measurement identically (see bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    def many(x):
+        return jnp.sum(jax.lax.map(
+            lambda i: jnp.sum(per_batch_fn(
+                x * (1.0 + 0.05 * i.astype(jnp.float32))).ravel()[:8]),
+            jnp.arange(K)))
+
+    p = jax.jit(many)
+    float(p(xb))
+    t0 = time.time()
+    for _ in range(reps):
+        float(p(xb))
+    return (time.time() - t0) / (reps * K)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_REPORT.json")
@@ -72,35 +93,32 @@ def main() -> int:
     def ahpm(dt):
         return round(clip_h / (dt / 60.0), 1)
 
-    # STFT variants
+    # STFT variants (dispatch-amortized)
     if pallas_supported(cfg):
-        p = jax.jit(lambda x: stft_psd_pallas(x, fs, cfg))
-        dt = _timer(lambda: p(xb))
-        S["stft_pallas"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+        dt = _timer_amortized(lambda x: stft_psd_pallas(x, fs, cfg), xb)
+        S["stft_pallas"] = {"ms_per_clip": round(dt * 1000 / B, 4),
                             "audio_hours_per_min": ahpm(dt)}
-    p = jax.jit(lambda x: power_spectrogram(x, fs, cfg, use_matmul=True))
-    dt = _timer(lambda: p(xb))
-    S["stft_xla_matmul"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+    dt = _timer_amortized(
+        lambda x: power_spectrogram(x, fs, cfg, use_matmul=True), xb)
+    S["stft_xla_matmul"] = {"ms_per_clip": round(dt * 1000 / B, 4),
                             "audio_hours_per_min": ahpm(dt)}
-    p = jax.jit(lambda x: power_spectrogram(x, fs, cfg, use_matmul=False))
-    dt = _timer(lambda: p(xb))
-    S["stft_xla_fft"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+    dt = _timer_amortized(
+        lambda x: power_spectrogram(x, fs, cfg, use_matmul=False), xb)
+    S["stft_xla_fft"] = {"ms_per_clip": round(dt * 1000 / B, 4),
                          "audio_hours_per_min": ahpm(dt)}
 
     # full pipeline (arith colormap)
     def full(x):
         img = jax.vmap(lambda s: normalize(s, True, None))(
-            jnp.swapaxes(stft_psd_pallas(x, fs, cfg) if pallas_supported(cfg)
-                         else power_spectrogram(x, fs, cfg, use_matmul=True),
+            jnp.swapaxes(power_spectrogram(x, fs, cfg, use_matmul=True),
                          -1, -2))
         return apply_colormap_packed(img, "jet", flip_rows=True)
-    p = jax.jit(full)
-    dt = _timer(lambda: p(xb))
-    S["pipeline_full"] = {"ms_per_clip": round(dt * 1000 / B, 3),
+    dt = _timer_amortized(full, xb)
+    S["pipeline_full"] = {"ms_per_clip": round(dt * 1000 / B, 4),
                           "audio_hours_per_min": ahpm(dt)}
 
     # PNG encode (host)
-    packed = np.asarray(p(xb)[:4])
+    packed = np.asarray(jax.jit(full)(xb)[:4])
     rgba = unpack_rgba(packed)
     for lvl in (1, 4):
         t0 = time.time()
@@ -117,12 +135,15 @@ def main() -> int:
     feats[100:200] += 3.0
     with jax.default_device(jax.devices("cpu")[0]):
         p0 = hmm.init_params(feats, 4, seed=42)
+        X = jnp.asarray(feats)
+        params, ll, it = hmm.fit(p0, X, n_iter=100)   # warm (compile)
+        np.asarray(hmm.viterbi(params, X))
         t0 = time.time()
-        params, ll, it = hmm.fit(p0, jnp.asarray(feats), n_iter=100)
+        params, ll, it = hmm.fit(p0, X, n_iter=100)
         ll = float(ll)
         fit_s = time.time() - t0
         t0 = time.time()
-        st = np.asarray(hmm.viterbi(params, jnp.asarray(feats)))
+        st = np.asarray(hmm.viterbi(params, X))
         vit_s = time.time() - t0
     S["hmm_fit_T600"] = {"seconds": round(fit_s, 3), "iters": int(it)}
     S["hmm_viterbi_T600"] = {"ms": round(vit_s * 1000, 2)}
