@@ -205,12 +205,21 @@ class AnalysisSession:
         psd = power_spectrogram(x, fs, cfg)  # (T, F)
         f = freq_axis(cfg, fs)
         t = time_axis(cfg, fs, len(self.spec_data_source))
+        if cfg.n_mels:
+            from spectral_tpu.core.mel import (mel_filterbank, mel_to_hz,
+                                               hz_to_mel)
+            fb = mel_filterbank(cfg.n_mels, psd.shape[-1], fs, cfg.mel_fmin,
+                                cfg.mel_fmax, cfg.mel_htk)
+            psd = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype))
+            # frequency axis becomes the mel filters' center frequencies
+            mel_max = cfg.mel_fmax if cfg.mel_fmax is not None else fs / 2.0
+            pts = np.linspace(hz_to_mel(cfg.mel_fmin, cfg.mel_htk),
+                              hz_to_mel(mel_max, cfg.mel_htk), cfg.n_mels + 2)
+            f = mel_to_hz(pts[1:-1], cfg.mel_htk)
         sxx = np.asarray(psd).T  # freq-major
+        from spectral_tpu.core.stft import mask_band_rows
         if cfg.fmin is not None or cfg.fmax is not None:
-            lo = cfg.fmin if cfg.fmin is not None else -np.inf
-            hi = cfg.fmax if cfg.fmax is not None else np.inf
-            mask = (f >= lo) & (f <= hi)
-            f, sxx = f[mask], sxx[mask, :]
+            f, sxx = mask_band_rows(f, sxx, cfg.fmin, cfg.fmax)
         self.last_f, self.last_t, self.last_sxx = f, t, sxx
         if sxx.size == 0:  # PlotEngine.py:122-124
             self.last_t = np.array([])

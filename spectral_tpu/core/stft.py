@@ -225,6 +225,9 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
     Matches scipy.signal.spectrogram(..., scaling=cfg.scaling, mode='psd')
     values (scipy returns freq-major (n_freqs, nframes); transpose to compare).
     """
+    if cfg.mode == "complex":
+        raise ValueError("mode='complex' has no power spectrogram; "
+                         "use stft() (or spectrogram(), which routes it)")
     frames = _prep_frames(x, cfg)
     w = jnp.asarray(_window_f64(cfg), frames.dtype)
     wts = jnp.asarray(onesided_weights(cfg, fs), frames.dtype)
@@ -266,19 +269,41 @@ def spectrogram(x: Array, fs: float, cfg: SpecConfig,
     """
     f = freq_axis(cfg, fs)
     t = time_axis(cfg, fs, x.shape[-1])
-    p = power_spectrogram(x, fs, cfg, use_matmul=use_matmul)  # (..., T, F)
+    if cfg.mode == "complex":
+        # scipy mode='complex': complex STFT scaled by sqrt(psd scale),
+        # no one-sided doubling
+        p = stft(x, cfg, use_matmul=use_matmul) * np.sqrt(psd_scale(cfg, fs))
+    else:
+        p = power_spectrogram(x, fs, cfg, use_matmul=use_matmul)  # (..., T, F)
     sxx = jnp.swapaxes(p, -1, -2)  # freq-major like scipy
     if cfg.fmin is not None or cfg.fmax is not None:
-        lo = cfg.fmin if cfg.fmin is not None else -np.inf
-        hi = cfg.fmax if cfg.fmax is not None else np.inf
-        mask = (f >= lo) & (f <= hi)  # PlotEngine.py:114
-        f = f[mask]
-        # the band is contiguous: slice instead of gather (gathers are
-        # disproportionately slow on TPU)
-        idx = np.where(mask)[0]
-        if idx.size:
-            sxx = jax.lax.slice_in_dim(sxx, int(idx[0]), int(idx[-1]) + 1,
-                                       axis=sxx.ndim - 2)
-        else:
-            sxx = sxx[..., :0, :]
+        f, sxx = mask_band_rows(f, sxx, cfg.fmin, cfg.fmax)
     return f, t, sxx
+
+
+def mask_band_rows(f: np.ndarray, sxx, fmin: Optional[float],
+                   fmax: Optional[float]):
+    """Apply the reference's frequency row mask (PlotEngine.py:114-115) to a
+    freq-major spectrogram (..., F, T). Works on device or numpy arrays.
+
+    Uses a slice when the masked band is contiguous (one-sided spectra;
+    gathers are disproportionately slow on TPU) and falls back to a gather
+    for non-contiguous masks (two-sided fftfreq ordering)."""
+    lo = fmin if fmin is not None else -np.inf
+    hi = fmax if fmax is not None else np.inf
+    mask = (f >= lo) & (f <= hi)
+    idx = np.where(mask)[0]
+    f = f[mask]
+    axis = sxx.ndim - 2
+    if idx.size == 0:
+        return f, sxx[..., :0, :]
+    contiguous = bool(np.all(np.diff(idx) == 1))
+    if isinstance(sxx, np.ndarray):
+        out = (sxx[..., idx[0]:idx[-1] + 1, :] if contiguous
+               else np.take(sxx, idx, axis=axis))
+    elif contiguous:
+        out = jax.lax.slice_in_dim(sxx, int(idx[0]), int(idx[-1]) + 1,
+                                   axis=axis)
+    else:
+        out = jnp.take(sxx, jnp.asarray(idx), axis=axis)
+    return f, out

@@ -76,8 +76,9 @@ _SYM_BUILDERS = {
 }
 
 
-def parse_window(window: WindowSpec) -> Tuple[str, float]:
-    """Normalize a window spec to (name, param). 'tukey:0.25' style also accepted."""
+def parse_window(window: WindowSpec):
+    """Normalize a window spec to (name, param); param is None when the spec
+    carries no parameter. 'tukey:0.25' style also accepted."""
     if isinstance(window, tuple):
         name, param = window
         return str(name).lower(), float(param)
@@ -85,7 +86,7 @@ def parse_window(window: WindowSpec) -> Tuple[str, float]:
     if ":" in name:
         base, param = name.split(":", 1)
         return base, float(param)
-    return name, 0.0
+    return name, None
 
 
 def get_window(window: WindowSpec, M: int, periodic: bool = True) -> np.ndarray:
@@ -99,7 +100,9 @@ def get_window(window: WindowSpec, M: int, periodic: bool = True) -> np.ndarray:
     L = M + 1 if periodic and M > 1 else M
 
     if name == "tukey":
-        w = _tukey_sym(L, param if param > 0 else 0.25)
+        # no parameter -> scipy's spectrogram default alpha 0.25; an
+        # explicit alpha (including 0 = boxcar) is honored as given
+        w = _tukey_sym(L, 0.25 if param is None else param)
     elif name in _SYM_BUILDERS:
         w = _SYM_BUILDERS[name](L)
     else:

@@ -129,7 +129,6 @@ def load_nix_h5(filepath: str, registry) -> List[str]:
     base = os.path.splitext(os.path.basename(filepath))[0]
 
     with h5py.File(filepath, "r") as f:
-        is_nix = "data" in f and _to_str(f.attrs.get("format", "")) in ("nix", "")
         segments = _collect_nix_segments(f) if "data" in f else []
         if not segments:
             segments = _collect_generic_segments(f)

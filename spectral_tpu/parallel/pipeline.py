@@ -4,7 +4,7 @@ BASELINE.json config 5: "10k-clip dataset end-to-end (decode -> fused STFT ->
 colormap -> PNG)". The reference's analog is a serial matplotlib loop
 (ExportManager.py:146). Here the three stages overlap:
 
-  stage 1 (host threads): file decode / array staging, prefetched ahead;
+  stage 1 (producer thread): file decode / array staging, prefetched ahead;
   stage 2 (device):       batched fused pipeline, async dispatch — the next
                           batch uploads while the current one computes;
   stage 3 (host threads): packed-pixel unpack + PNG encode (zlib releases
@@ -59,7 +59,7 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         clip_samples: int, batch: int = 32,
                         colormap: str = "jet", compress_level: int = 3,
                         use_pallas: bool = True,
-                        decode_workers: int = 2, encode_workers: int = 4,
+                        encode_workers: int = 4,
                         prefetch: int = 2) -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
 
@@ -91,6 +91,7 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     os.makedirs(out_dir, exist_ok=True)
     stats = PipelineStats()
     stage_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    producer_error: list = []
 
     def producer():
         try:
@@ -98,6 +99,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                 # async dispatch: upload + compute overlap with consumer
                 packed = fn(jnp.asarray(xb))
                 stage_q.put((names, packed))
+        except BaseException as e:  # re-raised in the consumer
+            producer_error.append(e)
         finally:
             stage_q.put(None)
 
@@ -128,6 +131,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
             f.result()
             stats.pngs_written += 1
     t.join()
+    if producer_error:
+        raise producer_error[0]
     return stats
 
 

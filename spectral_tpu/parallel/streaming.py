@@ -113,11 +113,19 @@ def iter_stream(chunks: Iterator[np.ndarray], fs: float, cfg: SpecConfig,
                 chunk_size: int, use_matmul: bool = False
                 ) -> Iterator[Tuple[np.ndarray, int]]:
     """Generator form for true streaming sources: yields (psd_block,
-    first_abs_frame_index) with invalid slots already dropped."""
+    first_abs_frame_index) with invalid slots already dropped — both the
+    leading carry region and, for a short final chunk, trailing frames that
+    would extend past the real samples (zero-padding is an implementation
+    detail, not signal)."""
     s = StreamingSTFT(fs, cfg, chunk_size, use_matmul=use_matmul)
+    h = cfg.hop_
+    n_seen = 0
     for chunk in chunks:
         chunk = np.asarray(chunk, np.float32)
+        n_seen += chunk.shape[0]
         if chunk.shape[0] < chunk_size:
             chunk = np.pad(chunk, (0, chunk_size - chunk.shape[0]))
         psd, valid, first_abs = s.process(chunk)
+        abs_idx = first_abs + np.arange(s.frames_per_chunk)
+        valid = valid & (abs_idx * h + cfg.nperseg <= n_seen)
         yield np.asarray(psd)[valid], max(first_abs, 0)

@@ -1,0 +1,110 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.signal
+
+from spectral_tpu.config import SpecConfig, ViewSettings
+from spectral_tpu.core.stft import (mask_band_rows, power_spectrogram,
+                                    spectrogram, stft, psd_scale)
+from spectral_tpu.core.windows import get_window, parse_window
+
+
+def test_twosided_band_mask_not_contiguous():
+    """fmin/fmax on a two-sided spectrum: fftfreq ordering makes the mask
+    non-contiguous; rows must match the masked frequency axis exactly."""
+    fs = 1000.0
+    x = np.random.RandomState(0).randn(4096).astype(np.float32)
+    cfg = SpecConfig(nperseg=256, onesided=False, fmin=-50.0, fmax=50.0,
+                     mode="psd")
+    f, t, sxx = spectrogram(jnp.asarray(x), fs, cfg)
+    assert f.shape[0] == np.asarray(sxx).shape[0]
+    assert np.all((f >= -50.0) & (f <= 50.0))
+    # sanity: the masked row count equals the two-sided mask cardinality
+    full_f = np.fft.fftfreq(256, 1 / fs)
+    assert f.shape[0] == ((full_f >= -50) & (full_f <= 50)).sum()
+
+
+def test_mask_band_rows_numpy_and_device_agree():
+    f = np.fft.rfftfreq(256, 1 / 1000.0)
+    sxx = np.random.RandomState(1).rand(129, 7).astype(np.float32)
+    f1, out1 = mask_band_rows(f, sxx, 10.0, 100.0)
+    f2, out2 = mask_band_rows(f, jnp.asarray(sxx), 10.0, 100.0)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(out1, np.asarray(out2))
+    # empty band
+    f3, out3 = mask_band_rows(f, sxx, 900.0, 950.0)
+    assert f3.size == 0 and out3.shape == (0, 7)
+
+
+def test_tukey_alpha_zero_is_boxcar():
+    w = get_window(("tukey", 0.0), 128)
+    np.testing.assert_array_equal(
+        w, scipy.signal.get_window(("tukey", 0.0), 128, fftbins=True))
+    assert np.all(w == 1.0)
+    assert parse_window("tukey")[1] is None  # bare name -> default alpha
+    # default (no param) stays the scipy spectrogram default 0.25
+    np.testing.assert_allclose(
+        get_window("tukey", 128),
+        scipy.signal.get_window(("tukey", 0.25), 128, fftbins=True))
+
+
+def test_complex_mode_routes_to_stft():
+    fs = 1000.0
+    x = np.random.RandomState(2).randn(2048)
+    cfg = SpecConfig(nperseg=256, mode="complex", detrend="constant")
+    with pytest.raises(ValueError, match="complex"):
+        power_spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+    f, t, sxx = spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+    assert np.iscomplexobj(np.asarray(sxx))
+    ref_f, ref_t, ref = scipy.signal.spectrogram(
+        x, fs=fs, nperseg=256, scaling="density", mode="complex")
+    np.testing.assert_allclose(np.asarray(sxx), ref, atol=np.abs(ref).max() * 1e-5)
+
+
+def test_iter_stream_drops_padded_tail_frames():
+    from spectral_tpu.parallel.streaming import iter_stream
+    from spectral_tpu.core.stft import num_frames
+    cfg = SpecConfig.north_star(256, 64)
+    fs = 1000.0
+    n = 2500  # final chunk is short -> padded internally
+    x = np.random.RandomState(3).randn(n).astype(np.float32)
+    chunks = [x[i:i + 1024] for i in range(0, n, 1024)]
+    blocks = list(iter_stream(iter(chunks), fs, cfg, 1024))
+    total = sum(b.shape[0] for b, _ in blocks)
+    assert total == num_frames(n, 256, 64)  # no zero-padding garbage frames
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+    cat = np.concatenate([b for b, _ in blocks])
+    np.testing.assert_allclose(cat, ref, rtol=1e-4, atol=1e-9)
+
+
+def test_pipeline_propagates_producer_errors(tmp_path):
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+
+    def bad_clips():
+        yield "ok", np.zeros(1000, np.float32)
+        raise RuntimeError("corrupt file")
+
+    with pytest.raises(RuntimeError, match="corrupt file"):
+        export_spectrograms(bad_clips(), 8000.0,
+                            SpecConfig.north_star(256, 64), str(tmp_path),
+                            clip_samples=1000, batch=4)
+
+
+def test_session_render_applies_mel():
+    from spectral_tpu.api.session import AnalysisSession
+    from spectral_tpu.io.registry import SweepEntry
+    fs = 16000.0
+    t = np.arange(32000) / fs
+    tone = np.sin(2 * np.pi * 2000.0 * t).astype(np.float32)
+    s = AnalysisSession()
+    s.registry.register("x_sweep0", SweepEntry(
+        filepath="x", sweep_idx=0, fs=fs, fs_raw=fs, raw=tone, processed=None))
+    res = s.plot_sweeps(["x_sweep0"],
+                        SpecConfig.north_star(1024, 256, n_mels=64),
+                        ViewSettings())
+    assert res.sxx.shape[0] == 64          # mel rows, not 513 linear bins
+    assert s.last_f.shape == (64,)          # mel center frequencies
+    peak_f = s.last_f[np.argmax(res.sxx.sum(axis=1))]
+    assert 1500.0 < peak_f < 2600.0         # tone lands near 2 kHz
