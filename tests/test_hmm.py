@@ -216,3 +216,69 @@ def test_kmeans_deterministic():
     X = rng.randn(100, 2)
     np.testing.assert_array_equal(hmm.kmeans(X, 4, seed=42),
                                   hmm.kmeans(X, 4, seed=42))
+
+
+def test_posteriors_match_brute_force():
+    """E-step gamma (state posteriors) vs explicit path enumeration."""
+    import itertools
+    p = _params([0.6, 0.4], [[0.7, 0.3], [0.2, 0.8]],
+                [[0.0, 0.0], [1.5, 1.0]], [[0.5, 0.5], [0.8, 0.3]])
+    rng = np.random.RandomState(4)
+    X = rng.randn(4, 2).astype(np.float32)
+    log_b = np.asarray(hmm.log_emission(p, jnp.asarray(X)), np.float64)
+    start = np.asarray(p.startprob, np.float64)
+    trans = np.asarray(p.transmat, np.float64)
+
+    post = np.zeros((4, 2))
+    total = 0.0
+    for path in itertools.product([0, 1], repeat=4):
+        pr = start[path[0]] * np.exp(log_b[0, path[0]])
+        for t in range(1, 4):
+            pr *= trans[path[t - 1], path[t]] * np.exp(log_b[t, path[t]])
+        total += pr
+        for t, s in enumerate(path):
+            post[t, s] += pr
+    post /= total
+
+    gamma, xi_sum, ll = hmm._e_step(p, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(gamma), post, rtol=2e-4, atol=1e-6)
+    # xi sums: expected transition counts, also against enumeration
+    xi_ref = np.zeros((2, 2))
+    for path in itertools.product([0, 1], repeat=4):
+        pr = start[path[0]] * np.exp(log_b[0, path[0]])
+        for t in range(1, 4):
+            pr *= trans[path[t - 1], path[t]] * np.exp(log_b[t, path[t]])
+        for t in range(3):
+            xi_ref[path[t], path[t + 1]] += pr
+    xi_ref /= total
+    np.testing.assert_allclose(np.asarray(xi_sum), xi_ref, rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_score_matches_forward():
+    X, _ = _two_state_data(T=50)
+    p = hmm.init_params(X, 2, seed=42)
+    ll = float(hmm.score(p, jnp.asarray(X)))
+    log_b = hmm.log_emission(p, jnp.asarray(X))
+    _, ll2 = hmm.forward_log(p, log_b)
+    assert ll == pytest.approx(float(ll2))
+    assert np.isfinite(ll)
+
+
+def test_m_step_single_hand_computed():
+    """One M-step from a hand-built gamma reproduces weighted means."""
+    X = jnp.asarray(np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]],
+                             np.float32))
+    gamma = jnp.asarray(np.array([[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]],
+                                 np.float32))
+    xi = jnp.asarray(np.array([[0.5, 0.5], [0.25, 0.75]], np.float32))
+    p0 = _params([0.5, 0.5], [[0.5, 0.5], [0.5, 0.5]],
+                 [[0.0, 0.0], [1.0, 1.0]], [[1.0, 1.0], [1.0, 1.0]])
+    p1 = hmm._m_step(p0, X, gamma, xi)
+    # means: state0 = (1*0 + .5*1)/1.5, state1 = (.5*1 + 1*2)/1.5
+    np.testing.assert_allclose(np.asarray(p1.means)[:, 0],
+                               [0.5 / 1.5, 2.5 / 1.5], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1.startprob), [1.0, 0.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1.transmat),
+                               [[0.5, 0.5], [0.25, 0.75]], rtol=1e-5)
