@@ -84,6 +84,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-o", "--out", required=True)
     p.add_argument("--cmap", default="jet")
     p.add_argument("--mels", type=int, default=0, help="mel bins (0 = linear)")
+    p.add_argument("--decorated", action="store_true",
+                   help="full figure with axes/colorbar/labels (matplotlib) "
+                        "instead of the raw pixel image")
+    p.add_argument("--dpi", type=int, default=150)
     _add_spec_args(p)
 
     p = sub.add_parser("detect", help="unsupervised burst detection")
@@ -107,6 +111,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-o", "--out-dir", required=True)
     p.add_argument("--proc", action="store_true")
     p.add_argument("--window-seconds", type=float, default=None)
+
+    p = sub.add_parser("stream", help="chunked STFT for long recordings "
+                                      "(bounded device memory)")
+    p.add_argument("file")
+    p.add_argument("-o", "--out", required=True,
+                   help="output .npz (PSD + axes) or .png (dB image)")
+    p.add_argument("--chunk-seconds", type=float, default=60.0)
+    _add_spec_args(p)
 
     p = sub.add_parser("info", help="list sweeps in files")
     p.add_argument("files", nargs="+")
@@ -137,7 +149,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.cmd == "render":
         s, _ = _session_for(args.files, args)
-        print(s.export_png(args.out, colormap=args.cmap))
+        if args.decorated:
+            from spectral_tpu.render.figure import render_session_figure
+            render_session_figure(s, path=args.out, dpi=args.dpi)
+            print(f"Successfully exported decorated figure to {args.out}")
+        else:
+            print(s.export_png(args.out, colormap=args.cmap))
         return 0
 
     if args.cmd == "detect":
@@ -170,6 +187,38 @@ def main(argv: Optional[List[str]] = None) -> int:
         bp = s.calculate_band_powers()
         print(json.dumps({k: round(v, 6) for k, v in bp.items()},
                          ensure_ascii=False, indent=2))
+        return 0
+
+    if args.cmd == "stream":
+        from spectral_tpu.io.registry import SweepRegistry
+        from spectral_tpu.parallel.streaming import stream_spectrogram
+        from spectral_tpu.core.stft import freq_axis, time_axis
+        r = SweepRegistry()
+        try:
+            names = r.load_file(args.file)
+        except FileNotFoundError:
+            sys.exit(f"error: file not found: {args.file}")
+        sig, fs = r.get_signal(names[0])
+        cfg = _make_config(args)
+        hop = cfg.hop_
+        chunk = max(cfg.nperseg, int(args.chunk_seconds * fs) // hop * hop)
+        psd = stream_spectrogram(np.asarray(sig, np.float32), fs, cfg, chunk)
+        if args.out.endswith(".npz"):
+            np.savez(args.out, psd=np.asarray(psd), f=freq_axis(cfg, fs),
+                     t=time_axis(cfg, fs, len(sig)), fs=fs)
+            print(f"Wrote PSD {psd.shape} to {args.out}")
+        else:
+            import jax.numpy as jnp
+            from spectral_tpu.core.scale import normalize
+            from spectral_tpu.ops.colormap import (apply_colormap_packed,
+                                                   unpack_rgba)
+            from spectral_tpu.render.png import encode_png
+            img = normalize(jnp.swapaxes(jnp.asarray(psd), -1, -2),
+                            log_scale=True)
+            packed = apply_colormap_packed(img, flip_rows=True)
+            encode_png(unpack_rgba(np.asarray(packed)), path=args.out,
+                       compress_level=4)
+            print(f"Wrote dB spectrogram image {img.shape} to {args.out}")
         return 0
 
     if args.cmd == "export-batch":
