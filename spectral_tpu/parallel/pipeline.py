@@ -58,7 +58,7 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         cfg: SpecConfig, out_dir: str, *,
                         clip_samples: int, batch: int = 32,
                         colormap: str = "jet", compress_level: int = 3,
-                        use_pallas: bool = True,
+                        use_pallas: bool = False,
                         encode_workers: int = 4,
                         prefetch: int = 2) -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
