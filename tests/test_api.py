@@ -217,3 +217,39 @@ def test_gui_graceful_without_qt(capsys):
     except ImportError:
         pass
     assert main(["gui"]) == 2
+
+
+def test_spectrogram_source_selection_precedence():
+    """PROC wins over RAW for the spectrogram source (PlotEngine.py:95-99)."""
+    s = _session_with_sweeps(1)
+    # both request spectrogram: processed (0.5x amplitude) must win
+    s.plot_sweeps(["rec_sweep0"], SpecConfig.scipy_default(512),
+                  ViewSettings(mode_raw="Spectrogram", mode_proc="Spectrogram"))
+    assert np.abs(s.spec_data_source).max() < 0.5
+    # only raw requests a spectrogram -> raw drives it
+    s.plot_sweeps(["rec_sweep0"], SpecConfig.scipy_default(512),
+                  ViewSettings(mode_raw="Both", mode_proc="Signal"))
+    assert np.abs(s.spec_data_source).max() > 0.3
+
+
+def test_export_batch_shared_symmetric_ylim(tmp_path):
+    """Two-pass global max-amplitude scaling (ExportManager.py:126-144,:179):
+    under the shared y-limit, a half-amplitude signal's waveform spans half
+    the rows of the full-amplitude one."""
+    from spectral_tpu.api.export import export_batch_signals_png
+    r = SweepRegistry()
+    loud = np.sin(np.linspace(0, 40 * np.pi, 4000)).astype(np.float32)
+    r.register("a_sweep0", SweepEntry("f", 0, 100.0, 100.0, loud, None))
+    r.register("b_sweep0", SweepEntry("f", 1, 100.0, 100.0,
+                                      loud * 0.5, None))
+    msg = export_batch_signals_png(str(tmp_path), r,
+                                   ["a_sweep0", "b_sweep0"],
+                                   height=200, width=400)
+    assert "Exported 2" in msg
+    a = decode_png(str(tmp_path / "a_sweep0.png"))
+    b = decode_png(str(tmp_path / "b_sweep0.png"))
+    rows_a = np.where((a[..., 3] == 255).any(axis=1))[0]
+    rows_b = np.where((b[..., 3] == 255).any(axis=1))[0]
+    extent_a = rows_a.max() - rows_a.min()
+    extent_b = rows_b.max() - rows_b.min()
+    assert 0.4 < extent_b / extent_a < 0.6  # half the vertical span
