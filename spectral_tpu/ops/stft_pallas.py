@@ -197,3 +197,134 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
         return out
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused display kernel: STFT -> PSD -> normalize -> dB -> colormap ->
+# packed RGBA, one VMEM pass per clip (no HBM round trips between stages).
+# ---------------------------------------------------------------------------
+
+MAX_DISPLAY_FRAMES = 1024  # one clip's frames must fit VMEM in one block
+
+
+def display_supported(cfg: SpecConfig, n: int) -> bool:
+    return (pallas_supported(cfg)
+            and 0 < num_frames(n, cfg.nperseg, cfg.hop_) <= MAX_DISPLAY_FRAMES)
+
+
+def stft_display_pallas(x: Array, fs: float, cfg: SpecConfig,
+                        colormap: str = "jet",
+                        interpret: Optional[bool] = None) -> Array:
+    """Whole display pipeline in one kernel: (B, n) -> packed uint32
+    (B, F, T) RGBA images, freq-major with row 0 = highest frequency
+    (flip_rows convention), equal to
+    apply_colormap_packed(normalize(psd.T, cfg.log_scale), flip_rows=True).
+
+    Per-image normalization requires the image's global max, so the grid is
+    one block per clip; clips longer than MAX_DISPLAY_FRAMES frames use the
+    staged pipeline instead (see display_supported).
+
+    Measured on v5e: 0.100 ms/clip vs 0.085 for the staged XLA pipeline
+    (the one-block-per-clip grid pipelines worse than XLA's own fusion of
+    the elementwise tail), so the staged path is the production default and
+    this kernel is the single-launch alternative for latency-sensitive
+    single-dispatch uses.
+    """
+    from spectral_tpu.ops.colormap import _hinge_coeffs
+
+    if x.ndim == 1:
+        return stft_display_pallas(x[None], fs, cfg, colormap, interpret)[0]
+    if not display_supported(cfg, x.shape[-1]):
+        raise ValueError("config/length unsupported by the fused display "
+                         "kernel; use the staged pipeline")
+    coeffs = _hinge_coeffs(colormap, 256)
+    if coeffs is None:
+        raise ValueError(f"colormap {colormap!r} is not arithmetically "
+                         "expressible; use the staged pipeline")
+    chans, ceps = coeffs
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    nperseg, hop = cfg.nperseg, cfg.hop_
+    r = nperseg // hop
+    B, n = x.shape
+    T = num_frames(n, nperseg, hop)
+    a_re, a_im, wts = _padded_consts(cfg, fs)
+    Fp = a_re.shape[2]
+    F = cfg.n_freqs
+    log_scale = cfg.log_scale
+    prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
+            else jax.lax.Precision.DEFAULT)
+
+    Tp = _round_up(T, 8)
+    rows_needed = Tp + r - 1
+    total = rows_needed * hop
+    xp = jnp.pad(x, ((0, 0), (0, total - n))) if total > n else x[:, :total]
+    rows = xp.reshape(B, rows_needed, hop)
+
+    # static mask of real (frame, freq) cells: padded cells must not
+    # influence the per-image max or the dB min-max rescale
+    col_ids = np.arange(Fp)[None, :]
+    row_ids = np.arange(Tp)[:, None]
+    valid = ((col_ids < F) & (row_ids < T)).astype(np.float32)
+
+    def kernel(rows_ref, are_ref, aim_ref, wts_ref, valid_ref, out_ref):
+        xr = jnp.zeros((Tp, Fp), jnp.float32)
+        xi = jnp.zeros((Tp, Fp), jnp.float32)
+        for k in range(r):
+            piece = jax.lax.slice(rows_ref[:, :], (k, 0), (k + Tp, hop))
+            xr = xr + jnp.dot(piece, are_ref[k], precision=prec,
+                              preferred_element_type=jnp.float32)
+            xi = xi + jnp.dot(piece, aim_ref[k], precision=prec,
+                              preferred_element_type=jnp.float32)
+        psd = (xr * xr + xi * xi) * wts_ref[:, :]
+        v = valid_ref[:, :]
+        neg = jnp.float32(-3.4e38)
+        pos = jnp.float32(3.4e38)
+        # normalize (PlotEngine.py:126-131): base = image max over real cells
+        base = jnp.max(jnp.where(v > 0, psd, neg))
+        img = jnp.clip(psd / (base + 1e-20), 0.0, 1.0)
+        if log_scale:
+            db = 10.0 * jnp.log10(img + 1e-12)
+            mn = jnp.min(jnp.where(v > 0, db, pos))
+            mx = jnp.max(jnp.where(v > 0, db, neg))
+            rng = mx - mn
+            img = jnp.where(rng > 1e-6, (db - mn) / jnp.where(rng > 1e-6,
+                                                              rng, 1.0),
+                            jnp.zeros_like(db))
+        # colormap: piecewise-linear channels (see ops.colormap), byte-exact
+        idx = jnp.clip((img * 256.0), 0.0, 255.0).astype(jnp.int32)
+        fi = idx.astype(jnp.float32)
+        packed = jnp.full((Tp, Fp), jnp.uint32(255 << 24))
+        for shift, (z0, hinges, corrections) in zip((0, 8, 16), chans):
+            z = jnp.full_like(fi, z0)
+            for ds, t in hinges:
+                z = z + ds * jnp.maximum(fi - t, 0.0)
+            b8 = jnp.floor(jnp.clip(z + ceps, 0.0, 255.0)).astype(jnp.int32)
+            for i, d in corrections:
+                b8 = b8 + jnp.where(idx == i, d, 0)
+            packed = packed | (b8.astype(jnp.uint32) << shift)
+        out_ref[:, :] = packed
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, rows_needed, hop), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, nperseg // r, Fp), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, nperseg // r, Fp), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, Fp), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, Tp, Fp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Fp), jnp.uint32),
+        interpret=interpret,
+    )(rows, a_re, a_im, wts[None, :], valid)
+    # crop, transpose to freq-major, flip so row 0 = highest frequency
+    return jnp.flip(jnp.swapaxes(out[:, :T, :F], -1, -2), axis=-2)

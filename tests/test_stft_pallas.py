@@ -101,3 +101,38 @@ def test_pallas_pipeline_matches_xla_pipeline():
     a = np.asarray(out["rgb_packed"]).ravel()
     b = np.asarray(ref["rgb_packed"]).ravel()
     assert (a != b).mean() < 5e-3
+
+
+def test_fused_display_kernel_matches_staged():
+    from spectral_tpu.ops.stft_pallas import (stft_display_pallas,
+                                              display_supported)
+    from spectral_tpu.core.scale import normalize
+    from spectral_tpu.ops.colormap import apply_colormap_packed
+    fs = 16000.0
+    for log_scale in (True, False):
+        cfg = SpecConfig.north_star(512, 128, log_scale=log_scale)
+        xb = jnp.asarray(np.random.RandomState(7).randn(2, 16000)
+                         .astype(np.float32))
+        assert display_supported(cfg, 16000)
+        fused = np.asarray(stft_display_pallas(xb, fs, cfg))
+        psd = power_spectrogram(xb, fs, cfg, use_matmul=True)
+        img = jax.vmap(lambda s: normalize(s, log_scale, None))(
+            jnp.swapaxes(psd, -1, -2))
+        staged = np.asarray(apply_colormap_packed(img, "jet",
+                                                  flip_rows=True))
+        assert fused.shape == staged.shape
+        # tiny accumulation-order differences can push isolated pixels
+        # across a LUT bin edge
+        assert (fused != staged).mean() < 5e-3, log_scale
+
+
+def test_fused_display_kernel_rejects_unsupported():
+    from spectral_tpu.ops.stft_pallas import (stft_display_pallas,
+                                              display_supported)
+    cfg = SpecConfig.scipy_default(1024)  # hop 896
+    assert not display_supported(cfg, 160000)
+    with pytest.raises(ValueError, match="unsupported"):
+        stft_display_pallas(jnp.zeros((1, 160000)), 16000.0, cfg)
+    # too many frames for one VMEM block
+    cfg2 = SpecConfig.north_star(256, 64)
+    assert not display_supported(cfg2, 16000 * 60)
