@@ -60,7 +60,7 @@ class SpecConfig:
     def __post_init__(self):
         if isinstance(self.window, list):  # defensive: keep hashable
             object.__setattr__(self, "window", tuple(self.window))
-        if self.detrend not in ("constant", "none"):
+        if self.detrend not in ("constant", "linear", "none"):
             raise ValueError(f"unsupported detrend: {self.detrend!r}")
         if self.scaling not in ("density", "spectrum"):
             raise ValueError(f"unsupported scaling: {self.scaling!r}")
@@ -70,9 +70,11 @@ class SpecConfig:
             raise ValueError("nperseg must be >= 1")
         # validate the window name eagerly so bad configs fail at construction
         from spectral_tpu.core import windows as _w
-        name, _ = _w.parse_window(self.window)
-        if name != "tukey" and name not in _w._SYM_BUILDERS:
+        name, param = _w.parse_window(self.window)
+        if name not in ("tukey", "kaiser") and name not in _w._SYM_BUILDERS:
             raise ValueError(f"unknown window: {self.window!r}")
+        if name == "kaiser" and param is None:
+            raise ValueError("kaiser window requires a beta parameter")
         if self.hop is not None and self.hop < 1:
             raise ValueError("hop must be >= 1")
 

@@ -167,6 +167,13 @@ def dft_matrices(cfg: SpecConfig) -> Tuple[np.ndarray, np.ndarray]:
     if cfg.detrend == "constant":
         a_re = a_re - np.mean(a_re, axis=0, keepdims=True)
         a_im = a_im - np.mean(a_im, axis=0, keepdims=True)
+    elif cfg.detrend == "linear":
+        # fold the least-squares line projection: A <- (I - P) A with P the
+        # orthogonal projector onto span{1, n}
+        ns = np.arange(N, dtype=np.float64)[:, None]
+        Q = np.linalg.qr(np.concatenate([np.ones((N, 1)), ns], axis=1))[0]
+        a_re = a_re - Q @ (Q.T @ a_re)
+        a_im = a_im - Q @ (Q.T @ a_im)
     return np.ascontiguousarray(a_re), np.ascontiguousarray(a_im)
 
 
@@ -183,6 +190,15 @@ def _prep_frames(x: Array, cfg: SpecConfig) -> Array:
     frames = frame_signal(x, cfg.nperseg, cfg.hop_)
     if cfg.detrend == "constant":
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    elif cfg.detrend == "linear":
+        # closed-form per-frame least-squares line removal
+        N = cfg.nperseg
+        n = jnp.arange(N, dtype=frames.dtype)
+        xc = n - (N - 1) / 2.0
+        denom = jnp.sum(xc * xc)
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        slope = jnp.sum(frames * xc, axis=-1, keepdims=True) / denom
+        frames = frames - mean - slope * xc
     return frames
 
 

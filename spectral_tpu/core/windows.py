@@ -65,6 +65,26 @@ def _tukey_sym(M: int, alpha: float) -> np.ndarray:
     return np.concatenate([w1, w2, w3])
 
 
+def _cosine_sum_sym(coeffs):
+    """Cosine-sum window family (blackman-harris, nuttall, flattop...)."""
+    def build(M: int) -> np.ndarray:
+        if M == 1:
+            return np.ones(1)
+        n = np.arange(M, dtype=np.float64)
+        fac = 2.0 * np.pi * n / (M - 1)
+        w = np.zeros(M, dtype=np.float64)
+        for k, a in enumerate(coeffs):
+            w += ((-1.0) ** k) * a * np.cos(k * fac)
+        return w
+    return build
+
+
+def _kaiser_sym_factory(beta: float):
+    def build(M: int) -> np.ndarray:
+        return np.kaiser(M, beta)
+    return build
+
+
 _SYM_BUILDERS = {
     "boxcar": lambda M: np.ones(M, dtype=np.float64),
     "rect": lambda M: np.ones(M, dtype=np.float64),
@@ -73,6 +93,13 @@ _SYM_BUILDERS = {
     "hamming": _hamming_sym,
     "blackman": _blackman_sym,
     "bartlett": _bartlett_sym,
+    # scipy coefficient sets
+    "blackmanharris": _cosine_sum_sym(
+        [0.35875, 0.48829, 0.14128, 0.01168]),
+    "nuttall": _cosine_sum_sym(
+        [0.3635819, 0.4891775, 0.1365995, 0.0106411]),
+    "flattop": _cosine_sum_sym(
+        [0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368]),
 }
 
 
@@ -103,6 +130,11 @@ def get_window(window: WindowSpec, M: int, periodic: bool = True) -> np.ndarray:
         # no parameter -> scipy's spectrogram default alpha 0.25; an
         # explicit alpha (including 0 = boxcar) is honored as given
         w = _tukey_sym(L, 0.25 if param is None else param)
+    elif name == "kaiser":
+        if param is None:
+            raise ValueError("kaiser window requires a beta parameter, "
+                             "e.g. ('kaiser', 14.0)")
+        w = np.kaiser(L, param)
     elif name in _SYM_BUILDERS:
         w = _SYM_BUILDERS[name](L)
     else:
