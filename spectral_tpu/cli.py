@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import List, Optional
 
@@ -125,10 +126,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("gui", help="launch the Qt GUI client (needs PyQt5)")
 
-    p = sub.add_parser("bench", help="quick throughput probe")
-    p.add_argument("--seconds", type=float, default=10.0)
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--fs", type=float, default=16000.0)
+    p = sub.add_parser("bench", help="throughput benchmark (reuses bench.py)")
+    p.add_argument("--batch", type=int, default=256)
 
     args = ap.parse_args(argv)
 
@@ -238,28 +237,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         return gui_main()
 
     if args.cmd == "bench":
-        import time
-        import jax
-        import jax.numpy as jnp
-        from spectral_tpu.config import SpecConfig
-        from spectral_tpu.parallel.sharding import batched_spectrogram_fn
-        n = int(args.seconds * args.fs)
-        rng = np.random.RandomState(0)
-        xb = jnp.asarray(rng.randn(args.batch, n).astype(np.float32))
-        cfg = SpecConfig.north_star(1024, 256, log_scale=True)
-        fn = jax.jit(batched_spectrogram_fn(args.fs, cfg, use_matmul=True))
-        out = fn(xb)
-        jax.block_until_ready(out)  # compile + warm
-        t0 = time.time()
-        reps = 5
-        for _ in range(reps):
-            jax.block_until_ready(fn(xb))
-        dt = (time.time() - t0) / reps
-        audio_h = args.batch * args.seconds / 3600.0
-        print(f"backend={jax.default_backend()} batch={args.batch} "
-              f"clip={args.seconds}s: {dt*1000:.1f} ms/batch, "
-              f"{audio_h / (dt / 60):.1f} audio-hours/min")
-        return 0
+        # one timing protocol lives in bench.py (amortized dispatches,
+        # checksum-forced completion); reuse it
+        import importlib.util
+        import pathlib
+        root = pathlib.Path(__file__).resolve().parent.parent
+        spec = importlib.util.spec_from_file_location("spectral_tpu_bench",
+                                                      root / "bench.py")
+        if spec is None or not (root / "bench.py").exists():
+            sys.exit("bench.py not found next to the package (repo checkout "
+                     "required for the bench subcommand)")
+        os.environ.setdefault("BENCH_BATCH", str(args.batch))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.main()
 
     return 1
 

@@ -52,6 +52,18 @@ def normalize(sxx: Array, log_scale: bool = False,
     return jnp.where(rng > 1e-6, rescaled, jnp.zeros_like(db))
 
 
+def display_images(psd_tf: Array, log_scale: bool = False,
+                   share_max: bool = False) -> Array:
+    """Frame-major PSD batch (B, T, F) -> normalized freq-major display
+    images (B, F, T). The shared-max variant reproduces the reference's
+    global_max workflow (one base across the batch; dB min-max rescale stays
+    per-image as each reference figure rescales its own range). Under pjit
+    with a sharded batch the shared max becomes an ICI all-reduce."""
+    img_src = jnp.swapaxes(psd_tf, -1, -2)
+    gm = jnp.max(img_src) if share_max else None
+    return jax.vmap(lambda s: normalize(s, log_scale, gm))(img_src)
+
+
 def normalize_batch(sxx_batch: Array, log_scale: bool = False,
                     share_max: bool = False) -> Array:
     """Normalize a batch (B, F, T). share_max=True uses one max across the

@@ -218,12 +218,19 @@ def stft(x: Array, cfg: SpecConfig, use_matmul: bool = False) -> Array:
             return jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1)
         return jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)
 
+    xr, xi = _matmul_dft(x, cfg)
+    return jax.lax.complex(xr, xi)
+
+
+def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
+    """Real-DFT via MXU matmuls against window/detrend-folded matrices:
+    (..., n) -> (X_re, X_im), each (..., nframes, n_freqs). Frames must be
+    raw — the window and detrend projections live in the matrices."""
     if cfg.nfft_ != cfg.nperseg:
         raise ValueError("matmul DFT path requires nfft == nperseg")
     a_re, a_im = dft_matrices(cfg)
     prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
             else jax.lax.Precision.DEFAULT)
-    # detrend+window already folded into the matrices; frames must be raw
     raw = frame_signal(
         x if not cfg.center else jnp.pad(
             x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],
@@ -231,7 +238,7 @@ def stft(x: Array, cfg: SpecConfig, use_matmul: bool = False) -> Array:
         cfg.nperseg, cfg.hop_)
     xr = jnp.matmul(raw, jnp.asarray(a_re, raw.dtype), precision=prec)
     xi = jnp.matmul(raw, jnp.asarray(a_im, raw.dtype), precision=prec)
-    return jax.lax.complex(xr, xi)
+    return xr, xi
 
 
 def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
@@ -244,25 +251,13 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
     if cfg.mode == "complex":
         raise ValueError("mode='complex' has no power spectrogram; "
                          "use stft() (or spectrogram(), which routes it)")
-    frames = _prep_frames(x, cfg)
-    w = jnp.asarray(_window_f64(cfg), frames.dtype)
-    wts = jnp.asarray(onesided_weights(cfg, fs), frames.dtype)
+    wts = jnp.asarray(onesided_weights(cfg, fs), jnp.float32)
     if use_matmul:
-        if cfg.nfft_ != cfg.nperseg:
-            raise ValueError("matmul DFT path requires nfft == nperseg")
-        a_re, a_im = dft_matrices(cfg)
-        prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
-                else jax.lax.Precision.DEFAULT)
-        # NOTE: matrices fold window+detrend; recompute raw frames.
-        raw = frame_signal(
-            x if not cfg.center else jnp.pad(
-                x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],
-                mode=cfg.pad_mode),
-            cfg.nperseg, cfg.hop_)
-        xr = jnp.matmul(raw, jnp.asarray(a_re, raw.dtype), precision=prec)
-        xi = jnp.matmul(raw, jnp.asarray(a_im, raw.dtype), precision=prec)
+        xr, xi = _matmul_dft(x, cfg)
         p = xr * xr + xi * xi
     else:
+        frames = _prep_frames(x, cfg)
+        w = jnp.asarray(_window_f64(cfg), frames.dtype)
         fw = frames * w
         X = jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1) if cfg.onesided \
             else jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)

@@ -182,17 +182,14 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
     """Full display pipeline with the Pallas kernel as the STFT stage:
     (B, n) -> {psd, image, rgb_packed?}, output-compatible with
     parallel.sharding.batched_spectrogram_fn."""
-    from spectral_tpu.core.scale import normalize
+    from spectral_tpu.core.scale import display_images
     from spectral_tpu.ops.colormap import apply_colormap_packed
 
     def fn(xb: Array):
         psd = stft_psd_pallas(xb, fs, cfg, block_frames, interpret=interpret)
-        out = {"psd": psd}
-        img_src = jnp.swapaxes(psd, -1, -2)
-        img = jax.vmap(lambda s: normalize(s, cfg.log_scale, None))(img_src)
-        out["image"] = img
+        out = {"psd": psd, "image": display_images(psd, cfg.log_scale)}
         if colormap:
-            out["rgb_packed"] = apply_colormap_packed(img, colormap,
+            out["rgb_packed"] = apply_colormap_packed(out["image"], colormap,
                                                       flip_rows=True)
         return out
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spectral_tpu.config import SpecConfig
-from spectral_tpu.core.scale import normalize
+from spectral_tpu.core.scale import display_images
 from spectral_tpu.core.stft import power_spectrogram
 from spectral_tpu.core.mel import mel_filterbank
 from spectral_tpu.ops.colormap import apply_colormap_packed
@@ -46,12 +46,7 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
                                 cfg.mel_fmax, cfg.mel_htk)
             out["mel"] = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype))
         base = out["mel"] if n_mels else psd
-        img_src = jnp.swapaxes(base, -1, -2)  # freq-major images
-        if share_max:
-            gm = jnp.max(img_src)  # global across the sharded batch => psum
-            img = jax.vmap(lambda s: normalize(s, cfg.log_scale, gm))(img_src)
-        else:
-            img = jax.vmap(lambda s: normalize(s, cfg.log_scale, None))(img_src)
+        img = display_images(base, cfg.log_scale, share_max)
         out["image"] = img
         if colormap:
             out["rgb_packed"] = apply_colormap_packed(img, colormap,
