@@ -206,3 +206,29 @@ def test_export_pipeline_pads_short_clips(tmp_path):
     stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path),
                                 clip_samples=4000, batch=4)
     assert stats.pngs_written == 1
+
+
+def test_wav_clip_source_and_pipeline(tmp_path):
+    from spectral_tpu.io.wav import write_wav
+    from spectral_tpu.parallel.pipeline import (export_spectrograms,
+                                                wav_clip_source)
+    fs = 8000.0
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.wav")
+        x = np.sin(np.linspace(0, 100 * (i + 1), 8000)).astype(np.float32)
+        if i == 2:  # stereo: source must downmix to mono
+            x = np.stack([x, -x], axis=1)
+        write_wav(p, x * 0.5, fs)
+        paths.append(p)
+    clips = list(wav_clip_source(paths))
+    assert [n for n, _ in clips] == ["c0", "c1", "c2"]
+    assert all(x.ndim == 1 for _, x in clips)
+
+    out = str(tmp_path / "png")
+    stats = export_spectrograms(iter(clips), fs,
+                                SpecConfig.north_star(256, 64), out,
+                                clip_samples=8000, batch=2)
+    assert stats.pngs_written == 3
+    import os
+    assert sorted(os.listdir(out)) == ["c0.png", "c1.png", "c2.png"]
