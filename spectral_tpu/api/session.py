@@ -22,7 +22,7 @@ from spectral_tpu.config import SpecConfig, ViewSettings
 from spectral_tpu.core import events as ev
 from spectral_tpu.core.scale import normalize
 from spectral_tpu.core.stft import freq_axis, power_spectrogram, time_axis
-from spectral_tpu.io.registry import SweepRegistry, split_display_name
+from spectral_tpu.io.registry import SweepRegistry
 from spectral_tpu.models.detector import BurstDetector
 
 Event = Tuple[float, float]

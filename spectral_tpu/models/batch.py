@@ -9,7 +9,7 @@ state-sequence -> interval scans left on host.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ transmat surgery (:423-437) exactly — see :mod:`spectral_tpu.models.detector`.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

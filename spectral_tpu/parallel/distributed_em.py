@@ -14,7 +14,6 @@ __graft_entry__.dryrun_multichip on a virtual mesh).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -18,7 +18,7 @@ Chunk 0's first c/h slots fall before the signal and are masked invalid.
 from __future__ import annotations
 
 import math
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

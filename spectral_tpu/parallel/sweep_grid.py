@@ -12,7 +12,6 @@ Different shapes launch separately but share the same signal buffer in HBM
 
 from __future__ import annotations
 
-import dataclasses
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.config import SpecConfig
-from spectral_tpu.core.stft import (dft_matrices, frame_signal, num_frames,
+from spectral_tpu.core.stft import (dft_matrices, frame_signal,
                                     onesided_weights)
 
 Array = jax.Array
