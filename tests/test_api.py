@@ -253,3 +253,48 @@ def test_export_batch_shared_symmetric_ylim(tmp_path):
     extent_a = rows_a.max() - rows_a.min()
     extent_b = rows_b.max() - rows_b.min()
     assert 0.4 < extent_b / extent_a < 0.6  # half the vertical span
+
+
+def test_cli_stream_npz_and_png(tmp_path):
+    from spectral_tpu.cli import main
+    from spectral_tpu.core.stft import power_spectrogram
+    fs = 1000.0
+    wav_path = str(tmp_path / "long.wav")
+    x = _bursty(fs=fs, dur=30.0)
+    write_wav(wav_path, x * 0.5, fs)
+
+    npz_path = str(tmp_path / "psd.npz")
+    assert main(["stream", wav_path, "-o", npz_path, "--nperseg", "512",
+                 "--hop", "128", "--chunk-seconds", "5"]) == 0
+    z = np.load(npz_path)
+    assert z["fs"] == fs and z["psd"].shape[1] == 257
+    # streamed equals monolithic over the decoded (quantized) samples
+    sig, _ = __import__("spectral_tpu.io.wav", fromlist=["read_wav"]
+                        ).read_wav(wav_path)
+    ref = np.asarray(power_spectrogram(
+        jnp.asarray(sig), fs, SpecConfig.north_star(512, 128)))
+    np.testing.assert_allclose(z["psd"], ref, rtol=1e-4, atol=1e-9)
+
+    png_path = str(tmp_path / "psd.png")
+    assert main(["stream", wav_path, "-o", png_path, "--nperseg", "512",
+                 "--hop", "128", "--chunk-seconds", "5"]) == 0
+    img = decode_png(png_path)
+    assert img.shape == (257, z["psd"].shape[0], 4)
+
+
+def test_cli_decorated_and_mel_render(tmp_path):
+    pytest.importorskip("matplotlib")
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "sig.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=30.0) * 0.5, fs)
+
+    deco = str(tmp_path / "deco.png")
+    assert main(["render", wav_path, "-o", deco, "--decorated", "--log",
+                 "--nperseg", "512", "--dpi", "72"]) == 0
+    assert os.path.getsize(deco) > 5000
+
+    mel = str(tmp_path / "mel.png")
+    assert main(["render", wav_path, "-o", mel, "--mels", "24",
+                 "--nperseg", "512", "--hop", "128", "--log"]) == 0
+    assert decode_png(mel).shape[0] == 24
