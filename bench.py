@@ -6,12 +6,13 @@ Prints ONE JSON line:
 
 Workload: BASELINE.json config-1 shape — 10 s @ 16 kHz clips, n_fft=1024,
 hop=256, Hann — run as a batch through the fused on-device pipeline
-(frame -> matmul-DFT STFT -> PSD -> normalize -> dB -> colormap LUT gather),
-timed end-of-pipe with block_until_ready. Baseline: the reference's measured
-single-core CPU STFT throughput on the same config, 17.9 audio-hours/min
-(BASELINE.md; scipy code path PlotEngine.py:113 with Hann/hop=256).
+(frame -> matmul-DFT STFT -> PSD -> normalize -> dB -> arithmetic colormap),
+with completion forced by a checksum readback. Baseline: the reference's
+measured single-core CPU STFT throughput on the same config,
+17.9 audio-hours/min (BASELINE.md; scipy code path PlotEngine.py:113 with
+Hann/hop=256).
 
-The timed loop keeps everything on device (the driver's interest is chip
+The timed region keeps everything on device (the driver's interest is chip
 throughput; host PNG encode is benchmarked separately in tools/bench_report).
 """
 
@@ -36,7 +37,9 @@ def main() -> int:
 
     clip_seconds = 10.0
     fs = 16000.0
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    on_cpu = jax.default_backend() == "cpu"
+    # TPU-sized defaults would run for hours on a CPU fallback backend
+    batch = int(os.environ.get("BENCH_BATCH", "8" if on_cpu else "1024"))
     n = int(clip_seconds * fs)
 
     cfg = SpecConfig.north_star(1024, 256, log_scale=True)
@@ -62,8 +65,8 @@ def main() -> int:
     # the staged batch, so HBM holds one input), each sub-batch's packed
     # image is reduced to a checksum on device, and one scalar readback
     # forces completion of everything.
-    reps = int(os.environ.get("BENCH_REPS", "2"))
-    K = int(os.environ.get("BENCH_SUBBATCHES", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "1" if on_cpu else "2"))
+    K = int(os.environ.get("BENCH_SUBBATCHES", "2" if on_cpu else "16"))
 
     def one(x, i):
         # closing over the batch would embed 100s of MB as a program
