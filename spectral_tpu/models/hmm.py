@@ -9,10 +9,12 @@ jit-compile to single XLA programs and ``vmap`` over batches of sequences.
 Algorithmic conventions mirror hmmlearn's documented Baum-Welch variant so the
 detection behavior matches the reference:
 
-  * init: uniform startprob/transmat; means from k-means (deterministic,
-    seeded); covariances = global diagonal variance + min_covar;
-  * M-step regularization: covars_prior added to the covariance numerator
-    (hmmlearn default 1e-2 for 'diag'), min_covar floor 1e-3;
+  * init: uniform startprob/transmat; means from an sklearn-exact KMeans
+    (models/kmeans.py — hmmlearn calls sklearn KMeans(random_state, n_init=10));
+    covariances = diag(np.cov(X.T, ddof=1)) + min_covar per state;
+  * M-step: covars_prior added to the covariance numerator (hmmlearn default
+    1e-2 for 'diag'); structural zeros in startprob/transmat stay pinned;
+    no covariance floor after init (min_covar is init-only, as in hmmlearn);
   * convergence: stop when the log-likelihood gain drops below tol (1e-2).
 
 Closed-form supervised fitting and the transition-matrix "escape route" patch
@@ -139,23 +141,30 @@ def _e_step(params: HMMParams, X: Array):
 
 
 def _m_step(params: HMMParams, X: Array, gamma: Array, xi_sum: Array,
-            covars_prior: float = COVARS_PRIOR,
-            min_covar: float = MIN_COVAR) -> HMMParams:
-    start_new = gamma[0] / jnp.maximum(jnp.sum(gamma[0]), 1e-30)
+            covars_prior: float = COVARS_PRIOR) -> HMMParams:
+    # hmmlearn _BaseHMM._do_mstep semantics (priors at their defaults of 1.0
+    # contribute prior-1 == 0): entries that are structurally zero in the
+    # current startprob/transmat stay zero; rows whose masked numerator sums
+    # to zero are left unnormalized (all-zero), exactly like
+    # hmmlearn.utils.normalize.
+    num_s = jnp.where(params.startprob == 0, 0.0, gamma[0])
+    ssum = jnp.sum(num_s)
+    start_new = num_s / jnp.where(ssum == 0, 1.0, ssum)
 
-    row = jnp.sum(xi_sum, axis=1, keepdims=True)
-    trans_new = jnp.where(row > 0, xi_sum / jnp.maximum(row, 1e-30),
-                          params.transmat)
+    num_t = jnp.where(params.transmat == 0, 0.0, xi_sum)
+    rsum = jnp.sum(num_t, axis=1, keepdims=True)
+    trans_new = num_t / jnp.where(rsum == 0, 1.0, rsum)
 
     denom = jnp.sum(gamma, axis=0)                    # (K,)
     obs = gamma.T @ X                                 # (K, D)
     obs2 = gamma.T @ (X * X)                          # (K, D)
     d = jnp.maximum(denom, 1e-30)[:, None]
     means_new = jnp.where(denom[:, None] > 0, obs / d, params.means)
-    # E[(x-m)^2] numerator with the hmmlearn-style prior
+    # GaussianHMM._do_mstep 'diag': cv_num / max(cv_den, 1e-5) with the
+    # covars_prior added to the numerator; hmmlearn applies NO min_covar
+    # floor after init (min_covar enters only the initial covariances).
     num = obs2 - 2.0 * means_new * obs + means_new * means_new * denom[:, None]
     covars_new = (covars_prior + num) / jnp.maximum(denom[:, None], 1e-5)
-    covars_new = jnp.maximum(covars_new, min_covar)
     return HMMParams(start_new, trans_new, means_new, covars_new)
 
 
@@ -169,8 +178,10 @@ def fit(params0: HMMParams, X: Array, n_iter: int = 100,
     """
     def cond(carry):
         params, prev_ll, ll, it = carry
+        # hmmlearn ConvergenceMonitor: converged when delta < tol, so the
+        # loop continues while delta >= tol
         return jnp.logical_and(it < n_iter,
-                               jnp.logical_or(it == 0, ll - prev_ll > tol))
+                               jnp.logical_or(it == 0, ll - prev_ll >= tol))
 
     def body(carry):
         params, prev_ll, ll, it = carry
@@ -187,56 +198,30 @@ def fit(params0: HMMParams, X: Array, n_iter: int = 100,
 # Initialization (host-side, deterministic)
 # ---------------------------------------------------------------------------
 
-def _kmeans_pp(X: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndarray:
-    n = X.shape[0]
-    centers = [X[rng.randint(n)]]
-    for _ in range(1, k):
-        d2 = np.min(((X[:, None, :] - np.asarray(centers)[None]) ** 2
-                     ).sum(-1), axis=1)
-        s = d2.sum()
-        if s <= 0:
-            centers.append(X[rng.randint(n)])
-            continue
-        probs = d2 / s
-        centers.append(X[rng.choice(n, p=probs)])
-    return np.asarray(centers)
-
-
 def kmeans(X: np.ndarray, k: int, seed: int = 42, n_init: int = 10,
            max_iter: int = 300) -> np.ndarray:
-    """Deterministic Lloyd k-means with k-means++ seeding (numpy, host-side).
-
-    Stands in for hmmlearn's sklearn-KMeans means initialization
-    (random_state=42 in the reference, PlotEngine.py:20,392).
-    """
-    X = np.asarray(X, dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    best_c, best_inertia = None, np.inf
-    for _ in range(n_init):
-        centers = _kmeans_pp(X, k, rng)
-        for _ in range(max_iter):
-            d2 = ((X[:, None, :] - centers[None]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            new_centers = np.array([
-                X[assign == j].mean(0) if np.any(assign == j) else centers[j]
-                for j in range(k)])
-            if np.allclose(new_centers, centers):
-                centers = new_centers
-                break
-            centers = new_centers
-        inertia = (((X - centers[assign]) ** 2).sum(-1)).sum()
-        if inertia < best_inertia:
-            best_inertia, best_c = inertia, centers
-    return best_c
+    """hmmlearn's GaussianHMM means initialization: sklearn
+    ``cluster.KMeans(n_clusters=k, random_state=seed, n_init=10)`` on the
+    features (random_state=42 in the reference, PlotEngine.py:20,392).
+    :mod:`spectral_tpu.models.kmeans` reproduces sklearn's algorithm and RNG
+    consumption exactly (asserted bit-for-bit against sklearn in
+    tests/test_hmmlearn_parity.py)."""
+    from spectral_tpu.models.kmeans import kmeans_fit
+    centers, _labels, _inertia = kmeans_fit(X, k, seed=seed, n_init=n_init,
+                                            max_iter=max_iter)
+    return centers
 
 
 def init_params(X, k: int, seed: int = 42, min_covar: float = MIN_COVAR,
                 dtype=jnp.float32) -> HMMParams:
-    """hmmlearn-style init: uniform start/trans, k-means means, pooled
-    diagonal covariance + min_covar."""
+    """hmmlearn GaussianHMM._init: uniform start/trans, sklearn-KMeans means,
+    diagonal of ``np.cov(X.T) + min_covar*I`` (ddof=1) tiled per state."""
     Xh = np.asarray(X, dtype=np.float64)
     means = kmeans(Xh, k, seed=seed)
-    var = Xh.var(axis=0) + min_covar
+    if Xh.shape[0] > 1:
+        var = np.var(Xh, axis=0, ddof=1) + min_covar
+    else:
+        var = np.full(Xh.shape[1], min_covar)
     return HMMParams(
         startprob=jnp.full((k,), 1.0 / k, dtype),
         transmat=jnp.full((k, k), 1.0 / k, dtype),

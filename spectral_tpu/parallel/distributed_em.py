@@ -39,25 +39,27 @@ def _batch_e_step(params: hmm.HMMParams, Xb: Array):
 
 
 def em_step(params: hmm.HMMParams, Xb: Array,
-            covars_prior: float = hmm.COVARS_PRIOR,
-            min_covar: float = hmm.MIN_COVAR
+            covars_prior: float = hmm.COVARS_PRIOR
             ) -> Tuple[hmm.HMMParams, Array]:
     """One global EM step on a (sharded) batch (B, T, D).
 
     Returns (new_params, total log-likelihood). Jit this with the batch
-    sharded over the mesh's 'data' axis; parameters replicate.
+    sharded over the mesh's 'data' axis; parameters replicate. The M-step
+    mirrors hmm._m_step (hmmlearn semantics: structural zeros pinned, no
+    covariance floor after init) on the batch-summed statistics.
     """
     g0, xi_sum, denom, obs, obs2, total_ll = _batch_e_step(params, Xb)
 
-    start_new = g0 / jnp.maximum(jnp.sum(g0), 1e-30)
-    row = jnp.sum(xi_sum, axis=1, keepdims=True)
-    trans_new = jnp.where(row > 0, xi_sum / jnp.maximum(row, 1e-30),
-                          params.transmat)
+    num_s = jnp.where(params.startprob == 0, 0.0, g0)
+    ssum = jnp.sum(num_s)
+    start_new = num_s / jnp.where(ssum == 0, 1.0, ssum)
+    num_t = jnp.where(params.transmat == 0, 0.0, xi_sum)
+    rsum = jnp.sum(num_t, axis=1, keepdims=True)
+    trans_new = num_t / jnp.where(rsum == 0, 1.0, rsum)
     d = jnp.maximum(denom, 1e-30)[:, None]
     means_new = jnp.where(denom[:, None] > 0, obs / d, params.means)
     num = obs2 - 2.0 * means_new * obs + means_new ** 2 * denom[:, None]
     covars_new = (covars_prior + num) / jnp.maximum(denom[:, None], 1e-5)
-    covars_new = jnp.maximum(covars_new, min_covar)
     return hmm.HMMParams(start_new, trans_new, means_new, covars_new), total_ll
 
 
@@ -85,6 +87,9 @@ def fit_sharded(params0: hmm.HMMParams, Xb: Array, mesh: Mesh,
     for it in range(1, n_iter + 1):
         params, ll_arr = step(params, Xb)
         ll = float(ll_arr)
+        # hmmlearn ConvergenceMonitor semantics: stop whenever the gain
+        # drops below tol — INCLUDING a sharp log-likelihood decrease
+        # (tested by test_fit_sharded_stops_on_ll_decrease)
         if ll - prev < tol and it > 1:
             break
         prev = ll

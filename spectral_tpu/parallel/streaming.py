@@ -18,7 +18,7 @@ Chunk 0's first c/h slots fall before the signal and are masked invalid.
 from __future__ import annotations
 
 import math
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,27 +86,212 @@ class StreamingSTFT:
         return psd, valid, first_abs
 
 
-def stream_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
-                       use_matmul: bool = False) -> Array:
-    """Host driver: stream a full signal through StreamingSTFT and return
-    the frame-major PSD, identical to power_spectrogram(x) (property-tested).
+class BlockStreamingSTFT:
+    """Device-efficient streaming: stages B chunks per dispatch.
 
-    The final partial chunk is zero-padded and the output trimmed to the
-    monolithic frame count (scipy drops trailing partial frames)."""
+    B consecutive chunks are contiguous signal, so the per-chunk
+    overlap-carry frame grid of B StreamingSTFT.process calls is *exactly*
+    the monolithic hop grid of the staged buffer ``[carry | chunk_0 ...
+    chunk_{B-1}]``: with carry c = (ceil(nperseg/hop)-1)*hop and block
+    length L = B*chunk_size (both multiples of hop), the buffer yields
+    (c + L - nperseg)//hop + 1 == L/hop complete frames at local offsets
+    0, hop, 2*hop, ... — the same slots the chunk loop produces one chunk
+    at a time. One dispatch therefore runs ONE large MXU matmul (or batched
+    rFFT) over L/hop frames instead of B host round-trips, which is what
+    makes long-form audio (BASELINE config 4: 1 h @ 48 kHz, the workload
+    scipy serves at PlotEngine.py:113 over concatenated sweeps :193)
+    TPU-fast while HBM stays bounded by the block size.
+    """
+
+    def __init__(self, fs: float, cfg: SpecConfig, chunk_size: int,
+                 chunks_per_block: int = 32, use_matmul: bool = True):
+        h = cfg.hop_
+        if chunk_size % h != 0:
+            raise ValueError(f"chunk_size must be a multiple of hop={h}")
+        if chunk_size < cfg.nperseg:
+            raise ValueError("chunk_size must be >= nperseg")
+        if chunks_per_block < 1:
+            raise ValueError("chunks_per_block must be >= 1")
+        self.cfg = cfg
+        self.fs = fs
+        self.chunk_size = chunk_size
+        self.chunks_per_block = chunks_per_block
+        self.block_size = chunk_size * chunks_per_block
+        self.c = carry_len(cfg)
+        self.frames_per_block = self.block_size // h
+        self._block_idx = 0
+        self._carry = jnp.zeros(self.c, jnp.float32)
+
+        import dataclasses
+        stream_cfg = dataclasses.replace(cfg, center=False, fmin=None,
+                                         fmax=None)
+        c = self.c
+
+        def step(carry: Array, block: Array):
+            buf = jnp.concatenate([carry, block])
+            psd = power_spectrogram(buf, fs, stream_cfg,
+                                    use_matmul=use_matmul)
+            new_carry = jax.lax.slice_in_dim(buf, buf.shape[0] - c,
+                                             buf.shape[0], axis=0)
+            return new_carry, psd
+
+        self._step = jax.jit(step)
+
+    def reset(self) -> None:
+        self._block_idx = 0
+        self._carry = jnp.zeros(self.c, jnp.float32)
+
+    def process_block(self, block) -> Tuple[Array, np.ndarray, int]:
+        """One block (chunks_per_block * chunk_size samples) ->
+        (psd (L/hop, F) device array, valid mask, first absolute frame)."""
+        if block.shape[-1] != self.block_size:
+            raise ValueError(
+                f"expected block of {self.block_size}, got {block.shape[-1]}")
+        self._carry, psd = self._step(self._carry,
+                                      jnp.asarray(block, jnp.float32))
+        h = self.cfg.hop_
+        first_abs = self._block_idx * self.frames_per_block - self.c // h
+        valid = np.arange(self.frames_per_block) + first_abs >= 0
+        self._block_idx += 1
+        return psd, valid, first_abs
+
+
+def stream_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
+                       use_matmul: bool = False,
+                       chunks_per_block: Optional[int] = None) -> Array:
+    """Host driver: stream a full signal through BlockStreamingSTFT and
+    return the frame-major PSD, identical to power_spectrogram(x)
+    (property-tested: chunked == monolithic).
+
+    chunks_per_block chunks are staged per device dispatch (default: up to
+    64, capped at the actual chunk count); the final partial block is
+    zero-padded and the output trimmed to the monolithic frame count
+    (scipy drops trailing partial frames)."""
     x = np.asarray(x, np.float32)
     n = x.shape[-1]
     total_frames = num_frames(n, cfg.nperseg, cfg.hop_)
-    s = StreamingSTFT(fs, cfg, chunk_size, use_matmul=use_matmul)
-    blocks = []
     n_chunks = max(1, math.ceil(n / chunk_size))
-    for j in range(n_chunks):
-        chunk = x[j * chunk_size:(j + 1) * chunk_size]
-        if chunk.shape[0] < chunk_size:
-            chunk = np.pad(chunk, (0, chunk_size - chunk.shape[0]))
-        psd, valid, first_abs = s.process(chunk)
+    if chunks_per_block is None:
+        chunks_per_block = min(n_chunks, 64)
+    s = BlockStreamingSTFT(fs, cfg, chunk_size, chunks_per_block,
+                           use_matmul=use_matmul)
+    blocks = []
+    n_blocks = max(1, math.ceil(n / s.block_size))
+    for j in range(n_blocks):
+        block = x[j * s.block_size:(j + 1) * s.block_size]
+        if block.shape[0] < s.block_size:
+            block = np.pad(block, (0, s.block_size - block.shape[0]))
+        psd, valid, first_abs = s.process_block(block)
         blocks.append(np.asarray(psd)[valid])
     out = np.concatenate(blocks, axis=0)[:total_frames]
     return jnp.asarray(out)
+
+
+class ScanStreamer:
+    """Device-resident streaming program for a fixed signal length: ONE
+    dispatch, `lax.scan` over staged chunk blocks with the overlap carry
+    threaded as scan state. fold(acc, psd_block, valid_mask) -> (acc, y);
+    the jitted program is built once in __init__, so repeated calls on
+    same-length signals reuse the compiled executable."""
+
+    def __init__(self, fs: float, cfg: SpecConfig, block_size: int, n: int,
+                 use_matmul: bool, fold, init):
+        import dataclasses
+        h = cfg.hop_
+        c = carry_len(cfg)
+        self.total_frames = num_frames(n, cfg.nperseg, h)
+        self.skip = c // h
+        self.n = n
+        self.n_blocks = max(1, math.ceil(n / block_size))
+        self.block_size = block_size
+        self.padded_len = self.n_blocks * block_size
+        self._init = init
+        fpb = block_size // h
+        total_frames = self.total_frames
+        n_blocks = self.n_blocks
+        stream_cfg = dataclasses.replace(cfg, center=False, fmin=None,
+                                         fmax=None)
+
+        def step(carry_acc, jb):
+            carry, acc = carry_acc
+            j, block = jb
+            buf = jnp.concatenate([carry, block])
+            psd = power_spectrogram(buf, fs, stream_cfg,
+                                    use_matmul=use_matmul)
+            abs_idx = j * fpb - c // h + jnp.arange(fpb)
+            valid = (abs_idx >= 0) & (abs_idx < total_frames)
+            acc, y = fold(acc, psd, valid)
+            new_carry = jax.lax.slice_in_dim(buf, buf.shape[0] - c,
+                                             buf.shape[0], axis=0)
+            return (new_carry, acc), y
+
+        def run(xp, init):
+            blocks = xp.reshape(n_blocks, block_size)
+            (_, acc), ys = jax.lax.scan(
+                step, (jnp.zeros(c, jnp.float32), init),
+                (jnp.arange(n_blocks), blocks))
+            return acc, ys
+
+        self._run = jax.jit(run)
+
+    def __call__(self, x):
+        """x: (n,) host numpy or device array -> (final_acc, stacked_ys)."""
+        pad = self.padded_len - x.shape[-1]
+        if isinstance(x, np.ndarray):
+            xp = jnp.asarray(np.pad(np.asarray(x, np.float32), (0, pad)))
+        elif pad:
+            xp = jnp.pad(jnp.asarray(x, jnp.float32), (0, pad))
+        else:
+            xp = jnp.asarray(x, jnp.float32)
+        return self._run(xp, self._init)
+
+
+def scan_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
+                     use_matmul: bool = False,
+                     chunks_per_block: int = 64) -> Array:
+    """Fully device-resident streaming STFT: ONE dispatch for the whole
+    signal, `lax.scan` over staged chunk blocks with the overlap carry
+    threaded as scan state (VERDICT round-1 item 1). Working set per scan
+    step is one block; the stacked PSD lands in HBM and is returned trimmed
+    to the monolithic frame grid, identical to power_spectrogram(x)."""
+    h = cfg.hop_
+    if chunk_size % h != 0:
+        raise ValueError(f"chunk_size must be a multiple of hop={h}")
+    if chunk_size < cfg.nperseg:
+        raise ValueError("chunk_size must be >= nperseg")
+    block = chunk_size * max(1, chunks_per_block)
+    n_blocks = max(1, math.ceil(x.shape[-1] / block))
+    if n_blocks == 1:
+        block = chunk_size * max(1, min(
+            chunks_per_block, math.ceil(x.shape[-1] / chunk_size)))
+    s = ScanStreamer(fs, cfg, block, x.shape[-1], use_matmul,
+                     lambda acc, psd, valid: (acc, psd), jnp.zeros(()))
+    _, ys = s(x)
+    flat = ys.reshape(-1, ys.shape[-1])
+    return jax.lax.slice_in_dim(flat, s.skip, s.skip + s.total_frames, axis=0)
+
+
+def stream_fold(x, fs: float, cfg: SpecConfig, chunk_size: int, fold, init,
+                use_matmul: bool = False, chunks_per_block: int = 64):
+    """Device-resident streaming *reduction*: ONE dispatch, bounded HBM —
+    the PSD is folded block-by-block into `acc` and never materialized.
+
+    fold(acc, psd_block (frames_per_block, F), valid (frames_per_block,)
+    bool) -> acc. Invalid slots (the zero-carry warmup frames of block 0 and
+    trailing zero-pad frames) must be masked by the fold using `valid`.
+    Long-form analytics (global max for shared normalization, band powers,
+    feature statistics — the quantities PlotEngine.py:686-719 computes from
+    the full in-RAM Sxx) run this way over arbitrarily long recordings."""
+    h = cfg.hop_
+    if chunk_size % h != 0:
+        raise ValueError(f"chunk_size must be a multiple of hop={h}")
+    if chunk_size < cfg.nperseg:
+        raise ValueError("chunk_size must be >= nperseg")
+    block = chunk_size * max(1, chunks_per_block)
+    s = ScanStreamer(fs, cfg, block, x.shape[-1], use_matmul,
+                     lambda acc, psd, valid: (fold(acc, psd, valid),
+                                              jnp.zeros(())), init)
+    return s(x)[0]
 
 
 def iter_stream(chunks: Iterator[np.ndarray], fs: float, cfg: SpecConfig,

@@ -1,0 +1,241 @@
+"""Byte-level loader fixtures built from the published ABF1/ABF2/NIX specs.
+
+VERDICT round-1 item 6: the round-1 loader tests validated io/abf.py and
+io/nix.py only against fixture writers living in the same modules (circular).
+These fixtures are constructed here, byte by byte, at explicit documented
+offsets — struct.pack_into with hand-computed field positions from the
+published ABF specs, and h5py groups laid out like neo's NIX writer — with
+NO use of write_abf2_fixture / write_nix_fixture. The behavior being cloned
+is SweepManager.py:21-149 (pyabf / neo.NixIO loading).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from spectral_tpu.io.abf import AbfInfo, load_abf
+from spectral_tpu.io.nix import load_nix_h5
+from spectral_tpu.io.registry import SweepRegistry
+
+BLOCK = 512
+
+
+# ---------------------------------------------------------------------------
+# ABF2 (published ABF2 header: signature + section map at byte 76;
+#       ProtocolInfo / ADCInfo structs, little-endian, unaligned)
+# ---------------------------------------------------------------------------
+
+def _abf2_bytes(sweeps_ch0, sweeps_ch1=None, fs=10000.0,
+                inst_scale=(0.5, 1.0), signal_gain=(1.0, 2.0),
+                prog_gain=(1.0, 1.0), inst_off=(0.25, 0.0),
+                sig_off=(0.0, 0.125), telegraph_gain=(None, 2.0),
+                adc_range=10.0, adc_res=32768):
+    """Hand-assembled ABF2 file: header block, ProtocolSection (idx 0),
+    ADCSection (idx 1, 128-byte stride entries), DataSection (idx 10,
+    int16 channel-interleaved)."""
+    n_sweeps, n_samp = np.asarray(sweeps_ch0).shape
+    two_ch = sweeps_ch1 is not None
+    n_ch = 2 if two_ch else 1
+
+    header = bytearray(BLOCK)
+    header[0:4] = b"ABF2"
+    struct.pack_into("<I", header, 12, n_sweeps)     # uActualEpisodes
+    struct.pack_into("<H", header, 30, 0)            # nDataFormat: 0 = int16
+
+    # ProtocolInfo — explicit published offsets within the struct
+    proto = bytearray(BLOCK)
+    struct.pack_into("<h", proto, 0, 5)                      # nOperationMode
+    struct.pack_into("<f", proto, 2, 1e6 / fs)               # fADCSequenceInterval
+    struct.pack_into("<i", proto, 22, n_samp * n_ch)         # lNumSamplesPerEpisode
+    struct.pack_into("<i", proto, 30, n_sweeps)              # lEpisodesPerRun
+    struct.pack_into("<f", proto, 110, adc_range)            # fADCRange
+    struct.pack_into("<i", proto, 118, adc_res)              # lADCResolution
+
+    # ADCInfo entries — explicit published offsets, realistic 128-byte stride
+    ADC_STRIDE = 128
+    adc = bytearray(ADC_STRIDE * n_ch)
+    for ch in range(n_ch):
+        o = ch * ADC_STRIDE
+        struct.pack_into("<h", adc, o + 0, ch)                       # nADCNum
+        tele = telegraph_gain[ch]
+        struct.pack_into("<h", adc, o + 2, 1 if tele else 0)         # nTelegraphEnable
+        struct.pack_into("<f", adc, o + 6, tele or 0.0)              # fTelegraphAdditGain
+        struct.pack_into("<f", adc, o + 28, prog_gain[ch])           # fADCProgrammableGain
+        struct.pack_into("<f", adc, o + 40, inst_scale[ch])          # fInstrumentScaleFactor
+        struct.pack_into("<f", adc, o + 44, inst_off[ch])            # fInstrumentOffset
+        struct.pack_into("<f", adc, o + 48, signal_gain[ch])         # fSignalGain
+        struct.pack_into("<f", adc, o + 52, sig_off[ch])             # fSignalOffset
+    adc += b"\0" * (-len(adc) % BLOCK)
+
+    # int16 data, channel-interleaved within each sweep
+    chans = [np.asarray(sweeps_ch0, np.int16)]
+    if two_ch:
+        chans.append(np.asarray(sweeps_ch1, np.int16))
+    inter = np.stack(chans, axis=-1).reshape(n_sweeps, -1)   # (S, n*nch)
+    data = inter.astype("<i2").tobytes()
+
+    proto_block, adc_block = 1, 1 + len(proto) // BLOCK
+    data_block = adc_block + len(adc) // BLOCK
+
+    def sec(idx, block, size, count):
+        struct.pack_into("<IIq", header, 76 + 16 * idx, block, size, count)
+
+    sec(0, proto_block, 512, 1)
+    sec(1, adc_block, ADC_STRIDE, n_ch)
+    sec(10, data_block, 2, inter.size)
+    return bytes(header) + bytes(proto) + bytes(adc) + data
+
+
+def _expected_scale(inst_scale, signal_gain, prog_gain, telegraph_gain,
+                    adc_range=10.0, adc_res=32768):
+    """Published ABF int16 scaling: range/res divided by all gains."""
+    s = adc_range / adc_res
+    for g in (inst_scale, signal_gain, prog_gain, telegraph_gain or 1.0):
+        s /= g
+    return s
+
+
+def test_abf2_bytelevel_fields_and_scaling(tmp_path):
+    rng = np.random.RandomState(0)
+    ch0 = rng.randint(-2000, 2000, size=(2, 64)).astype(np.int16)
+    ch1 = rng.randint(-2000, 2000, size=(2, 64)).astype(np.int16)
+    p = tmp_path / "hand.abf"
+    p.write_bytes(_abf2_bytes(ch0, ch1, fs=10000.0))
+
+    abf = AbfInfo(str(p))
+    assert abf.version == 2
+    assert abf.n_sweeps == 2
+    assert abf.n_channels == 2
+    assert abf.data_rate == pytest.approx(10000.0, rel=1e-6)
+    # field-level scaling: ch0 has inst_scale .5 / offset .25;
+    # ch1 has signal_gain 2, telegraph 2, signal offset .125
+    s0 = _expected_scale(0.5, 1.0, 1.0, None)
+    s1 = _expected_scale(1.0, 2.0, 1.0, 2.0)
+    assert abf.channel_scale[0] == pytest.approx(s0, rel=1e-6)
+    assert abf.channel_scale[1] == pytest.approx(s1, rel=1e-6)
+    assert abf.channel_offset[0] == pytest.approx(0.25)
+    assert abf.channel_offset[1] == pytest.approx(-0.125)
+    for sw in range(2):
+        np.testing.assert_allclose(
+            abf.sweep(sw, 0), ch0[sw] * s0 + 0.25, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            abf.sweep(sw, 1), ch1[sw] * s1 - 0.125, rtol=1e-5, atol=1e-6)
+
+
+def test_abf2_bytelevel_channel_fallback(tmp_path):
+    # SweepManager.py:41-46: all-zero channel 0 -> fall back to channel 1.
+    # (The check runs on SCALED data, as pyabf returns it, so channel 0 must
+    # carry no instrument offset to read as zero — true of real rigs too.)
+    ch0 = np.zeros((1, 32), np.int16)
+    ch1 = (np.arange(32, dtype=np.int16) - 16).reshape(1, 32)
+    p = tmp_path / "zero0.abf"
+    p.write_bytes(_abf2_bytes(ch0, ch1, fs=2000.0, inst_off=(0.0, 0.0)))
+    reg = SweepRegistry()
+    names = load_abf(str(p), reg)
+    assert names == ["zero0_sweep0"]
+    sig, fs = reg.get_signal("zero0_sweep0", processed=False)
+    assert fs == pytest.approx(2000.0)
+    s1 = _expected_scale(1.0, 2.0, 1.0, 2.0)
+    np.testing.assert_allclose(sig, ch1[0] * s1 - 0.125, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ABF1 (published fixed-offset header: 'ABF ' signature)
+# ---------------------------------------------------------------------------
+
+def test_abf1_bytelevel(tmp_path):
+    n_samp, fs = 48, 5000.0
+    rng = np.random.RandomState(1)
+    raw = rng.randint(-5000, 5000, size=n_samp).astype("<i2")
+
+    buf = bytearray(4 * BLOCK)
+    buf[0:4] = b"ABF "
+    struct.pack_into("<i", buf, 10, n_samp)          # lActualAcqLength
+    struct.pack_into("<i", buf, 16, 1)               # lActualEpisodes
+    struct.pack_into("<i", buf, 40, 3)               # lDataSectionPtr (blocks)
+    struct.pack_into("<h", buf, 100, 0)              # nDataFormat: int16
+    struct.pack_into("<h", buf, 120, 1)              # nADCNumChannels
+    struct.pack_into("<f", buf, 122, 1e6 / fs)       # fADCSampleInterval
+    struct.pack_into("<i", buf, 138, n_samp)         # lNumSamplesPerEpisode
+    struct.pack_into("<f", buf, 244, 10.0)           # fADCRange
+    struct.pack_into("<i", buf, 252, 32768)          # lADCResolution
+    struct.pack_into("<f", buf, 730, 1.0)            # fADCProgrammableGain[0]
+    struct.pack_into("<f", buf, 922, 0.25)           # fInstrumentScaleFactor[0]
+    struct.pack_into("<f", buf, 986, 1.5)            # fInstrumentOffset[0]
+    struct.pack_into("<f", buf, 1050, 1.0)           # fSignalGain[0]
+    struct.pack_into("<f", buf, 1114, 0.5)           # fSignalOffset[0]
+    buf[3 * BLOCK:3 * BLOCK + raw.nbytes] = raw.tobytes()
+
+    p = tmp_path / "hand1.abf"
+    p.write_bytes(bytes(buf))
+    abf = AbfInfo(str(p))
+    assert abf.version == 1
+    assert abf.n_sweeps == 1 and abf.n_channels == 1
+    assert abf.data_rate == pytest.approx(fs, rel=1e-6)
+    s = _expected_scale(0.25, 1.0, 1.0, None)
+    np.testing.assert_allclose(abf.sweep(0, 0), raw * s + 1.0,
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# NIX HDF5 (layout as neo's NixIO writes it: /data/<block>/groups/<segment>/
+# data_arrays hard links; bytes-valued attrs; 'ms' sampling unit)
+# ---------------------------------------------------------------------------
+
+def test_nix_bytelevel_layout(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    p = tmp_path / "hand.nix.h5"
+    raw0 = np.sin(np.linspace(0, 6, 100)).astype(np.float32)
+    proc0 = raw0 * 0.5
+    only1 = np.cos(np.linspace(0, 3, 80)).astype(np.float32)
+
+    with h5py.File(p, "w") as f:
+        blk = f.create_group("data/neo_block_0")
+        das = blk.create_group("data_arrays")
+        grp = blk.create_group("groups")
+
+        def da(name_attr, arr, si_ms):
+            g = das.create_group(name_attr.decode().replace(" ", "_"))
+            # neo/NIX stores names as bytes -> exercises bytes-safe matching
+            g.attrs["name"] = np.bytes_(name_attr)
+            g.create_dataset("data", data=arr)
+            d = g.create_group("dimensions/1")
+            d.attrs["dimension_type"] = np.bytes_(b"sample")
+            d.attrs["sampling_interval"] = si_ms
+            d.attrs["unit"] = np.bytes_(b"ms")     # 1 ms -> 1000 Hz
+            return g
+
+        g_raw = da(b"ECoG RAW ch1", raw0, 1.0)          # 1000 Hz
+        g_proc = da(b"ECoG proc ch1", proc0, 2.0)       # 500 Hz
+        g_only = da(b"LFP signal", only1, 0.5)          # 2000 Hz (no raw/proc)
+        g_nofs = das.create_group("broken")
+        g_nofs.attrs["name"] = np.bytes_(b"no fs here")
+        g_nofs.create_dataset("data", data=raw0)
+
+        seg0 = grp.create_group("neo_segment_0").create_group("data_arrays")
+        seg0["a"] = g_raw                               # hard links
+        seg0["b"] = g_proc
+        seg1 = grp.create_group("neo_segment_1").create_group("data_arrays")
+        seg1["c"] = g_only
+        seg2 = grp.create_group("neo_segment_2").create_group("data_arrays")
+        seg2["d"] = g_nofs                              # skipped: no fs
+
+    reg = SweepRegistry()
+    names = load_nix_h5(str(p), reg)
+    # segment 2 has no sampling info -> skipped (SweepManager.py:130-132)
+    assert names == ["hand.nix_sweep0", "hand.nix_sweep1"]
+
+    proc, fs = reg.get_signal("hand.nix_sweep0", processed=True)
+    np.testing.assert_array_equal(proc, proc0)
+    assert fs == pytest.approx(500.0)                   # authoritative = proc fs
+    raw, fs_raw = reg.get_signal("hand.nix_sweep0", processed=False)
+    np.testing.assert_array_equal(raw, raw0)
+    assert fs_raw == pytest.approx(1000.0)              # fs_raw preferred
+
+    # segment 1: no 'raw'/'proc' in names -> first signal, cross-filled
+    proc1, fs1 = reg.get_signal("hand.nix_sweep1", processed=True)
+    np.testing.assert_array_equal(proc1, only1)
+    assert fs1 == pytest.approx(2000.0)
+    raw1, _ = reg.get_signal("hand.nix_sweep1", processed=False)
+    np.testing.assert_array_equal(raw1, only1)

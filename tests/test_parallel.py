@@ -10,8 +10,10 @@ from spectral_tpu.config import SpecConfig
 from spectral_tpu.core.stft import power_spectrogram, num_frames
 from spectral_tpu.parallel.mesh import make_mesh, batch_sharding
 from spectral_tpu.parallel.sharding import shard_pipeline, batched_spectrogram_fn
-from spectral_tpu.parallel.streaming import (StreamingSTFT, stream_spectrogram,
-                                             carry_len, iter_stream)
+from spectral_tpu.parallel.streaming import (BlockStreamingSTFT, StreamingSTFT,
+                                             stream_spectrogram, carry_len,
+                                             iter_stream, scan_spectrogram,
+                                             stream_fold)
 from spectral_tpu.parallel import distributed_em
 from spectral_tpu.models import hmm
 
@@ -76,6 +78,31 @@ def test_mel_in_pipeline():
     assert out["image"].shape == (8, 64, T)
 
 
+def test_fit_sharded_stops_on_ll_decrease(monkeypatch):
+    # hmmlearn's ConvergenceMonitor stops whenever delta < tol — including a
+    # sharp DECREASE in log-likelihood; fit_sharded mirrors that (it is not a
+    # "best ll so far" tracker). Drive the guard with a scripted step.
+    from spectral_tpu.parallel import distributed_em
+    from spectral_tpu.models import hmm as hmm_mod
+
+    lls = iter([-100.0, -150.0, -50.0])   # decrease on iteration 2
+
+    def fake_make_step(mesh, batch_axis="data"):
+        def step(params, Xb):
+            return params, jnp.asarray(next(lls))
+        return step
+
+    monkeypatch.setattr(distributed_em, "make_sharded_em_step",
+                        fake_make_step)
+    from jax.sharding import Mesh
+    one_dev = Mesh(np.array(jax.devices()[:1]), ("data",))
+    p0 = hmm_mod.HMMParams(jnp.ones(2) / 2, jnp.ones((2, 2)) / 2,
+                           jnp.zeros((2, 1)), jnp.ones((2, 1)))
+    params, ll, it = distributed_em.fit_sharded(
+        p0, jnp.zeros((1, 4, 1)), mesh=one_dev, n_iter=10)
+    assert it == 2 and ll == -150.0       # stopped ON the decrease
+
+
 # ---- streaming -------------------------------------------------------------
 
 @pytest.mark.parametrize("cfg,chunk", [
@@ -92,6 +119,75 @@ def test_streaming_equals_monolithic(cfg, chunk):
     out = np.asarray(stream_spectrogram(x, fs, cfg, chunk))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-9)
+
+
+@pytest.mark.parametrize("cpb", [1, 2, 3, 7])
+def test_block_streaming_equals_monolithic(cpb):
+    # staged-block dispatch must land on the identical hop grid as the
+    # per-chunk carry loop (and the monolithic computation)
+    cfg = SpecConfig.scipy_default(1024)   # hop 896: carry 896, non-divisor
+    fs = 48000.0
+    x = np.random.RandomState(7).randn(60000).astype(np.float32)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+    out = np.asarray(stream_spectrogram(x, fs, cfg, 8960, use_matmul=True,
+                                        chunks_per_block=cpb))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-9)
+
+
+def test_block_streaming_carry_roundtrip():
+    # incremental block feeding through BlockStreamingSTFT directly
+    cfg = SpecConfig.north_star(512, 128)
+    fs = 1000.0
+    s = BlockStreamingSTFT(fs, cfg, chunk_size=1024, chunks_per_block=2)
+    x = np.random.RandomState(11).randn(3 * s.block_size).astype(np.float32)
+    got, first_frames = [], []
+    for j in range(3):
+        psd, valid, first = s.process_block(x[j * s.block_size:
+                                              (j + 1) * s.block_size])
+        got.append(np.asarray(psd)[valid])
+        first_frames.append(first)
+    assert first_frames[0] == -(carry_len(cfg) // cfg.hop_)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+    cat = np.concatenate(got)[:ref.shape[0]]
+    np.testing.assert_allclose(cat, ref, rtol=1e-4, atol=1e-9)
+    with pytest.raises(ValueError, match="expected block"):
+        s.process_block(np.zeros(100, np.float32))
+
+
+@pytest.mark.parametrize("cfg,chunk,cpb", [
+    (SpecConfig.scipy_default(1024), 8960, 2),
+    (SpecConfig.north_star(512, 128), 1024, 3),
+])
+def test_scan_spectrogram_equals_monolithic(cfg, chunk, cpb):
+    fs = 48000.0
+    x = np.random.RandomState(5).randn(70000).astype(np.float32)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+    out = np.asarray(scan_spectrogram(x, fs, cfg, chunk, use_matmul=True,
+                                      chunks_per_block=cpb))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-9)
+
+
+def test_stream_fold_global_max_and_band_sum():
+    # fold-consumer: global max + total power over the stream must match the
+    # monolithic quantities (the reference computes them from in-RAM Sxx,
+    # PlotEngine.py:686-690)
+    cfg = SpecConfig.scipy_default(512)
+    fs = 1000.0
+    x = np.random.RandomState(9).randn(20000).astype(np.float32)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+
+    def fold(acc, psd, valid):
+        m, s = acc
+        v = valid[:, None].astype(psd.dtype)
+        return (jnp.maximum(m, jnp.max(psd * v)), s + jnp.sum(psd * v))
+
+    m, s = stream_fold(x, fs, cfg, chunk_size=448 * 4,  # hop=448 (512-512//8)
+                       fold=fold, init=(jnp.zeros(()), jnp.zeros(())),
+                       chunks_per_block=3)
+    np.testing.assert_allclose(float(m), ref.max(), rtol=1e-5)
+    np.testing.assert_allclose(float(s), ref.sum(), rtol=1e-4)
 
 
 def test_streaming_random_lengths():
