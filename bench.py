@@ -86,6 +86,28 @@ def main() -> int:
     audio_hours = batch * clip_seconds / 3600.0
     ahpm = audio_hours / (dt / 60.0)
 
+    # Accuracy artifact: max |dB| error of the exact kernel being timed vs a
+    # float64 scipy oracle on one clip (scipy is a bench/test oracle only,
+    # never a package dependency). The display image is min-max rescaled to
+    # [0, 1], so the error is mapped back to dB via the image's dB range.
+    max_db_err = None
+    try:
+        from scipy.signal import spectrogram as sp_spec
+        x0 = np.asarray(xb[0], np.float64)
+        _f, _t, sxx = sp_spec(x0, fs=fs, window="hann", nperseg=1024,
+                              noverlap=1024 - 256, nfft=1024, detrend=False,
+                              scaling="density", mode="psd")
+        norm = np.clip(sxx / (sxx.max() + 1e-20), 0.0, 1.0)
+        db = np.nan_to_num(10.0 * np.log10(norm + 1e-12))
+        rng_db = db.max() - db.min()
+        oracle_img = (db - db.min()) / rng_db
+        dev_img = np.asarray(jax.jit(
+            lambda x: fn_raw(x)["image"])(xb[:1]))[0]
+        max_db_err = round(float(np.max(np.abs(dev_img - oracle_img))
+                                 * rng_db), 6)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": ("spectrogram pipeline throughput "
                    f"(n_fft=1024, hop=256, batch={batch}, 10s@16kHz, "
@@ -94,6 +116,7 @@ def main() -> int:
         "value": round(ahpm, 1),
         "unit": "audio-hours/min",
         "vs_baseline": round(ahpm / BASELINE_AUDIO_H_PER_MIN, 1),
+        "max_db_err_vs_scipy": max_db_err,
     }))
     return 0
 

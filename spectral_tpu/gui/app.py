@@ -1,23 +1,29 @@
-"""Thin Qt GUI client over the headless AnalysisSession.
+"""Thin Qt GUI client over the headless AnalysisSession + controllers.
 
-Mirrors the reference's window (GUI.py:12-168: file tree, display options,
-analysis parameters, detection buttons, export buttons, status label) while
-keeping ALL logic in the session layer — the GUI only wires widgets to
-session calls, the inversion of the reference's design where PlotEngine was
-simultaneously compute engine, model holder, renderer and Qt widget
-(SURVEY.md §1). Requires PyQt5 (an optional dependency; the framework is
-headless-first). Launch: ``spectral-tpu gui`` or ``python -m
-spectral_tpu.gui.app``.
+Mirrors the reference's window (GUI.py:12-168: file tree, display options
+with RAW/PROC mode combos, analysis parameters, detection buttons incl.
+Refine Model and the editing toggle that gates learning, band-power dialog,
+export buttons incl. batch export, persistent combine, status label) while
+keeping ALL logic below the widgets: compute/state in api/session.py, every
+interaction state machine in gui/controller.py (headless-tested). The GUI
+only translates Qt signals into controller calls — the inversion of the
+reference's design where PlotEngine was simultaneously compute engine, model
+holder, renderer and Qt widget (SURVEY.md §1). Requires PyQt5 (optional
+dependency; the framework is headless-first). Launch: ``spectral-tpu gui``
+or ``python -m spectral_tpu.gui.app``.
 
 Settings persist via QSettings under "spectral_tpu/SpectrogramGenerator",
 mirroring the reference's keys (GUI.py:190-224: lastDir, drawRaw, drawProc,
-combineAll, nperseg, fmin, fmax, logScale, lastExportDir).
+combineAll, modeRaw, modeProc, nperseg, fmin, fmax, logScale,
+lastExportDir).
 """
 
 from __future__ import annotations
 
 import os
 import sys
+
+MODES = ("Signal", "Spectrogram", "Both")   # GUI.py:38-66 combos
 
 
 def _require_qt():
@@ -36,13 +42,14 @@ def main(argv=None) -> int:
             "spectral-tpu --help\n")
         return 2
 
-    from PyQt5 import QtCore, QtWidgets
+    from PyQt5 import QtCore, QtGui, QtWidgets
     from matplotlib.backends.backend_qt5agg import (FigureCanvasQTAgg,
                                                     NavigationToolbar2QT)
     from matplotlib.figure import Figure
 
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import SpecConfig, ViewSettings
+    from spectral_tpu.gui.controller import WindowController
     from spectral_tpu.render.figure import render_session_figure
 
     class MainWindow(QtWidgets.QMainWindow):
@@ -50,6 +57,8 @@ def main(argv=None) -> int:
             super().__init__()
             self.setWindowTitle("Spectrogram Generator (TPU)")
             self.session = AnalysisSession()
+            self.controller = WindowController(self.session)
+            self.controller.roi_editor.on_change = self._patches_changed
             self.settings = QtCore.QSettings("spectral_tpu",
                                              "SpectrogramGenerator")
 
@@ -70,10 +79,19 @@ def main(argv=None) -> int:
             btn_add = QtWidgets.QPushButton("Add Files")
             btn_add.clicked.connect(self.add_files)
             panel.addWidget(btn_add)
+            btn_comb = QtWidgets.QPushButton("Register Combined Sweep")
+            btn_comb.clicked.connect(self.register_combined)
+            panel.addWidget(btn_comb)
 
+            # display options: RAW/PROC checkboxes + per-source mode combos
+            # (GUI.py:38-66)
             form = QtWidgets.QFormLayout()
             self.chk_raw = QtWidgets.QCheckBox("RAW")
             self.chk_proc = QtWidgets.QCheckBox("PROC")
+            self.combo_raw = QtWidgets.QComboBox()
+            self.combo_raw.addItems(MODES)
+            self.combo_proc = QtWidgets.QComboBox()
+            self.combo_proc.addItems(MODES)
             self.chk_combine = QtWidgets.QCheckBox("Combine")
             self.chk_log = QtWidgets.QCheckBox("Log scale")
             self.spin_nperseg = QtWidgets.QSpinBox()
@@ -83,19 +101,39 @@ def main(argv=None) -> int:
             self.spin_fmin.setRange(0.0, 5000.0)
             self.spin_fmax = QtWidgets.QDoubleSpinBox()
             self.spin_fmax.setRange(0.0, 5000.0)
-            form.addRow(self.chk_raw, self.chk_proc)
+            form.addRow(self.chk_raw, self.combo_raw)
+            form.addRow(self.chk_proc, self.combo_proc)
             form.addRow(self.chk_combine, self.chk_log)
             form.addRow("nperseg", self.spin_nperseg)
             form.addRow("fmin (Hz)", self.spin_fmin)
             form.addRow("fmax (Hz)", self.spin_fmax)
             panel.addLayout(form)
 
-            for label, slot in [("Plot Signal", self.plot_selected),
-                                ("Auto-Detect Bursts", self.detect),
-                                ("Learn from Examples", self.learn),
-                                ("Reset Model", self.reset_model),
+            btn_plot = QtWidgets.QPushButton("Plot Signal")
+            btn_plot.clicked.connect(self.plot_selected)
+            panel.addWidget(btn_plot)
+            btn_detect = QtWidgets.QPushButton("Auto-Detect Bursts")
+            btn_detect.clicked.connect(self.detect)
+            panel.addWidget(btn_detect)
+
+            # editing toggle gates Learn/Refine (GUI.py:314-323)
+            self.chk_edit = QtWidgets.QCheckBox("Enable Editing")
+            self.chk_edit.toggled.connect(self.toggle_editing)
+            panel.addWidget(self.chk_edit)
+            self.btn_learn = QtWidgets.QPushButton("Learn from Examples")
+            self.btn_learn.clicked.connect(self.learn)
+            self.btn_learn.setEnabled(False)
+            panel.addWidget(self.btn_learn)
+            self.btn_refine = QtWidgets.QPushButton("Refine Model")
+            self.btn_refine.clicked.connect(self.refine)
+            self.btn_refine.setEnabled(False)
+            panel.addWidget(self.btn_refine)
+
+            for label, slot in [("Reset Model", self.reset_model),
+                                ("Band Powers", self.band_powers),
                                 ("Export CSV", self.export_csv),
-                                ("Export PNG", self.export_png)]:
+                                ("Export PNG", self.export_png),
+                                ("Batch Export PNGs", self.export_batch)]:
                 b = QtWidgets.QPushButton(label)
                 b.clicked.connect(slot)
                 panel.addWidget(b)
@@ -110,6 +148,7 @@ def main(argv=None) -> int:
             right.addWidget(NavigationToolbar2QT(self.canvas, self))
             right.addWidget(self.canvas)
             layout.addLayout(right, 3)
+            self._connect_canvas()
 
             self.load_settings()
 
@@ -120,6 +159,8 @@ def main(argv=None) -> int:
             self.chk_proc.setChecked(s.value("drawProc", True, bool))
             self.chk_combine.setChecked(s.value("combineAll", False, bool))
             self.chk_log.setChecked(s.value("logScale", False, bool))
+            self.combo_raw.setCurrentText(s.value("modeRaw", "Signal", str))
+            self.combo_proc.setCurrentText(s.value("modeProc", "Signal", str))
             self.spin_nperseg.setValue(s.value("nperseg", 1024, int))
             self.spin_fmin.setValue(s.value("fmin", 0.0, float))
             self.spin_fmax.setValue(s.value("fmax", 30.0, float))
@@ -128,6 +169,10 @@ def main(argv=None) -> int:
                            (self.chk_combine, "combineAll"),
                            (self.chk_log, "logScale")]:
                 w.toggled.connect(lambda v, k=key: self.settings.setValue(k, v))
+            self.combo_raw.currentTextChanged.connect(
+                lambda v: self.settings.setValue("modeRaw", v))
+            self.combo_proc.currentTextChanged.connect(
+                lambda v: self.settings.setValue("modeProc", v))
             self.spin_nperseg.valueChanged.connect(
                 lambda v: self.settings.setValue("nperseg", v))
             self.spin_fmin.valueChanged.connect(
@@ -135,10 +180,55 @@ def main(argv=None) -> int:
             self.spin_fmax.valueChanged.connect(
                 lambda v: self.settings.setValue("fmax", v))
 
+        # ---- interactive ROI editing: canvas -> controller ----------------
+        def _connect_canvas(self):
+            c = self.canvas
+            c.mpl_connect("button_press_event", self._on_press)
+            c.mpl_connect("motion_notify_event", self._on_motion)
+            c.mpl_connect("button_release_event", self._on_release)
+
+        def _on_press(self, event):
+            button = int(event.button) if event.button else 1
+            action = self.controller.roi_editor.on_press(event.xdata, button)
+            if action == "menu":
+                menu = QtWidgets.QMenu(self)
+                for name in self.controller.roi_editor.context_actions():
+                    menu.addAction(name)
+                chosen = menu.exec_(QtGui.QCursor.pos())
+                if chosen is not None:
+                    if chosen.text() == "Delete":
+                        self.controller.roi_editor.delete_hovered()
+                    elif chosen.text() == "Merge":
+                        self.controller.roi_editor.merge_hovered()
+
+        def _on_motion(self, event):
+            self.controller.roi_editor.on_motion(event.xdata)
+
+        def _on_release(self, event):
+            self.controller.roi_editor.on_release(event.xdata)
+
+        def _patches_changed(self):
+            self._redraw()
+            self._update_gates()
+
+        def _update_gates(self):
+            on = self.controller.can_learn()
+            self.btn_learn.setEnabled(on)
+            self.btn_refine.setEnabled(on)
+
+        def toggle_editing(self, enabled):
+            self.controller.set_editing_enabled(enabled)
+            self._update_gates()
+
         # ---- actions ----------------------------------------------------
         def _selected_names(self):
             return [i.data(0, QtCore.Qt.UserRole)
                     for i in self.tree.selectedItems()]
+
+        def _add_tree_item(self, name):
+            item = QtWidgets.QTreeWidgetItem([name])
+            item.setData(0, QtCore.Qt.UserRole, name)
+            self.tree.addTopLevelItem(item)
 
         def add_files(self):
             last = self.settings.value("lastDir", "", str)
@@ -150,12 +240,21 @@ def main(argv=None) -> int:
                 self.settings.setValue("lastDir", os.path.dirname(p))
                 try:
                     for name in self.session.load(p):
-                        item = QtWidgets.QTreeWidgetItem([name])
-                        item.setData(0, QtCore.Qt.UserRole, name)
-                        self.tree.addTopLevelItem(item)
+                        self._add_tree_item(name)
                 except Exception as e:
                     QtWidgets.QMessageBox.critical(self, "Load error", str(e))
             self.status.setText(f"{self.tree.topLevelItemCount()} sweeps")
+
+        def register_combined(self):
+            """Persistent combine into the registry (GUI.py:226-276)."""
+            names = self._selected_names()
+            try:
+                new = self.controller.register_combined(
+                    names, use_processed=self.chk_proc.isChecked())
+                self._add_tree_item(new)
+                self.status.setText(f"Registered {new}")
+            except Exception as e:
+                QtWidgets.QMessageBox.critical(self, "Combine error", str(e))
 
         def _config(self):
             return SpecConfig.scipy_default(
@@ -169,11 +268,17 @@ def main(argv=None) -> int:
                 self.status.setText("Select sweeps first")
                 return
             try:
-                view = ViewSettings(combine=self.chk_combine.isChecked(),
-                                    draw_raw=self.chk_raw.isChecked(),
-                                    draw_proc=self.chk_proc.isChecked(),
-                                    mode_raw="Both", mode_proc="Both")
-                res = self.session.plot_sweeps(names, self._config(), view)
+                view = ViewSettings(
+                    combine=self.chk_combine.isChecked(),
+                    draw_raw=self.chk_raw.isChecked(),
+                    draw_proc=self.chk_proc.isChecked(),
+                    mode_raw=self.combo_raw.currentText(),
+                    mode_proc=self.combo_proc.currentText())
+                # editing suspended during replot (GUI.py:433-447)
+                was_editing = self.controller.roi_editor.editing
+                self.controller.set_editing_enabled(False)
+                self.session.plot_sweeps(names, self._config(), view)
+                self.controller.set_editing_enabled(was_editing)
                 self._redraw()
                 power = self.session.calculate_absolute_power()
                 self.status.setText(
@@ -187,35 +292,47 @@ def main(argv=None) -> int:
             self.canvas.figure = render_session_figure(self.session)
             self.canvas.figure.set_canvas(self.canvas)
             self.canvas.draw()
+            self._connect_canvas()
 
         def detect(self):
             try:
                 events = self.session.unsupervised_detect()
-                self._redraw()
+                self._patches_changed()
                 self.status.setText(f"{len(events)} bursts detected")
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Detection error", str(e))
 
         def learn(self):
-            text, ok = QtWidgets.QInputDialog.getText(
-                self, "Learn from Examples",
-                "ROIs as start:end,start:end (seconds):")
-            if not ok or not text.strip():
-                return
             try:
-                rois = []
-                for part in text.split(","):
-                    a, b = part.split(":")
-                    rois.append((float(a), float(b)))
-                events = self.session.learn_and_detect(rois)
-                self._redraw()
+                events = self.session.learn_and_detect(
+                    self.controller.roi_editor.patches())
+                self._patches_changed()
                 self.status.setText(f"{len(events)} bursts after learning")
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Learning error", str(e))
 
+        def refine(self):
+            """GUI.py:278-284: Refine Model re-learns from current patches."""
+            try:
+                events = self.controller.refine_model()
+                self._patches_changed()
+                self.status.setText(f"{len(events)} bursts after refinement")
+            except Exception as e:
+                QtWidgets.QMessageBox.critical(self, "Refine error", str(e))
+
         def reset_model(self):
             self.session.reset_model()
             self.status.setText("Model reset")
+
+        def band_powers(self):
+            """Band-power dialog (GUI.py:529-566)."""
+            try:
+                report = self.controller.band_powers_report()
+            except Exception as e:
+                QtWidgets.QMessageBox.critical(self, "Band powers", str(e))
+                return
+            QtWidgets.QMessageBox.information(self, "Relative Band Powers",
+                                              report)
 
         def export_csv(self):
             last = self.settings.value("lastExportDir", "", str)
@@ -232,6 +349,23 @@ def main(argv=None) -> int:
             if path:
                 self.settings.setValue("lastExportDir", os.path.dirname(path))
                 self.status.setText(self.session.export_png(path))
+
+        def export_batch(self):
+            """Batch PNG export of the selected signals (GUI.py:577-586)."""
+            last = self.settings.value("lastExportDir", "", str)
+            out_dir = QtWidgets.QFileDialog.getExistingDirectory(
+                self, "Batch Export PNGs", last)
+            if not out_dir:
+                return
+            self.settings.setValue("lastExportDir", out_dir)
+            try:
+                msg = self.controller.export_batch(
+                    out_dir, self._selected_names(),
+                    use_proc=self.chk_proc.isChecked(),
+                    use_raw=self.chk_raw.isChecked())
+                self.status.setText(msg)
+            except Exception as e:
+                QtWidgets.QMessageBox.critical(self, "Batch export", str(e))
 
     app = QtWidgets.QApplication(argv or sys.argv)
     win = MainWindow()

@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--out", default="BENCH_REPORT.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--no-e2e", action="store_true",
+                    help="skip the end-to-end PNG export stage")
     args = ap.parse_args()
 
     import numpy as np
@@ -175,6 +177,45 @@ def main() -> int:
         "note": "device-resident lax.scan over chunk blocks (ScanStreamer), "
                 "one dispatch per run; reference scipy path measured 6.2 "
                 "audio-h/min on this workload (BASELINE.md row 3)"}
+
+    # End-to-end export (BASELINE config 5): decode -> fused STFT -> colormap
+    # -> PNG on disk, all three stages overlapped (parallel/pipeline.py).
+    # Reference analog: the serial matplotlib savefig loop at ~11.8 s/figure
+    # (ExportManager.py:108,184; BASELINE.md) = 0.0141 audio-h/min on 10 s
+    # clips. A pool of distinct clips is cycled so staging cost is real
+    # without holding 10k x 160k floats in RAM.
+    if not args.no_e2e:
+        import shutil
+        import tempfile
+        from spectral_tpu.parallel.pipeline import export_spectrograms
+        n_clips = 200 if args.quick else int(
+            os.environ.get("E2E_CLIPS", "10000"))
+        pool = [rng.randn(n).astype(np.float32) for _ in range(64)]
+
+        def clip_source():
+            for i in range(n_clips):
+                yield f"clip{i:05d}", pool[i % len(pool)]
+
+        out_dir = tempfile.mkdtemp(prefix="spectpu_e2e_")
+        try:
+            t0 = time.time()
+            st = export_spectrograms(
+                clip_source(), fs, cfg, out_dir, clip_samples=n, batch=32,
+                compress_level=1, encode_workers=max(4, os.cpu_count() or 1))
+            dt = time.time() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        assert st.pngs_written == n_clips, (st.pngs_written, n_clips)
+        e2e_ahpm = (st.seconds_audio / 3600.0) / (dt / 60.0)
+        ref_export_ahpm = (10.0 / 3600.0) / (11.8 / 60.0)   # 11.8 s/figure
+        S["end_to_end_export"] = {
+            "clips": st.clips, "pngs_written": st.pngs_written,
+            "seconds": round(dt, 1),
+            "audio_hours_per_min": round(e2e_ahpm, 1),
+            "vs_reference_export_0.014": round(e2e_ahpm / ref_export_ahpm, 1),
+            "note": "decode->device pipeline->PNG-on-disk, overlapped "
+                    "producer/device/encoder stages; level-1 RGB PNGs; "
+                    "reference = ExportManager savefig at 11.8 s/figure"}
 
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=2)
