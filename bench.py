@@ -46,10 +46,12 @@ def main() -> int:
     rng = np.random.RandomState(0)
     xb = jnp.asarray(rng.randn(batch, n).astype(np.float32))
 
-    # Both kernels implement the same window/detrend-folded DFT-as-GEMM;
-    # XLA's scheduling of the single big matmul currently edges out the
-    # hand-fused Pallas kernel by ~5% (0.071 vs 0.075 ms/clip), so the
-    # default is the faster path. BENCH_PALLAS=1 selects the Pallas kernel.
+    # Both kernels implement the same window/detrend-folded DFT-as-GEMM.
+    # Measured on v5e (r2): the Pallas kernel wins the bare STFT stage
+    # (0.073 vs 0.079 ms/clip) but XLA wins the full pipeline (0.086 vs
+    # 0.099) because it fuses the normalize/dB/colormap tail into the
+    # unpadded matmul output, so the pipeline default stays XLA.
+    # BENCH_PALLAS=1 selects the Pallas-STFT pipeline.
     use_pallas = os.environ.get("BENCH_PALLAS", "0") != "0"
     fn_raw = batched_spectrogram_fn(fs, cfg, use_matmul=True, colormap="jet")
     if use_pallas:

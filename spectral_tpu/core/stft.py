@@ -177,6 +177,52 @@ def dft_matrices(cfg: SpecConfig) -> Tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(a_re), np.ascontiguousarray(a_im)
 
 
+# Constant-size threshold above which the DFT matrices are generated on
+# device instead of baked into the program: 2 matrices at nperseg=2048 are
+# already ~19 MB of f32 constants, which bloats executables and overflows
+# remote-compile request limits.
+DEVICE_DFT_BYTES = 8 * 2 ** 20
+
+
+def dft_matrices_device(cfg: SpecConfig, dtype=jnp.float32):
+    """Device-side (traced) construction of the window/detrend-folded real
+    DFT matrices — same values as :func:`dft_matrices` to ~1e-7 relative.
+
+    Key accuracy trick: the phase n*k/nfft wraps, so the angle is computed
+    from m = (n*k) mod nfft (exact in int32 for nperseg <= 8192, since
+    n*k < 2^31) and only then scaled by 2*pi/nfft — keeping |angle| <= 2*pi
+    where f32 cos/sin stay at ~1e-7 error. Computing cos(-2*pi*n*k/nfft)
+    directly in f32 would lose the phase entirely for large n*k.
+    """
+    N = cfg.nperseg
+    nfft = cfg.nfft_
+    w = jnp.asarray(_window_f64(cfg), dtype)[:, None]
+    n = jax.lax.iota(jnp.int32, N)[:, None]
+    k = jax.lax.iota(jnp.int32, cfg.n_freqs)[None, :]
+    m = (n * k) % nfft
+    ang = (-2.0 * jnp.pi / nfft) * m.astype(dtype)
+    a_re = w * jnp.cos(ang)
+    a_im = w * jnp.sin(ang)
+    if cfg.detrend == "constant":
+        a_re = a_re - jnp.mean(a_re, axis=0, keepdims=True)
+        a_im = a_im - jnp.mean(a_im, axis=0, keepdims=True)
+    elif cfg.detrend == "linear":
+        ns = jnp.arange(N, dtype=dtype)[:, None]
+        q1 = jnp.full((N, 1), 1.0 / jnp.sqrt(jnp.asarray(N, dtype)), dtype)
+        c = ns - (N - 1) / 2.0
+        q2 = c / jnp.sqrt(jnp.sum(c * c))
+        Q = jnp.concatenate([q1, q2], axis=1)
+        a_re = a_re - Q @ (Q.T @ a_re)
+        a_im = a_im - Q @ (Q.T @ a_im)
+    return a_re, a_im
+
+
+def use_device_dft(cfg: SpecConfig) -> bool:
+    """True when the folded DFT matrices are too large to embed as program
+    constants (see DEVICE_DFT_BYTES)."""
+    return 2 * 4 * cfg.nperseg * cfg.n_freqs > DEVICE_DFT_BYTES
+
+
 # ---------------------------------------------------------------------------
 # Core spectrogram
 # ---------------------------------------------------------------------------
@@ -228,7 +274,6 @@ def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
     raw — the window and detrend projections live in the matrices."""
     if cfg.nfft_ != cfg.nperseg:
         raise ValueError("matmul DFT path requires nfft == nperseg")
-    a_re, a_im = dft_matrices(cfg)
     prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
             else jax.lax.Precision.DEFAULT)
     raw = frame_signal(
@@ -236,8 +281,14 @@ def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
             x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],
             mode=cfg.pad_mode),
         cfg.nperseg, cfg.hop_)
-    xr = jnp.matmul(raw, jnp.asarray(a_re, raw.dtype), precision=prec)
-    xi = jnp.matmul(raw, jnp.asarray(a_im, raw.dtype), precision=prec)
+    if use_device_dft(cfg):
+        a_re_d, a_im_d = dft_matrices_device(cfg, raw.dtype)
+    else:
+        a_re, a_im = dft_matrices(cfg)
+        a_re_d = jnp.asarray(a_re, raw.dtype)
+        a_im_d = jnp.asarray(a_im, raw.dtype)
+    xr = jnp.matmul(raw, a_re_d, precision=prec)
+    xi = jnp.matmul(raw, a_im_d, precision=prec)
     return xr, xi
 
 

@@ -22,10 +22,27 @@ The matmul-DFT trades ~40x the FLOPs of an rFFT for MXU throughput and
 fusion (GEMM-native NDFT, cf. the MelT paper in PAPERS.md) — the op stays
 memory-bound on v5e, so the extra FLOPs are free.
 
+For nperseg > 1024 the DFT matrices no longer fit VMEM whole, so the
+frequency axis is tiled onto the grid: step (j, f, b) computes frame block j
+x frequency tile f of clip b. The batch dimension is INNERMOST so the A-tile
+(the big operand) stays VMEM-resident across all clips of a tile — the
+signal rows (the small operand) re-stream per tile instead, which costs
+nF x signal bytes instead of B x matrix bytes.
+
+Measured on v5e (ms/clip, 10 s @ 16 kHz, r = 4): the kernel WINS at the
+headline nperseg=1024 (0.073 pallas vs 0.079 xla-matmul vs 0.140 xla-fft);
+at tiled sizes the tile re-streaming and linearly growing DFT FLOPs hand the
+lead to XLA's rFFT (4096: 0.35 pallas / 0.34 xla-matmul / 0.19 xla-fft), so
+the production default keeps the XLA paths and the kernel is the opt-in
+fast path for nperseg <= 1024. At nperseg=8192 the double-buffered A tiles
+exceed VMEM (Mosaic compile failure on chip), hence the 4096 cap; the XLA
+paths cover 8192 (golden-tested), with the DFT matrices generated on device
+above 8 MB so multi-hundred-MB constants never embed in executables
+(core.stft.dft_matrices_device).
+
 Constraints: hop | nperseg and nfft == nperseg (north-star configs; the jnp
-path covers the rest), and the two DFT matrices must fit VMEM (nperseg <=
-1024 at f32 — larger FFTs fall back to the jnp path until frequency tiling
-lands).
+path covers the rest — including the scipy-default hop = 7/8 nperseg, whose
+frame grid is not hop-aligned and frames via gcd-strided slices in XLA).
 """
 
 from __future__ import annotations
@@ -40,34 +57,75 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spectral_tpu.config import SpecConfig
-from spectral_tpu.core.stft import dft_matrices, num_frames, onesided_weights
+from spectral_tpu.core.stft import (dft_matrices, dft_matrices_device,
+                                    num_frames, onesided_weights,
+                                    use_device_dft)
 
 Array = jax.Array
 
 LANE = 128
-MAX_NPERSEG_VMEM = 1024  # 2 matrices: 2 * 1024 * 640 * 4 B = 5.2 MB
+MAX_NPERSEG_VMEM = 4096  # 8192's double-buffered A tiles exceed v5e VMEM
+# per-step budget for the two A tiles combined (double-buffered by the
+# Mosaic pipeline when the tile index changes): 2 * nperseg * FT * 4 bytes
+# per buffer set, kept ~<= 6 MB so rows/out/accumulators fit comfortably
+_A_TILE_BUDGET = 6 * 2 ** 20
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _freq_tile(nperseg: int, f_padded: int) -> int:
+    """Lane-aligned frequency tile width: the whole (padded) axis when the
+    matrices fit the budget, else the largest lane multiple that does."""
+    ft = _A_TILE_BUDGET // (2 * 4 * nperseg)
+    ft = max(LANE, (ft // LANE) * LANE)
+    return min(f_padded, ft)
+
+
+def _freq_dims(cfg: SpecConfig):
+    """(F, Fp, FT): real bins, padded width (multiple of the tile), tile."""
+    F = cfg.n_freqs
+    Fp = _round_up(F, LANE)
+    ft = _freq_tile(cfg.nperseg, Fp)
+    return F, _round_up(Fp, ft), ft
+
+
 @functools.lru_cache(maxsize=16)
 def _padded_consts(cfg: SpecConfig, fs: float):
-    """(A_re, A_im, weights) with the frequency axis padded to a lane
-    multiple. Window + constant detrend are folded into the matrices
-    (core.stft.dft_matrices)."""
+    """(A_re, A_im, weights, FT), host numpy, frequency axis padded to a
+    multiple of the tile width. Window + constant detrend are folded into
+    the matrices (core.stft.dft_matrices). Only used when the matrices are
+    small enough to embed as program constants (core.stft.use_device_dft)."""
     a_re, a_im = dft_matrices(cfg)   # (nperseg, F) float64
     wts = onesided_weights(cfg, fs)  # (F,)
-    F = a_re.shape[1]
-    Fp = _round_up(F, LANE)
+    F, Fp, ft = _freq_dims(cfg)
     pad = ((0, 0), (0, Fp - F))
     hop = cfg.hop_
     r = cfg.nperseg // hop
     # reshape to per-hop-piece stacks: frames @ A == sum_k piece_k @ A[k]
     a_re = np.pad(a_re, pad).astype(np.float32).reshape(r, hop, Fp)
     a_im = np.pad(a_im, pad).astype(np.float32).reshape(r, hop, Fp)
-    return a_re, a_im, np.pad(wts, (0, Fp - F)).astype(np.float32)
+    return a_re, a_im, np.pad(wts, (0, Fp - F)).astype(np.float32), ft
+
+
+def _dft_operands(cfg: SpecConfig, fs: float):
+    """(a_re, a_im, wts, FT) as pallas_call operands: host constants for
+    small configs; device-generated traced arrays for large ones so 100s of
+    MB never embed in the compiled program (core.stft.dft_matrices_device,
+    exact-int phase reduction)."""
+    if not use_device_dft(cfg):
+        a_re, a_im, wts, ft = _padded_consts(cfg, fs)
+        return (jnp.asarray(a_re), jnp.asarray(a_im), jnp.asarray(wts), ft)
+    F, Fp, ft = _freq_dims(cfg)
+    hop = cfg.hop_
+    r = cfg.nperseg // hop
+    ar, ai = dft_matrices_device(cfg)
+    ar = jnp.pad(ar, ((0, 0), (0, Fp - F))).reshape(r, hop, Fp)
+    ai = jnp.pad(ai, ((0, 0), (0, Fp - F))).reshape(r, hop, Fp)
+    wts = np.pad(onesided_weights(cfg, fs),
+                 (0, Fp - F)).astype(np.float32)
+    return ar, ai, jnp.asarray(wts), ft
 
 
 def pallas_supported(cfg: SpecConfig) -> bool:
@@ -104,8 +162,9 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
     if T <= 0:
         return jnp.zeros((B, 0, cfg.n_freqs), jnp.float32)
 
-    a_re, a_im, wts = _padded_consts(cfg, fs)
+    a_re, a_im, wts, FT = _dft_operands(cfg, fs)
     Fp = a_re.shape[2]
+    nF = Fp // FT
     F = cfg.n_freqs
 
     BF = min(block_frames, _round_up(T, 8))
@@ -127,8 +186,8 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         # the DFT matmul over hop-pieces and accumulate on the MXU:
         #   frames @ A == sum_k rows[k : k + BF] @ A[k*hop : (k+1)*hop]
         rows2 = jnp.concatenate([rows_a[:, :], rows_b[:, :]], axis=0)
-        xr = jnp.zeros((BF, Fp), jnp.float32)
-        xi = jnp.zeros((BF, Fp), jnp.float32)
+        xr = jnp.zeros((BF, FT), jnp.float32)
+        xi = jnp.zeros((BF, FT), jnp.float32)
         # NOTE: precision must be explicit — a bare f32 jnp.dot lowers to a
         # single-pass bf16 MXU matmul under Mosaic (measured 18 dB error);
         # HIGHEST selects the multi-pass f32 path (2.7e-4 dB vs scipy) and
@@ -146,27 +205,31 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
             p = jnp.log10(p + 1e-20)
         out_ref[:, :] = p
 
+    # Grid order (j, f, b): the batch dim is innermost so the A tile (the
+    # big operand, changing only with f) stays resident across all clips
+    # while the per-clip signal rows stream; for nF == 1 (nperseg <= 1024)
+    # this reduces to the untiled kernel with A resident across everything.
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_blocks),
+        grid=(n_blocks, nF, B),
         in_specs=[
-            pl.BlockSpec((None, BF, hop), lambda b, j: (b, j, 0),
+            pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, BF, hop), lambda b, j: (b, j + 1, 0),
+            pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j + 1, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, hop, Fp), lambda b, j: (0, 0, 0),
+            pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, hop, Fp), lambda b, j: (0, 0, 0),
+            pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp), lambda b, j: (0, 0),
+            pl.BlockSpec((1, FT), lambda j, f, b: (0, f),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, BF, Fp), lambda b, j: (b, j, 0),
+        out_specs=pl.BlockSpec((None, BF, FT), lambda j, f, b: (b, j, f),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Tp, Fp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * Tp * nperseg * Fp,
-            bytes_accessed=(B * total * 4 * 2 + 2 * nperseg * Fp * 4
+            bytes_accessed=(nF * B * total * 4 * 2 + 2 * nperseg * Fp * 4
                             + B * Tp * Fp * 4),
             transcendentals=B * Tp * Fp if log10_out else 0,
         ),
@@ -197,131 +260,13 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
 
 
 # ---------------------------------------------------------------------------
-# Fully-fused display kernel: STFT -> PSD -> normalize -> dB -> colormap ->
-# packed RGBA, one VMEM pass per clip (no HBM round trips between stages).
+# NOTE: a fully-fused single-launch display kernel (STFT -> PSD -> normalize
+# -> dB -> colormap -> packed RGBA in one VMEM pass per clip) existed through
+# round 1 and was DELETED deliberately: per-image normalization needs the
+# image-global max, forcing a one-block-per-clip grid that cannot pipeline
+# across frame blocks, and it measured *slower* than the staged path on v5e
+# (0.100 ms/clip vs 0.085 for pallas-STFT + XLA-fused elementwise tail,
+# BENCH_REPORT r1). The staged pipeline already gives XLA a two-pass
+# max/rescale it fuses optimally; a hand-fused kernel is structurally unable
+# to beat it here. pallas_pipeline_fn below IS the production fused path.
 # ---------------------------------------------------------------------------
-
-MAX_DISPLAY_FRAMES = 1024  # one clip's frames must fit VMEM in one block
-
-
-def display_supported(cfg: SpecConfig, n: int) -> bool:
-    return (pallas_supported(cfg)
-            and 0 < num_frames(n, cfg.nperseg, cfg.hop_) <= MAX_DISPLAY_FRAMES)
-
-
-def stft_display_pallas(x: Array, fs: float, cfg: SpecConfig,
-                        colormap: str = "jet",
-                        interpret: Optional[bool] = None) -> Array:
-    """Whole display pipeline in one kernel: (B, n) -> packed uint32
-    (B, F, T) RGBA images, freq-major with row 0 = highest frequency
-    (flip_rows convention), equal to
-    apply_colormap_packed(normalize(psd.T, cfg.log_scale), flip_rows=True).
-
-    Per-image normalization requires the image's global max, so the grid is
-    one block per clip; clips longer than MAX_DISPLAY_FRAMES frames use the
-    staged pipeline instead (see display_supported).
-
-    Measured on v5e: 0.100 ms/clip vs 0.085 for the staged XLA pipeline
-    (the one-block-per-clip grid pipelines worse than XLA's own fusion of
-    the elementwise tail), so the staged path is the production default and
-    this kernel is the single-launch alternative for latency-sensitive
-    single-dispatch uses.
-    """
-    from spectral_tpu.ops.colormap import _hinge_coeffs
-
-    if x.ndim == 1:
-        return stft_display_pallas(x[None], fs, cfg, colormap, interpret)[0]
-    if not display_supported(cfg, x.shape[-1]):
-        raise ValueError("config/length unsupported by the fused display "
-                         "kernel; use the staged pipeline")
-    coeffs = _hinge_coeffs(colormap, 256)
-    if coeffs is None:
-        raise ValueError(f"colormap {colormap!r} is not arithmetically "
-                         "expressible; use the staged pipeline")
-    chans, ceps = coeffs
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    nperseg, hop = cfg.nperseg, cfg.hop_
-    r = nperseg // hop
-    B, n = x.shape
-    T = num_frames(n, nperseg, hop)
-    a_re, a_im, wts = _padded_consts(cfg, fs)
-    Fp = a_re.shape[2]
-    F = cfg.n_freqs
-    log_scale = cfg.log_scale
-    prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
-            else jax.lax.Precision.DEFAULT)
-
-    Tp = _round_up(T, 8)
-    rows_needed = Tp + r - 1
-    total = rows_needed * hop
-    xp = jnp.pad(x, ((0, 0), (0, total - n))) if total > n else x[:, :total]
-    rows = xp.reshape(B, rows_needed, hop)
-
-    # static mask of real (frame, freq) cells: padded cells must not
-    # influence the per-image max or the dB min-max rescale
-    col_ids = np.arange(Fp)[None, :]
-    row_ids = np.arange(Tp)[:, None]
-    valid = ((col_ids < F) & (row_ids < T)).astype(np.float32)
-
-    def kernel(rows_ref, are_ref, aim_ref, wts_ref, valid_ref, out_ref):
-        xr = jnp.zeros((Tp, Fp), jnp.float32)
-        xi = jnp.zeros((Tp, Fp), jnp.float32)
-        for k in range(r):
-            piece = jax.lax.slice(rows_ref[:, :], (k, 0), (k + Tp, hop))
-            xr = xr + jnp.dot(piece, are_ref[k], precision=prec,
-                              preferred_element_type=jnp.float32)
-            xi = xi + jnp.dot(piece, aim_ref[k], precision=prec,
-                              preferred_element_type=jnp.float32)
-        psd = (xr * xr + xi * xi) * wts_ref[:, :]
-        v = valid_ref[:, :]
-        neg = jnp.float32(-3.4e38)
-        pos = jnp.float32(3.4e38)
-        # normalize (PlotEngine.py:126-131): base = image max over real cells
-        base = jnp.max(jnp.where(v > 0, psd, neg))
-        img = jnp.clip(psd / (base + 1e-20), 0.0, 1.0)
-        if log_scale:
-            db = 10.0 * jnp.log10(img + 1e-12)
-            mn = jnp.min(jnp.where(v > 0, db, pos))
-            mx = jnp.max(jnp.where(v > 0, db, neg))
-            rng = mx - mn
-            img = jnp.where(rng > 1e-6, (db - mn) / jnp.where(rng > 1e-6,
-                                                              rng, 1.0),
-                            jnp.zeros_like(db))
-        # colormap: piecewise-linear channels (see ops.colormap), byte-exact
-        idx = jnp.clip((img * 256.0), 0.0, 255.0).astype(jnp.int32)
-        fi = idx.astype(jnp.float32)
-        packed = jnp.full((Tp, Fp), jnp.uint32(255 << 24))
-        for shift, (z0, hinges, corrections) in zip((0, 8, 16), chans):
-            z = jnp.full_like(fi, z0)
-            for ds, t in hinges:
-                z = z + ds * jnp.maximum(fi - t, 0.0)
-            b8 = jnp.floor(jnp.clip(z + ceps, 0.0, 255.0)).astype(jnp.int32)
-            for i, d in corrections:
-                b8 = b8 + jnp.where(idx == i, d, 0)
-            packed = packed | (b8.astype(jnp.uint32) << shift)
-        out_ref[:, :] = packed
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, rows_needed, hop), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, nperseg // r, Fp), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, nperseg // r, Fp), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, Fp), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, Tp, Fp), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, Fp), jnp.uint32),
-        interpret=interpret,
-    )(rows, a_re, a_im, wts[None, :], valid)
-    # crop, transpose to freq-major, flip so row 0 = highest frequency
-    return jnp.flip(jnp.swapaxes(out[:, :T, :F], -1, -2), axis=-2)

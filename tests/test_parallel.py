@@ -291,7 +291,11 @@ def test_export_pipeline_writes_pngs(tmp_path):
     assert stats.clips == 5 and stats.pngs_written == 5
     img = decode_png(str(tmp_path / "clip3.png"))
     from spectral_tpu.core.stft import num_frames
-    assert img.shape == (129, num_frames(n, 256, 64), 4)
+    # default rgb_only=True drops the opaque alpha plane
+    assert img.shape == (129, num_frames(n, 256, 64), 3)
+    stats = export_spectrograms(iter(clips[:1]), fs, cfg, str(tmp_path),
+                                clip_samples=n, batch=1, rgb_only=False)
+    assert decode_png(str(tmp_path / "clip0.png")).shape[-1] == 4
 
 
 def test_export_pipeline_pads_short_clips(tmp_path):

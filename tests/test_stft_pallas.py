@@ -74,7 +74,11 @@ def test_pallas_rejects_unsupported():
         stft_psd_pallas(jnp.zeros(10000), 1000.0,
                         SpecConfig.scipy_default(1024))  # hop 896
     assert not pallas_supported(SpecConfig.scipy_default(1024))
-    assert not pallas_supported(SpecConfig.north_star(2048, 512))
+    # 8192: the double-buffered A tiles exceed v5e VMEM (measured Mosaic
+    # compile failure on chip) -> XLA paths cover it (golden-tested)
+    assert not pallas_supported(SpecConfig.north_star(8192, 2048))
+    assert pallas_supported(SpecConfig.north_star(2048, 512))  # freq-tiled
+    assert pallas_supported(SpecConfig.north_star(4096, 1024))
     assert pallas_supported(SpecConfig.north_star(1024, 256))
 
 
@@ -103,36 +107,19 @@ def test_pallas_pipeline_matches_xla_pipeline():
     assert (a != b).mean() < 5e-3
 
 
-def test_fused_display_kernel_matches_staged():
-    from spectral_tpu.ops.stft_pallas import (stft_display_pallas,
-                                              display_supported)
-    from spectral_tpu.core.scale import normalize
-    from spectral_tpu.ops.colormap import apply_colormap_packed
+@pytest.mark.parametrize("nperseg,hop,n", [
+    (2048, 512, 60000),    # first freq-tiled size (FT < Fp)
+    (4096, 1024, 60000),   # largest supported tiled size
+])
+def test_pallas_freq_tiled_matches_jnp(nperseg, hop, n):
+    from spectral_tpu.ops.stft_pallas import _freq_dims
     fs = 16000.0
-    for log_scale in (True, False):
-        cfg = SpecConfig.north_star(512, 128, log_scale=log_scale)
-        xb = jnp.asarray(np.random.RandomState(7).randn(2, 16000)
-                         .astype(np.float32))
-        assert display_supported(cfg, 16000)
-        fused = np.asarray(stft_display_pallas(xb, fs, cfg))
-        psd = power_spectrogram(xb, fs, cfg, use_matmul=True)
-        img = jax.vmap(lambda s: normalize(s, log_scale, None))(
-            jnp.swapaxes(psd, -1, -2))
-        staged = np.asarray(apply_colormap_packed(img, "jet",
-                                                  flip_rows=True))
-        assert fused.shape == staged.shape
-        # tiny accumulation-order differences can push isolated pixels
-        # across a LUT bin edge
-        assert (fused != staged).mean() < 5e-3, log_scale
-
-
-def test_fused_display_kernel_rejects_unsupported():
-    from spectral_tpu.ops.stft_pallas import (stft_display_pallas,
-                                              display_supported)
-    cfg = SpecConfig.scipy_default(1024)  # hop 896
-    assert not display_supported(cfg, 160000)
-    with pytest.raises(ValueError, match="unsupported"):
-        stft_display_pallas(jnp.zeros((1, 160000)), 16000.0, cfg)
-    # too many frames for one VMEM block
-    cfg2 = SpecConfig.north_star(256, 64)
-    assert not display_supported(cfg2, 16000 * 60)
+    cfg = SpecConfig.north_star(nperseg, hop)
+    _f, fp, ft = _freq_dims(cfg)
+    assert ft < fp                     # the tiled path is actually exercised
+    x = np.random.RandomState(5).randn(n).astype(np.float32)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg,
+                                       use_matmul=True))
+    out = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=ref.max() * 1e-7)
