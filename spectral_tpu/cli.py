@@ -116,9 +116,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("stream", help="chunked STFT for long recordings "
                                       "(bounded device memory)")
     p.add_argument("file")
-    p.add_argument("-o", "--out", required=True,
-                   help="output .npz (PSD + axes) or .png (dB image)")
+    p.add_argument("-o", "--out", default=None,
+                   help="output .npz (PSD + axes) or .png (dB image); "
+                        "optional with --bands")
     p.add_argument("--chunk-seconds", type=float, default=60.0)
+    p.add_argument("--scan", action="store_true",
+                   help="device-resident lax.scan: the whole recording in "
+                        "ONE dispatch (fastest on remote/tunneled runtimes)")
+    p.add_argument("--bands", action="store_true",
+                   help="fold EEG band powers on device instead of "
+                        "materializing the PSD (long-form analytics)")
     _add_spec_args(p)
 
     p = sub.add_parser("info", help="list sweeps in files")
@@ -190,7 +197,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.cmd == "stream":
         from spectral_tpu.io.registry import SweepRegistry
-        from spectral_tpu.parallel.streaming import stream_spectrogram
+        from spectral_tpu.parallel.streaming import (scan_spectrogram,
+                                                     stream_band_powers,
+                                                     stream_spectrogram)
         from spectral_tpu.core.stft import freq_axis, time_axis
         r = SweepRegistry()
         try:
@@ -201,7 +210,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = _make_config(args)
         hop = cfg.hop_
         chunk = max(cfg.nperseg, int(args.chunk_seconds * fs) // hop * hop)
-        psd = stream_spectrogram(np.asarray(sig, np.float32), fs, cfg, chunk)
+        if args.bands:
+            bp, total = stream_band_powers(np.asarray(sig, np.float32), fs,
+                                           cfg, chunk)
+            print(json.dumps({k: round(v, 6) for k, v in bp.items()},
+                             ensure_ascii=False, indent=2))
+            print(f"Total absolute power: {total:.6g}")
+            if args.out is None:
+                return 0
+        if args.out is None:
+            sys.exit("error: -o/--out is required unless --bands is given")
+        streamer = scan_spectrogram if args.scan else stream_spectrogram
+        psd = streamer(np.asarray(sig, np.float32), fs, cfg, chunk)
         if args.out.endswith(".npz"):
             np.savez(args.out, psd=np.asarray(psd), f=freq_axis(cfg, fs),
                      t=time_axis(cfg, fs, len(sig)), fs=fs)

@@ -294,6 +294,55 @@ def stream_fold(x, fs: float, cfg: SpecConfig, chunk_size: int, fold, init,
     return s(x)[0]
 
 
+def stream_band_powers(x, fs: float, cfg: SpecConfig, chunk_size: int,
+                       bands=None, use_matmul: bool = False,
+                       chunks_per_block: int = 64):
+    """Long-form EEG band powers: ONE device dispatch over the whole
+    recording, PSD folded into per-band sums on the fly.
+
+    Reproduces the reference's semantics exactly (PlotEngine.py:692-719 via
+    core/events.band_powers): Sxx clamped >= 0, band mask f >= low AND
+    f < high (upper edge exclusive), relative power = band/total, all-zero
+    result when total < 1e-18 — including the fmin/fmax row pre-mask the
+    reference applies before any analysis (PlotEngine.py:114-115). The
+    reference computes this from the full in-RAM Sxx; here hour-scale
+    recordings never materialize one.
+
+    Returns (dict name -> relative power, total_power).
+    """
+    from spectral_tpu.core.events import EEG_BANDS
+    from spectral_tpu.core.stft import freq_axis
+    if bands is None:
+        bands = EEG_BANDS
+    f = freq_axis(cfg, fs)
+    lo = cfg.fmin if cfg.fmin is not None else -np.inf
+    hi = cfg.fmax if cfg.fmax is not None else np.inf
+    row = (f >= lo) & (f <= hi)                      # pre-mask rows
+    masks = np.stack([(row & (f >= b_lo) & (f < b_hi)).astype(np.float32)
+                      for b_lo, b_hi in bands.values()])        # (B, F)
+    total_mask = row.astype(np.float32)
+
+    masks_j = jnp.asarray(masks)
+    total_j = jnp.asarray(total_mask)
+
+    def fold(acc, psd, valid):
+        band_acc, tot = acc
+        p = jnp.maximum(psd, 0.0) * valid[:, None].astype(psd.dtype)
+        return (band_acc + jnp.sum(p @ masks_j.T, axis=0),
+                tot + jnp.sum(p @ total_j))
+
+    band_sums, total = stream_fold(
+        x, fs, cfg, chunk_size, fold,
+        (jnp.zeros(len(bands)), jnp.zeros(())),
+        use_matmul=use_matmul, chunks_per_block=chunks_per_block)
+    band_sums = np.asarray(band_sums)
+    total = float(total)
+    if total < 1e-18:
+        return {name: 0.0 for name in bands}, total
+    return ({name: float(np.clip(band_sums[i] / total, 0.0, None))
+             for i, name in enumerate(bands)}, total)
+
+
 def iter_stream(chunks: Iterator[np.ndarray], fs: float, cfg: SpecConfig,
                 chunk_size: int, use_matmul: bool = False
                 ) -> Iterator[Tuple[np.ndarray, int]]:

@@ -281,6 +281,47 @@ def test_cli_stream_npz_and_png(tmp_path):
     img = decode_png(png_path)
     assert img.shape == (257, z["psd"].shape[0], 4)
 
+    # --scan: device-resident single-dispatch path, identical output
+    scan_npz = str(tmp_path / "psd_scan.npz")
+    assert main(["stream", wav_path, "-o", scan_npz, "--nperseg", "512",
+                 "--hop", "128", "--chunk-seconds", "5", "--scan"]) == 0
+    np.testing.assert_allclose(np.load(scan_npz)["psd"], z["psd"],
+                               rtol=1e-5, atol=1e-10)
+
+
+def test_cli_stream_bands(tmp_path, capsys):
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "long.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=30.0) * 0.5, fs)
+    assert main(["stream", wav_path, "--bands", "--nperseg", "512",
+                 "--hop", "128", "--chunk-seconds", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "Theta" in out and "Total absolute power" in out
+    import json as _json
+    bp = _json.loads(out[:out.rindex("}") + 1])
+    # the bursty fixture is 6 Hz bursts -> theta dominates
+    assert bp["Theta (θ)"] > 0.5
+
+
+def test_stream_band_powers_matches_monolithic():
+    from spectral_tpu.parallel.streaming import stream_band_powers
+    from spectral_tpu.core.stft import power_spectrogram, freq_axis
+    from spectral_tpu.core import events as ev
+    fs = 1000.0
+    x = _bursty(fs=fs, dur=20.0).astype(np.float32)
+    cfg = SpecConfig.scipy_default(512, fmin=0.0, fmax=120.0)
+    got, total = stream_band_powers(x, fs, cfg, chunk_size=448 * 4,
+                                    chunks_per_block=3)
+    # monolithic reference: masked rows then band_powers (session flow)
+    from spectral_tpu.core.stft import spectrogram as spec
+    f, t, sxx = spec(jnp.asarray(x), fs, cfg)
+    want = ev.band_powers(f, np.asarray(sxx))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-5), k
+    assert total == pytest.approx(float(np.asarray(sxx).sum()), rel=1e-4)
+
 
 def test_cli_decorated_and_mel_render(tmp_path):
     pytest.importorskip("matplotlib")
