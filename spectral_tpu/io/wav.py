@@ -74,6 +74,45 @@ def read_wav(filepath: str) -> Tuple[np.ndarray, float]:
     return x, float(fs)
 
 
+def read_wav_int16(filepath: str) -> Tuple[np.ndarray, float]:
+    """Read a 16-bit PCM WAV as RAW int16 samples -> ((n,) or (n, ch), fs).
+
+    Skips the float conversion so batch pipelines can ship half the bytes
+    host->device and normalize on device (x / 32768, identical to
+    read_wav's scaling). Raises ValueError for any other encoding."""
+    with open(filepath, "rb") as fh:
+        riff, _size, wave = struct.unpack("<4sI4s", fh.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"{filepath}: not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                break
+            tag, sz = struct.unpack("<4sI", hdr)
+            payload = fh.read(sz)
+            if sz % 2:
+                fh.read(1)
+            if tag == b"fmt ":
+                fmt = payload
+            elif tag == b"data":
+                data = payload
+        if fmt is None or data is None:
+            raise ValueError(f"{filepath}: missing fmt/data chunk")
+    (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if audio_fmt == 0xFFFE and len(fmt) >= 40:
+        audio_fmt = struct.unpack("<H", fmt[24:26])[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"{filepath}: not 16-bit PCM "
+                         f"(fmt={audio_fmt}, bits={bits})")
+    x = np.frombuffer(data, "<i2")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch)
+    return x, float(fs)
+
+
 def write_wav(filepath: str, x: np.ndarray, fs: float, bits: int = 16) -> None:
     """Write float [-1, 1] (n,) or (n, ch) to 16-bit PCM (test fixture aid)."""
     x = np.asarray(x)

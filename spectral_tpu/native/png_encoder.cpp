@@ -38,6 +38,60 @@ void put_chunk(std::vector<uint8_t>& out, const char tag[4],
 
 extern "C" {
 
+// Indexed-color (palette / PLTE) PNG: pixels are H x W 8-bit palette
+// indices, palette is pal_entries x 3 RGB bytes. 1 byte/pixel in, typically
+// ~1/3 the compressed size of the RGB equivalent at identical colors —
+// the fast path for colormapped spectrogram export. Filter 0 only (palette
+// indices are not numerically smooth, so Sub rarely helps).
+// Returns bytes written, or -1 (bad args) / -2 (out too small) / -3 (zlib).
+long png_encode_pal(const uint8_t* pixels, int h, int w,
+                    const uint8_t* palette, int pal_entries, int level,
+                    uint8_t* out, long out_cap) {
+  if (!pixels || !out || !palette || h <= 0 || w <= 0 ||
+      pal_entries < 1 || pal_entries > 256)
+    return -1;
+  if (level < 0) level = 0;
+  if (level > 9) level = 9;
+
+  const size_t stride = static_cast<size_t>(w);
+  const size_t raw_len = static_cast<size_t>(h) * (stride + 1);
+  std::vector<uint8_t> raw(raw_len);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* row_out = raw.data() + static_cast<size_t>(y) * (stride + 1);
+    row_out[0] = 0;  // None filter
+    std::memcpy(row_out + 1, pixels + static_cast<size_t>(y) * stride,
+                stride);
+  }
+
+  uLongf comp_cap = compressBound(static_cast<uLong>(raw_len));
+  std::vector<uint8_t> comp(comp_cap);
+  if (compress2(comp.data(), &comp_cap, raw.data(),
+                static_cast<uLong>(raw_len), level) != Z_OK)
+    return -3;
+
+  std::vector<uint8_t> png;
+  png.reserve(comp_cap + 1024);
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'};
+  png.insert(png.end(), sig, sig + 8);
+
+  uint8_t ihdr[13];
+  ihdr[0] = (w >> 24) & 0xFF; ihdr[1] = (w >> 16) & 0xFF;
+  ihdr[2] = (w >> 8) & 0xFF;  ihdr[3] = w & 0xFF;
+  ihdr[4] = (h >> 24) & 0xFF; ihdr[5] = (h >> 16) & 0xFF;
+  ihdr[6] = (h >> 8) & 0xFF;  ihdr[7] = h & 0xFF;
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 3;   // color type: palette
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  put_chunk(png, "IHDR", ihdr, 13);
+  put_chunk(png, "PLTE", palette, static_cast<size_t>(pal_entries) * 3);
+  put_chunk(png, "IDAT", comp.data(), comp_cap);
+  put_chunk(png, "IEND", nullptr, 0);
+
+  if (static_cast<long>(png.size()) > out_cap) return -2;
+  std::memcpy(out, png.data(), png.size());
+  return static_cast<long>(png.size());
+}
+
 // Encode H x W x C (C in {1,3,4}) 8-bit pixels into a PNG in `out`.
 // Returns bytes written, or -1 (bad args) / -2 (out too small) / -3 (zlib).
 long png_encode(const uint8_t* pixels, int h, int w, int c, int level,

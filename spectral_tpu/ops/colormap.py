@@ -161,6 +161,38 @@ def unpack_rgba(packed: np.ndarray) -> np.ndarray:
     return arr.view(np.uint8).reshape(arr.shape + (4,))
 
 
+def colormap_index_packed(img: Array, flip_rows: bool = False) -> Array:
+    """Quantize to 256-level colormap indices and pack FOUR indices per
+    little-endian uint32 word: (..., H, W) -> uint32 (..., H, ceil(W/4)).
+
+    Pairs with indexed-color (PLTE) PNG export: one byte per pixel crosses
+    the host boundary instead of four (the device->host link is the binding
+    stage of dataset export on tunneled runtimes), and the encoder deflates
+    a third of the RGB byte count — at byte-identical colors, since the
+    palette IS the LUT that apply_colormap_packed's arithmetic reproduces
+    (verified byte-exact in tests). Packing into 32-bit words keeps the
+    transfer off the pathological sub-word path (see apply_colormap_packed);
+    :func:`unpack_indices` restores (..., H, W) uint8 on host."""
+    n = 256
+    idx = jnp.clip((img * n).astype(jnp.int32), 0, n - 1).astype(jnp.uint32)
+    if flip_rows:
+        idx = jnp.flip(idx, axis=-2)
+    w = idx.shape[-1]
+    pad = (-w) % 4
+    if pad:
+        idx = jnp.pad(idx, [(0, 0)] * (idx.ndim - 1) + [(0, pad)])
+    q = idx.reshape(idx.shape[:-1] + ((w + pad) // 4, 4))
+    return (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+            | (q[..., 3] << 24))
+
+
+def unpack_indices(packed: np.ndarray, width: int) -> np.ndarray:
+    """uint32 (..., H, ceil(W/4)) -> uint8 (..., H, W) index image."""
+    arr = np.ascontiguousarray(np.asarray(packed, dtype="<u4"))
+    flat = arr.view(np.uint8).reshape(arr.shape[:-1] + (arr.shape[-1] * 4,))
+    return flat[..., :width]
+
+
 def apply_colormap_rgba(img: Array, alpha: Optional[Array] = None,
                         name: str = "jet", flip_rows: bool = False) -> Array:
     """Same as apply_colormap but with an alpha channel (default opaque).

@@ -38,20 +38,30 @@ class PipelineStats:
 
 def _batched(it: Iterator[Tuple[str, np.ndarray]], batch: int, n: int
              ) -> Iterator[Tuple[List[str], np.ndarray]]:
+    """Batches preserve int16 inputs (16-bit PCM staged raw: half the
+    host->device bytes; the device normalizes by 1/32768). A batch mixing
+    dtypes falls back to float32."""
     names, bufs = [], []
+
+    def flush():
+        dt = np.int16 if all(b.dtype == np.int16 for b in bufs) else np.float32
+        pad = batch - len(bufs)
+        out = bufs + [np.zeros(n, dt)] * pad
+        return names, np.stack([np.asarray(b, dt) for b in out])
+
     for name, x in it:
-        x = np.asarray(x, np.float32)
+        x = np.asarray(x)
+        if x.dtype != np.int16:
+            x = np.asarray(x, np.float32)
         if x.shape[0] < n:
             x = np.pad(x, (0, n - x.shape[0]))
         names.append(name)
         bufs.append(x[:n])
         if len(names) == batch:
-            yield names, np.stack(bufs)
+            yield flush()
             names, bufs = [], []
     if names:
-        pad = batch - len(names)
-        bufs += [np.zeros(n, np.float32)] * pad
-        yield names, np.stack(bufs)
+        yield flush()
 
 
 def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
@@ -61,35 +71,65 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         use_pallas: bool = False,
                         encode_workers: int = 4,
                         prefetch: int = 2,
-                        rgb_only: bool = True) -> PipelineStats:
+                        pixel_format: str = "palette") -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
 
     clip_samples fixes the static shape (shorter clips are zero-padded,
     longer ones truncated — stream_spectrogram covers long-form audio).
-    rgb_only drops the (always-opaque) alpha plane before encoding — 25-40%
-    less host encode work, which is the binding stage on few-core hosts.
+
+    pixel_format: 'palette' (default) ships 1 byte/pixel colormap indices
+    off the device and writes indexed-color (PLTE) PNGs — 4x less
+    device->host traffic and ~1/3 the deflate input at byte-identical
+    colors (the PLTE is the LUT the device arithmetic reproduces exactly);
+    'rgb' drops only the opaque alpha plane; 'rgba' ships full RGBA words.
     """
     import jax
     import jax.numpy as jnp
-    from spectral_tpu.ops.colormap import unpack_rgba
-    from spectral_tpu.render.png import encode_png
+    from spectral_tpu.ops.colormap import (colormap_index_packed,
+                                           unpack_indices, unpack_rgba)
+    from spectral_tpu.render.png import encode_png, encode_png_palette
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    if pixel_format not in ("palette", "rgb", "rgba"):
+        raise ValueError(f"unknown pixel_format: {pixel_format!r}")
+    palette_mode = pixel_format == "palette"
+    palette_arr = None
+    n_frames = None
+    if palette_mode:
+        from spectral_tpu.core.stft import num_frames
+        from spectral_tpu.render.lut import get_lut
+        palette_arr = get_lut(colormap)
+        n_frames = num_frames(clip_samples, cfg.nperseg, cfg.hop_)
+
+    base = None
     if use_pallas:
         try:
             from spectral_tpu.ops.stft_pallas import (pallas_pipeline_fn,
                                                       pallas_supported)
             if not pallas_supported(cfg):
                 raise ValueError
-            fn = jax.jit(lambda x: pallas_pipeline_fn(
-                fs, cfg, colormap=colormap)(x)["rgb_packed"])
+            base = pallas_pipeline_fn(
+                fs, cfg, colormap=None if palette_mode else colormap)
         except Exception:
             use_pallas = False
     if not use_pallas:
         from spectral_tpu.parallel.sharding import batched_spectrogram_fn
-        fn = jax.jit(lambda x: batched_spectrogram_fn(
-            fs, cfg, use_matmul=True, colormap=colormap)(x)["rgb_packed"])
+        base = batched_spectrogram_fn(
+            fs, cfg, use_matmul=True,
+            colormap=None if palette_mode else colormap)
+    def dev_in(x):
+        # raw 16-bit PCM staged as int16: normalize on device (read_wav's
+        # exact scaling) — half the upload bytes of f32
+        if x.dtype == jnp.int16:
+            return x.astype(jnp.float32) * (1.0 / 32768.0)
+        return x
+
+    if palette_mode:
+        fn = jax.jit(lambda x: colormap_index_packed(
+            base(dev_in(x))["image"], flip_rows=True))
+    else:
+        fn = jax.jit(lambda x: base(dev_in(x))["rgb_packed"])
 
     os.makedirs(out_dir, exist_ok=True)
     stats = PipelineStats()
@@ -117,14 +157,23 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
             if item is None:
                 break
             names, packed = item
-            host = unpack_rgba(np.asarray(packed))  # blocks on this batch only
-            if rgb_only:
-                host = np.ascontiguousarray(host[..., :3])
+            # blocks on this batch's device->host transfer only
+            if palette_mode:
+                host = unpack_indices(np.asarray(packed), n_frames)
+            else:
+                host = unpack_rgba(np.asarray(packed))
+                if pixel_format == "rgb":
+                    host = np.ascontiguousarray(host[..., :3])
             stats.batches += 1
             for i, name in enumerate(names):
                 path = os.path.join(out_dir, f"{name}.png")
-                futures.append(pool.submit(encode_png, host[i], path,
-                                           compress_level))
+                if palette_mode:
+                    futures.append(pool.submit(encode_png_palette, host[i],
+                                               palette_arr, path,
+                                               compress_level))
+                else:
+                    futures.append(pool.submit(encode_png, host[i], path,
+                                               compress_level))
                 stats.clips += 1
                 stats.seconds_audio += clip_samples / fs
             for f in list(futures):
@@ -142,10 +191,19 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
 
 
 def wav_clip_source(paths: Sequence[str]) -> Iterator[Tuple[str, np.ndarray]]:
-    """Decode WAV files into (stem, mono float32) pairs."""
-    from spectral_tpu.io.wav import read_wav
+    """Decode WAV files into (stem, mono) pairs.
+
+    Mono 16-bit PCM files are yielded as RAW int16 (the pipeline stages
+    them with half the upload bytes and normalizes on device); everything
+    else decodes to float32."""
+    from spectral_tpu.io.wav import read_wav, read_wav_int16
     for p in paths:
-        x, _fs = read_wav(p)
-        if x.ndim == 2:
-            x = x.mean(axis=1)
+        try:
+            x, _fs = read_wav_int16(p)
+            if x.ndim == 2:          # downmix needs float math
+                raise ValueError
+        except ValueError:
+            x, _fs = read_wav(p)
+            if x.ndim == 2:
+                x = x.mean(axis=1)
         yield os.path.splitext(os.path.basename(p))[0], x

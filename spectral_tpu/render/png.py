@@ -94,6 +94,57 @@ def encode_png(arr, path: Optional[str] = None, compress_level: int = 6
     return data
 
 
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
+                       path: Optional[str] = None,
+                       compress_level: int = 6) -> Optional[bytes]:
+    """Encode a uint8 (H, W) index image + (N<=256, 3) RGB palette to an
+    indexed-color (PLTE) PNG — ~1/3 the deflate input of RGB at identical
+    colors; the export fast path for colormapped spectrograms."""
+    indices = np.ascontiguousarray(np.asarray(indices), dtype=np.uint8)
+    palette = np.ascontiguousarray(np.asarray(palette), dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("expected (H, W) indices and (N, 3) palette")
+
+    native = _get_native()
+    if native is not None and hasattr(native, "encode_palette"):
+        data = native.encode_palette(indices, palette, compress_level)
+    else:
+        try:
+            import io
+            from PIL import Image
+            img = Image.fromarray(indices, "P")
+            img.putpalette(palette.reshape(-1).tolist())
+            buf = io.BytesIO()
+            img.save(buf, format="PNG", compress_level=compress_level)
+            data = buf.getvalue()
+        except ImportError:
+            data = _encode_png_palette_pure(indices, palette, compress_level)
+
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return None
+    return data
+
+
+def _encode_png_palette_pure(indices: np.ndarray, palette: np.ndarray,
+                             compress_level: int = 6) -> bytes:
+    """Stdlib-only indexed-color PNG (IHDR color type 3 + PLTE + IDAT)."""
+    h, w = indices.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), indices],
+                         axis=1).tobytes()
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette.tobytes())
+            + chunk(b"IDAT", zlib.compress(raw, compress_level))
+            + chunk(b"IEND", b""))
+
+
 def decode_png(path_or_bytes) -> np.ndarray:
     """Decode a PNG back to a uint8 array (test/round-trip helper)."""
     try:
@@ -103,6 +154,8 @@ def decode_png(path_or_bytes) -> np.ndarray:
             img = Image.open(io.BytesIO(path_or_bytes))
         else:
             img = Image.open(path_or_bytes)
+        if img.mode == "P":   # indexed-color: return true pixels
+            img = img.convert("RGB")
         return np.asarray(img)
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("PNG decoding requires PIL") from e

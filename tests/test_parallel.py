@@ -289,13 +289,20 @@ def test_export_pipeline_writes_pngs(tmp_path):
     stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path),
                                 clip_samples=n, batch=2)
     assert stats.clips == 5 and stats.pngs_written == 5
-    img = decode_png(str(tmp_path / "clip3.png"))
+    img = decode_png(str(tmp_path / "clip3.png"))   # palette -> RGB pixels
     from spectral_tpu.core.stft import num_frames
-    # default rgb_only=True drops the opaque alpha plane
     assert img.shape == (129, num_frames(n, 256, 64), 3)
-    stats = export_spectrograms(iter(clips[:1]), fs, cfg, str(tmp_path),
-                                clip_samples=n, batch=1, rgb_only=False)
-    assert decode_png(str(tmp_path / "clip0.png")).shape[-1] == 4
+    # the default palette format writes the SAME pixels as the rgba path
+    rgba_dir = tmp_path / "rgba"
+    export_spectrograms(iter(clips[3:4]), fs, cfg, str(rgba_dir),
+                        clip_samples=n, batch=1, pixel_format="rgba")
+    rgba = decode_png(str(rgba_dir / "clip3.png"))
+    assert rgba.shape[-1] == 4
+    np.testing.assert_array_equal(img, rgba[..., :3])
+    # and palette files are materially smaller
+    import os as _os
+    assert (_os.path.getsize(str(rgba_dir / "clip3.png"))
+            > 1.5 * _os.path.getsize(str(tmp_path / "clip3.png")))
 
 
 def test_export_pipeline_pads_short_clips(tmp_path):
@@ -324,6 +331,10 @@ def test_wav_clip_source_and_pipeline(tmp_path):
     clips = list(wav_clip_source(paths))
     assert [n for n, _ in clips] == ["c0", "c1", "c2"]
     assert all(x.ndim == 1 for _, x in clips)
+    # mono 16-bit PCM stays raw int16 (half the upload bytes); stereo
+    # downmix needs float math
+    assert clips[0][1].dtype == np.int16
+    assert clips[2][1].dtype == np.float32
 
     out = str(tmp_path / "png")
     stats = export_spectrograms(iter(clips), fs,
@@ -332,3 +343,16 @@ def test_wav_clip_source_and_pipeline(tmp_path):
     assert stats.pngs_written == 3
     import os
     assert sorted(os.listdir(out)) == ["c0.png", "c1.png", "c2.png"]
+
+    # int16 staging + on-device 1/32768 must write the SAME pixels as
+    # pre-converted float32 clips
+    from spectral_tpu.render.png import decode_png
+    f32_clips = [(n, np.asarray(x, np.float32) / 32768.0
+                  if x.dtype == np.int16 else x) for n, x in clips]
+    out2 = str(tmp_path / "png_f32")
+    export_spectrograms(iter(f32_clips), fs, SpecConfig.north_star(256, 64),
+                        out2, clip_samples=8000, batch=2)
+    for name in ("c0", "c1", "c2"):
+        np.testing.assert_array_equal(
+            decode_png(os.path.join(out, f"{name}.png")),
+            decode_png(os.path.join(out2, f"{name}.png")), err_msg=name)

@@ -199,3 +199,50 @@ def test_arith_colormap_rejects_unknown_method():
     img = jnp.zeros((2, 2), jnp.float32)
     # method='arith' on a verified map works; auto is default elsewhere
     apply_colormap_packed(img, "jet", method="arith")
+
+
+# ---- indexed-color (palette) export path -----------------------------------
+
+def test_index_packed_roundtrip_and_palette_equals_rgb():
+    from spectral_tpu.ops.colormap import (apply_colormap_packed,
+                                           colormap_index_packed,
+                                           unpack_indices, unpack_rgba)
+    from spectral_tpu.render.lut import get_lut
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(33, 53).astype(np.float32))  # W % 4 != 0
+    packed_idx = colormap_index_packed(img, flip_rows=True)
+    assert packed_idx.shape == (33, 14) and packed_idx.dtype == jnp.uint32
+    idx = unpack_indices(np.asarray(packed_idx), width=53)
+    assert idx.shape == (33, 53) and idx.dtype == np.uint8
+    # palette lookup == the RGB pixels the arithmetic colormap produces
+    rgb_ref = unpack_rgba(np.asarray(
+        apply_colormap_packed(img, "jet", flip_rows=True)))[..., :3]
+    np.testing.assert_array_equal(get_lut("jet")[idx], rgb_ref)
+
+
+def test_encode_png_palette_roundtrip():
+    from spectral_tpu.render.lut import get_lut
+    from spectral_tpu.render.png import (decode_png, encode_png_palette,
+                                         _encode_png_palette_pure)
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, 256, size=(40, 30), dtype=np.uint8)
+    pal = get_lut("jet")
+    data = encode_png_palette(idx, pal, compress_level=4)
+    rgb = decode_png(data)                     # 'P' auto-converts to RGB
+    np.testing.assert_array_equal(rgb, pal[idx])
+    # stdlib fallback produces an equally decodable file
+    rgb2 = decode_png(_encode_png_palette_pure(idx, pal))
+    np.testing.assert_array_equal(rgb2, pal[idx])
+
+
+def test_native_palette_encoder_if_buildable():
+    from spectral_tpu.native import png_native
+    if not png_native.available():
+        import pytest
+        pytest.skip("native encoder not buildable here")
+    from spectral_tpu.render.lut import get_lut
+    from spectral_tpu.render.png import decode_png
+    idx = np.random.RandomState(2).randint(0, 256, (25, 31), np.uint8)
+    pal = get_lut("hot")
+    data = png_native.encode_palette(idx, pal, compress_level=1)
+    np.testing.assert_array_equal(decode_png(data), pal[idx])

@@ -190,7 +190,9 @@ def main() -> int:
         from spectral_tpu.parallel.pipeline import export_spectrograms
         n_clips = 200 if args.quick else int(
             os.environ.get("E2E_CLIPS", "10000"))
-        pool = [rng.randn(n).astype(np.float32) for _ in range(64)]
+        # int16 pool: what wav_clip_source yields for 16-bit PCM (the
+        # pipeline stages raw PCM and normalizes on device)
+        pool = [(rng.randn(n) * 8000).astype(np.int16) for _ in range(64)]
 
         def clip_source():
             for i in range(n_clips):
@@ -214,8 +216,9 @@ def main() -> int:
             "audio_hours_per_min": round(e2e_ahpm, 1),
             "vs_reference_export_0.014": round(e2e_ahpm / ref_export_ahpm, 1),
             "note": "decode->device pipeline->PNG-on-disk, overlapped "
-                    "producer/device/encoder stages; level-1 RGB PNGs; "
-                    "reference = ExportManager savefig at 11.8 s/figure"}
+                    "producer/device/encoder stages; raw-int16 staging, "
+                    "indexed-color (PLTE) PNGs at level 1; reference = "
+                    "ExportManager savefig at 11.8 s/figure"}
 
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=2)
