@@ -71,15 +71,14 @@ class BurstDetector:
                     raise ValueError(
                         "Not enough data to train the model. Signal may be too short.")
                 params0 = hmm.init_params(X, self.n_states, seed=self.seed)
-                params, _, _ = hmm.fit(params0, X, n_iter=self.n_iter)
-                means = np.asarray(params.means)
-                baseline_state = int(np.argmin(means[:, 0]))
-                tm = hmm.patch_escape_routes(np.asarray(params.transmat),
-                                             baseline_state)
-                self.params = params._replace(
-                    transmat=jnp.asarray(tm, params.transmat.dtype))
-
-            states = np.asarray(hmm.viterbi(self.params, X))
+                # fit + escape-route patch + Viterbi in ONE dispatch
+                # (dispatch latency dominates compute on remote runtimes)
+                self.params, states_d, _b, _ll, _it = \
+                    hmm.unsupervised_fit_decode(params0, X,
+                                                n_iter=self.n_iter)
+                states = np.asarray(states_d)
+            else:
+                states = np.asarray(hmm.viterbi(self.params, X))
         means = np.asarray(self.params.means)
         baseline_state = int(np.argmin(means[:, 0]))  # PlotEngine.py:445
         events = ev.baseline_scan(states, t, baseline_state)

@@ -299,3 +299,36 @@ def patch_escape_routes(transmat, baseline_state: int) -> np.ndarray:
             tm[i, i] -= donation
             tm[i, baseline_state] += donation
     return tm
+
+
+def patch_escape_routes_traced(transmat: Array, baseline_state: Array) -> Array:
+    """jit-traceable :func:`patch_escape_routes` (baseline may be a traced
+    scalar): identical arithmetic expressed with one-hot masks."""
+    k = transmat.shape[0]
+    idx = jnp.arange(k)
+    onehot_b = (idx == baseline_state).astype(transmat.dtype)  # (k,)
+    diag = jnp.diagonal(transmat)
+    tm_b = transmat @ onehot_b                                 # column b
+    cond = (idx != baseline_state) & (tm_b < 1e-5) & (diag > 0.1)
+    donation = jnp.where(cond, jnp.minimum(diag * 0.05, 0.05), 0.0)
+    return (transmat - jnp.diag(donation)
+            + donation[:, None] * onehot_b[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def unsupervised_fit_decode(params0: HMMParams, X: Array, n_iter: int = 100,
+                            tol: float = DEFAULT_TOL):
+    """The reference's whole unrefined detection compute in ONE dispatch
+    (PlotEngine.py:411-445): EM fit, baseline = argmin mean log-power,
+    transmat escape-route patch, Viterbi decode.
+
+    Round-1 ran fit and Viterbi as separate dispatches with a host-side
+    patch in between; on remote/tunneled runtimes each dispatch costs
+    O(100 ms), dwarfing the O(ms) compute (BENCH_REPORT hmm_viterbi_T600).
+    Returns (patched_params, states, baseline_state, loglik, n_iters)."""
+    params, ll, it = fit(params0, X, n_iter=n_iter, tol=tol)
+    baseline = jnp.argmin(params.means[:, 0])      # PlotEngine.py:445
+    params = params._replace(
+        transmat=patch_escape_routes_traced(params.transmat, baseline))
+    states = viterbi(params, X)
+    return params, states, baseline, ll, it

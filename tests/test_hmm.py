@@ -282,3 +282,47 @@ def test_m_step_single_hand_computed():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(p1.transmat),
                                [[0.5, 0.5], [0.25, 0.75]], rtol=1e-5)
+
+
+def test_patch_escape_routes_traced_matches_numpy():
+    from spectral_tpu.models.hmm import (patch_escape_routes,
+                                         patch_escape_routes_traced)
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        k = int(rng.choice([2, 4, 5]))
+        tm = rng.dirichlet(np.ones(k) * 0.2, size=k)  # spiky rows: zeros-ish
+        baseline = int(rng.randint(k))
+        want = patch_escape_routes(tm, baseline)
+        got = np.asarray(patch_escape_routes_traced(
+            jnp.asarray(tm, jnp.float64)
+            if jax.config.jax_enable_x64 else jnp.asarray(tm, jnp.float32),
+            jnp.asarray(baseline)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_unsupervised_fit_decode_matches_staged_flow():
+    from spectral_tpu.models.hmm import (fit, init_params,
+                                         patch_escape_routes,
+                                         unsupervised_fit_decode, viterbi)
+    rng = np.random.RandomState(3)
+    T = 300
+    feats = rng.randn(T, 2).astype(np.float32) * 0.1 - 5.0
+    feats[80:150] += 3.0
+    X = jnp.asarray(feats)
+    p0 = init_params(feats, 4, seed=42)
+
+    p_fused, states_fused, baseline, ll, it = unsupervised_fit_decode(
+        p0, X, n_iter=100)
+
+    p_staged, ll2, it2 = fit(p0, X, n_iter=100)
+    b2 = int(np.argmin(np.asarray(p_staged.means)[:, 0]))
+    tm = patch_escape_routes(np.asarray(p_staged.transmat), b2)
+    p_staged = p_staged._replace(transmat=jnp.asarray(tm, jnp.float32))
+    states_staged = viterbi(p_staged, X)
+
+    assert int(baseline) == b2 and int(it) == int(it2)
+    assert float(ll) == pytest.approx(float(ll2))
+    np.testing.assert_allclose(np.asarray(p_fused.transmat),
+                               np.asarray(p_staged.transmat), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(states_fused),
+                                  np.asarray(states_staged))

@@ -134,6 +134,18 @@ def main() -> int:
     S["hmm_fit_T600"] = {"seconds": round(fit_s, 3), "iters": int(it)}
     S["hmm_viterbi_T600"] = {"ms": round(vit_s * 1000, 2)}
 
+    # the whole unrefined detection compute (fit + transmat patch + Viterbi)
+    # as ONE dispatch on the default backend — the dispatch-latency answer
+    # to round 1's 147 ms device Viterbi
+    pd = hmm.unsupervised_fit_decode(p0, jnp.asarray(feats), n_iter=100)
+    jax.block_until_ready(pd[1])
+    t0 = time.time()
+    pd = hmm.unsupervised_fit_decode(p0, jnp.asarray(feats), n_iter=100)
+    _ = np.asarray(pd[1])
+    S["hmm_fused_detect_T600_device"] = {
+        "ms": round((time.time() - t0) * 1000, 2),
+        "note": "fit+patch+viterbi, one dispatch, default backend"}
+
     # Long-form streaming STFT (BASELINE config 4 / BASELINE.md row 3:
     # 1 h @ 48 kHz on the reference's exact scipy-default path, measured
     # 6.2 audio-h/min on CPU). Device-resident ScanStreamer: ONE dispatch
