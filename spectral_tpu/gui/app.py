@@ -34,14 +34,10 @@ def _require_qt():
         return False
 
 
-def main(argv=None) -> int:
-    if not _require_qt():
-        sys.stderr.write(
-            "spectral-tpu gui requires PyQt5 (optional dependency; "
-            "pip install PyQt5). The headless CLI covers every operation: "
-            "spectral-tpu --help\n")
-        return 2
-
+def build_window():
+    """Construct the main window (PyQt5 required; under real Qt a
+    QApplication must exist first). Separated from main() so tests can
+    drive the full widget wiring against a Qt-compatible stub."""
     from PyQt5 import QtCore, QtGui, QtWidgets
     from matplotlib.backends.backend_qt5agg import (FigureCanvasQTAgg,
                                                     NavigationToolbar2QT)
@@ -367,8 +363,19 @@ def main(argv=None) -> int:
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Batch export", str(e))
 
+    return MainWindow()
+
+
+def main(argv=None) -> int:
+    if not _require_qt():
+        sys.stderr.write(
+            "spectral-tpu gui requires PyQt5 (optional dependency; "
+            "pip install PyQt5). The headless CLI covers every operation: "
+            "spectral-tpu --help\n")
+        return 2
+    from PyQt5 import QtWidgets
     app = QtWidgets.QApplication(argv or sys.argv)
-    win = MainWindow()
+    win = build_window()
     win.resize(1200, 800)
     win.show()
     return app.exec_()

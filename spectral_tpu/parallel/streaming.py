@@ -192,16 +192,24 @@ class ScanStreamer:
     dispatch, `lax.scan` over staged chunk blocks with the overlap carry
     threaded as scan state. fold(acc, psd_block, valid_mask) -> (acc, y);
     the jitted program is built once in __init__, so repeated calls on
-    same-length signals reuse the compiled executable."""
+    same-length signals reuse the compiled executable.
+
+    batch > 0 streams a FLEET of equal-length recordings together: the scan
+    still walks chunk blocks, but each step computes the block for every
+    recording at once (psd_block (batch, frames_per_block, F)). Shard the
+    batch dim over a mesh ('data' axis) and each chip streams its
+    recordings — long-form data parallelism (exercised by
+    __graft_entry__.dryrun_multichip)."""
 
     def __init__(self, fs: float, cfg: SpecConfig, block_size: int, n: int,
-                 use_matmul: bool, fold, init):
+                 use_matmul: bool, fold, init, batch: int = 0):
         import dataclasses
         h = cfg.hop_
         c = carry_len(cfg)
         self.total_frames = num_frames(n, cfg.nperseg, h)
         self.skip = c // h
         self.n = n
+        self.batch = batch
         self.n_blocks = max(1, math.ceil(n / block_size))
         self.block_size = block_size
         self.padded_len = self.n_blocks * block_size
@@ -211,36 +219,42 @@ class ScanStreamer:
         n_blocks = self.n_blocks
         stream_cfg = dataclasses.replace(cfg, center=False, fmin=None,
                                          fmax=None)
+        lead = (batch,) if batch else ()
 
         def step(carry_acc, jb):
             carry, acc = carry_acc
             j, block = jb
-            buf = jnp.concatenate([carry, block])
+            buf = jnp.concatenate([carry, block], axis=-1)
             psd = power_spectrogram(buf, fs, stream_cfg,
                                     use_matmul=use_matmul)
             abs_idx = j * fpb - c // h + jnp.arange(fpb)
             valid = (abs_idx >= 0) & (abs_idx < total_frames)
             acc, y = fold(acc, psd, valid)
-            new_carry = jax.lax.slice_in_dim(buf, buf.shape[0] - c,
-                                             buf.shape[0], axis=0)
+            new_carry = jax.lax.slice_in_dim(buf, buf.shape[-1] - c,
+                                             buf.shape[-1],
+                                             axis=buf.ndim - 1)
             return (new_carry, acc), y
 
         def run(xp, init):
-            blocks = xp.reshape(n_blocks, block_size)
+            blocks = xp.reshape(lead + (n_blocks, block_size))
+            if batch:
+                blocks = jnp.moveaxis(blocks, 0, 1)   # (nb, B, L)
             (_, acc), ys = jax.lax.scan(
-                step, (jnp.zeros(c, jnp.float32), init),
+                step, (jnp.zeros(lead + (c,), jnp.float32), init),
                 (jnp.arange(n_blocks), blocks))
             return acc, ys
 
         self._run = jax.jit(run)
 
     def __call__(self, x):
-        """x: (n,) host numpy or device array -> (final_acc, stacked_ys)."""
+        """x: (n,) — or (batch, n) when batch > 0 — host numpy or device
+        array -> (final_acc, stacked_ys)."""
         pad = self.padded_len - x.shape[-1]
+        pad_spec = [(0, 0)] * (1 if self.batch else 0) + [(0, pad)]
         if isinstance(x, np.ndarray):
-            xp = jnp.asarray(np.pad(np.asarray(x, np.float32), (0, pad)))
+            xp = jnp.asarray(np.pad(np.asarray(x, np.float32), pad_spec))
         elif pad:
-            xp = jnp.pad(jnp.asarray(x, jnp.float32), (0, pad))
+            xp = jnp.pad(jnp.asarray(x, jnp.float32), pad_spec)
         else:
             xp = jnp.asarray(x, jnp.float32)
         return self._run(xp, self._init)

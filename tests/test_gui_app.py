@@ -1,0 +1,194 @@
+"""Execute the real Qt shell (gui/app.py) against the Qt-compatible stub.
+
+Round 1's GUI wiring had never run (PyQt5 absent). These tests construct the
+actual MainWindow through `build_window()` with tests/qt_stub.py installed
+and drive every action end to end: settings round-trip, plotting, detection,
+the editing gate, canvas mouse events (drag-draw / hover / right-click
+Delete-Merge), Refine Model, band powers, combine registration, CSV/PNG and
+batch export with scripted dialogs.
+"""
+
+import importlib
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import qt_stub
+from spectral_tpu.io.registry import SweepEntry
+
+FS = 1000.0
+
+
+@pytest.fixture()
+def win():
+    qtw = qt_stub.install()
+    # (re)import the app with the stub active
+    sys.modules.pop("spectral_tpu.gui.app", None)
+    app_mod = importlib.import_module("spectral_tpu.gui.app")
+    qt_stub.QSettings._stores.clear()
+    qt_stub.QMessageBox.calls.clear()
+    w = app_mod.build_window()
+    # synthetic bursty sweeps straight into the session registry
+    rng = np.random.RandomState(0)
+    n = int(FS * 60)
+    t = np.arange(n) / FS
+    x = 0.05 * rng.randn(n).astype(np.float32)
+    for a, b in ((10.0, 15.0), (30.0, 38.0)):
+        m = (t >= a) & (t < b)
+        x[m] += np.sin(2 * np.pi * 6.0 * t[m]).astype(np.float32)
+    w.session.registry.register("s_sweep0", SweepEntry(
+        filepath="<synth>", sweep_idx=0, fs=FS, fs_raw=FS, raw=x,
+        processed=None))
+    w.session.registry.register("s_sweep1", SweepEntry(
+        filepath="<synth>", sweep_idx=1, fs=FS, fs_raw=FS, raw=x[:n // 2],
+        processed=None))
+    for name in ("s_sweep0", "s_sweep1"):
+        w._add_tree_item(name)
+    w.tree.topLevelItem(0).setSelected(True)
+    yield w
+    qt_stub.uninstall()
+    sys.modules.pop("spectral_tpu.gui.app", None)
+
+
+def _plot(win):
+    win.chk_raw.setChecked(True)
+    win.chk_proc.setChecked(False)
+    win.combo_raw.setCurrentText("Both")
+    win.spin_nperseg.setValue(512)
+    win.spin_fmin.setValue(0.0)
+    win.spin_fmax.setValue(30.0)
+    win.plot_selected()
+
+
+def test_settings_roundtrip_and_write_through(win):
+    # widget changes write through to QSettings (GUI.py:190-224)
+    win.spin_nperseg.setValue(2048)
+    win.chk_log.setChecked(True)
+    win.combo_proc.setCurrentText("Spectrogram")
+    s = qt_stub.QSettings._stores[("spectral_tpu", "SpectrogramGenerator")]
+    assert s["nperseg"] == 2048 and s["logScale"] is True
+    assert s["modeProc"] == "Spectrogram"
+
+
+def test_plot_detect_and_status(win):
+    _plot(win)
+    assert "Plotted 1 sweep(s)" in win.status.text()
+    assert "total power" in win.status.text()
+    win.detect()
+    assert "bursts detected" in win.status.text()
+    assert len(win.session.last_detected_events) >= 2
+
+
+def test_editing_gate_and_canvas_mouse_flow(win):
+    _plot(win)
+    assert not win.btn_learn.isEnabled()
+    win.chk_edit.setChecked(True)            # editing on, still no patches
+    assert not win.btn_learn.isEnabled()
+
+    press = win.canvas.handlers["button_press_event"]
+    move = win.canvas.handlers["motion_notify_event"]
+    release = win.canvas.handlers["button_release_event"]
+
+    # drag-draw a span on the canvas
+    press(qt_stub._Event(9.0, 1))
+    move(qt_stub._Event(12.0, 1))
+    release(qt_stub._Event(16.0, 1))
+    assert (9.0, 16.0) in win.session.rois
+    assert win.btn_learn.isEnabled() and win.btn_refine.isEnabled()
+
+    # second span, then right-click Delete on it
+    press(qt_stub._Event(29.0, 1))
+    release(qt_stub._Event(39.0, 1))
+    qt_stub.QMenu.next_choice = "Delete"
+    press(qt_stub._Event(30.0, 3))
+    assert (29.0, 39.0) not in win.session.last_detected_events
+    qt_stub.QMenu.next_choice = None
+
+    # containing span + Merge via the context menu
+    press(qt_stub._Event(5.0, 1))
+    release(qt_stub._Event(20.0, 1))
+    qt_stub.QMenu.next_choice = "Merge"
+    press(qt_stub._Event(6.0, 3))
+    qt_stub.QMenu.next_choice = None
+    assert win.session.last_detected_events == [(9.0, 16.0)]
+
+    # disabling editing disarms the gate
+    win.chk_edit.setChecked(False)
+    assert not win.btn_learn.isEnabled()
+
+
+def test_learn_and_refine_from_drawn_rois(win):
+    _plot(win)
+    win.chk_edit.setChecked(True)
+    press = win.canvas.handlers["button_press_event"]
+    release = win.canvas.handlers["button_release_event"]
+    press(qt_stub._Event(9.0, 1))
+    release(qt_stub._Event(16.0, 1))
+    press(qt_stub._Event(29.0, 1))
+    release(qt_stub._Event(39.0, 1))
+    win.learn()
+    assert "after learning" in win.status.text()
+    assert win.session.detector.is_model_refined
+    win.refine()
+    assert "after refinement" in win.status.text()
+
+
+def test_band_powers_dialog(win):
+    _plot(win)
+    win.band_powers()
+    kind, title, text = qt_stub.QMessageBox.calls[-1]
+    assert kind == "information" and "Theta" in text
+    assert "Total absolute power" in text
+
+
+def test_band_powers_without_plot_reports_error(win):
+    win.band_powers()
+    kind, _t, text = qt_stub.QMessageBox.calls[-1]
+    assert kind == "critical" and "plot" in text.lower()
+
+
+def test_register_combined_adds_tree_item(win):
+    win.tree.topLevelItem(1).setSelected(True)   # both sweeps selected
+    win.chk_proc.setChecked(False)
+    win.register_combined()
+    assert "combine0" in win.status.text()
+    names = [win.tree.topLevelItem(i).data(0, 256)
+             for i in range(win.tree.topLevelItemCount())]
+    assert "combine0" in names
+    sig, fs = win.session.registry.get_signal("combine0", processed=False)
+    assert fs == FS
+
+
+def test_exports_with_scripted_dialogs(win, tmp_path):
+    _plot(win)
+    win.detect()
+    csv_path = str(tmp_path / "bursts.csv")
+    qt_stub.QFileDialog.next_save_file = csv_path
+    win.export_csv()
+    assert os.path.exists(csv_path)
+    png_path = str(tmp_path / "fig.png")
+    qt_stub.QFileDialog.next_save_file = png_path
+    win.export_png()
+    assert os.path.exists(png_path)
+    out_dir = str(tmp_path / "batch")
+    os.makedirs(out_dir)
+    qt_stub.QFileDialog.next_directory = out_dir
+    win.export_batch()
+    assert sorted(os.listdir(out_dir)) == ["s_sweep0.png"]
+    # settings remembered the export dir (GUI.py:512,523)
+    s = qt_stub.QSettings._stores[("spectral_tpu", "SpectrogramGenerator")]
+    assert s["lastExportDir"] in (out_dir, os.path.dirname(png_path))
+
+
+def test_add_files_via_dialog(win, tmp_path):
+    from spectral_tpu.io.wav import write_wav
+    p = str(tmp_path / "extra.wav")
+    write_wav(p, np.sin(np.linspace(0, 50, 4000)).astype(np.float32) * 0.4,
+              FS)
+    before = win.tree.topLevelItemCount()
+    qt_stub.QFileDialog.next_open_files = [p]
+    win.add_files()
+    assert win.tree.topLevelItemCount() == before + 1
+    assert "sweeps" in win.status.text()

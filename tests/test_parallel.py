@@ -190,6 +190,26 @@ def test_stream_fold_global_max_and_band_sum():
     np.testing.assert_allclose(float(s), ref.sum(), rtol=1e-4)
 
 
+def test_scan_streamer_batched_fleet():
+    # batch mode streams a fleet of equal-length recordings in one scan;
+    # per-recording folds must equal the monolithic per-recording values
+    from spectral_tpu.parallel.streaming import ScanStreamer
+    cfg = SpecConfig.scipy_default(512)          # hop 448
+    fs = 1000.0
+    B, n = 3, 20000
+    x = np.random.RandomState(13).randn(B, n).astype(np.float32)
+
+    def fold(acc, psd, valid):                   # psd (B, fpb, F)
+        v = valid[None, :, None].astype(psd.dtype)
+        return acc + jnp.sum(psd * v, axis=(1, 2)), jnp.zeros(())
+
+    st = ScanStreamer(fs, cfg, block_size=448 * 8, n=n, use_matmul=True,
+                      fold=fold, init=jnp.zeros(B), batch=B)
+    acc, _ = st(x)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg)).sum((1, 2))
+    np.testing.assert_allclose(np.asarray(acc), ref, rtol=1e-4)
+
+
 def test_streaming_random_lengths():
     cfg = SpecConfig.north_star(512, 128)
     fs = 1000.0
