@@ -66,7 +66,7 @@ def _batched(it: Iterator[Tuple[str, np.ndarray]], batch: int, n: int
 
 def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         cfg: SpecConfig, out_dir: str, *,
-                        clip_samples: int, batch: int = 32,
+                        clip_samples: int, batch: int = 64,
                         colormap: str = "jet", compress_level: int = 3,
                         use_pallas: bool = False,
                         encode_workers: int = 4,

@@ -213,8 +213,10 @@ def main() -> int:
         out_dir = tempfile.mkdtemp(prefix="spectpu_e2e_")
         try:
             t0 = time.time()
+            # batch 128: measured 21.0 ms/clip vs 50.9 at batch 32 on the
+            # tunneled chip (fewer device round trips per clip)
             st = export_spectrograms(
-                clip_source(), fs, cfg, out_dir, clip_samples=n, batch=32,
+                clip_source(), fs, cfg, out_dir, clip_samples=n, batch=128,
                 compress_level=1, encode_workers=max(4, os.cpu_count() or 1))
             dt = time.time() - t0
         finally:
