@@ -7,6 +7,8 @@ headless operation is a new capability. Subcommands mirror the app's actions:
   detect      file -> burst events (unsupervised), optional CSV
   learn       file + ROI list -> refined detection, optional CSV
   bands       file -> EEG band powers
+  stream      long recording -> streamed PSD / dB image / band powers
+  export-specs  WAV dataset -> spectrogram PNGs (overlapped pipeline)
   export-batch  files -> per-sweep waveform PNGs
   info        file -> registered sweeps
   bench       quick throughput probe on the current backend
@@ -128,6 +130,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "materializing the PSD (long-form analytics)")
     _add_spec_args(p)
 
+    p = sub.add_parser("export-specs",
+                       help="high-throughput dataset export: WAV clips -> "
+                            "spectrogram PNGs through the overlapped "
+                            "decode/device/encode pipeline")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-o", "--out-dir", required=True)
+    p.add_argument("--clip-seconds", type=float, default=10.0,
+                   help="static clip length (shorter padded, longer cut)")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--cmap", default="jet")
+    p.add_argument("--mels", type=int, default=0)
+    p.add_argument("--pixel-format", choices=("palette", "rgb", "rgba"),
+                   default="palette")
+    p.add_argument("--compress-level", type=int, default=1)
+    _add_spec_args(p)
+
     p = sub.add_parser("info", help="list sweeps in files")
     p.add_argument("files", nargs="+")
 
@@ -238,6 +256,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             encode_png(unpack_rgba(np.asarray(packed)), path=args.out,
                        compress_level=4)
             print(f"Wrote dB spectrogram image {img.shape} to {args.out}")
+        return 0
+
+    if args.cmd == "export-specs":
+        from spectral_tpu.io.wav import read_wav
+        from spectral_tpu.parallel.pipeline import (export_spectrograms,
+                                                    wav_clip_source)
+        cfg = _make_config(args)
+        if cfg.n_mels is None and args.mels:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, n_mels=args.mels)
+        # fs from the first file; the pipeline is single-rate by design
+        _x0, fs = read_wav(args.files[0])
+        stats = export_spectrograms(
+            wav_clip_source(args.files), fs, cfg, args.out_dir,
+            clip_samples=int(args.clip_seconds * fs), batch=args.batch,
+            colormap=args.cmap, compress_level=args.compress_level,
+            pixel_format=args.pixel_format)
+        print(f"Exported {stats.pngs_written} spectrogram PNG(s) "
+              f"({stats.seconds_audio:.0f} s of audio) to {args.out_dir}")
         return 0
 
     if args.cmd == "export-batch":

@@ -289,6 +289,25 @@ def test_cli_stream_npz_and_png(tmp_path):
                                rtol=1e-5, atol=1e-10)
 
 
+def test_cli_export_specs(tmp_path, capsys):
+    from spectral_tpu.cli import main
+    fs = 8000.0
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.wav")
+        write_wav(p, np.sin(np.linspace(0, 60 * (i + 1), 8000))
+                  .astype(np.float32) * 0.4, fs)
+        paths.append(p)
+    out = str(tmp_path / "specs")
+    assert main(["export-specs", *paths, "-o", out, "--clip-seconds", "1",
+                 "--nperseg", "256", "--hop", "64", "--log",
+                 "--batch", "2"]) == 0
+    assert sorted(os.listdir(out)) == ["c0.png", "c1.png", "c2.png"]
+    assert "Exported 3" in capsys.readouterr().out
+    img = decode_png(os.path.join(out, "c0.png"))
+    assert img.shape == (129, 122, 3)      # palette default decodes to RGB
+
+
 def test_cli_stream_bands(tmp_path, capsys):
     from spectral_tpu.cli import main
     fs = 1000.0

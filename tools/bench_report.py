@@ -190,6 +190,89 @@ def main() -> int:
                 "one dispatch per run; reference scipy path measured 6.2 "
                 "audio-h/min on this workload (BASELINE.md row 3)"}
 
+    # Parameter-sweep grid (BASELINE config 3): 16 (n_fft, hop, window)
+    # combos over one clip, shape-grouped + window-vmapped into batched MXU
+    # matmuls sharing one framed buffer per shape.
+    from spectral_tpu.parallel.sweep_grid import default_grid, sweep_grid
+    grid = default_grid()
+    x1 = jnp.asarray(rng.randn(n).astype(np.float32))
+
+    def grid_checksums(x):
+        return jnp.stack([jnp.sum(o) for o in sweep_grid(x, fs, grid)])
+
+    gj = jax.jit(grid_checksums)
+    np.asarray(gj(x1))
+    t0 = time.time()
+    reps_g = 2 if args.quick else 5
+    for _ in range(reps_g):
+        np.asarray(gj(x1))
+    dt = (time.time() - t0) / reps_g
+    S["sweep_grid_16combo_10s"] = {
+        "ms_per_grid": round(dt * 1000, 2),
+        "combos": len(grid),
+        "note": "16 (n_fft in 256..2048 x window) PSDs of one 10 s clip, "
+                "one dispatch"}
+
+    # Mel batch export (BASELINE config 2): 64 clips -> 128-bin log-mel
+    # spectrograms -> PNG files on disk through the overlapped pipeline.
+    if not args.no_e2e:
+        import shutil
+        import tempfile
+        from spectral_tpu.parallel.pipeline import export_spectrograms
+        cfg_mel = SpecConfig.north_star(1024, 256, log_scale=True,
+                                        n_mels=128)
+        pool16 = [(rng.randn(n) * 8000).astype(np.int16) for _ in range(64)]
+        mel_dir = tempfile.mkdtemp(prefix="spectpu_mel_")
+        try:
+            def run_mel():
+                return export_spectrograms(
+                    ((f"mel{i:03d}", pool16[i]) for i in range(64)),
+                    fs, cfg_mel, mel_dir, clip_samples=n, batch=64,
+                    compress_level=1)
+            run_mel()                                 # warm (compile cache)
+            t0 = time.time()
+            st = run_mel()
+            dt = time.time() - t0
+        finally:
+            shutil.rmtree(mel_dir, ignore_errors=True)
+        assert st.pngs_written == 64
+        mel_ahpm = (st.seconds_audio / 3600.0) / (dt / 60.0)
+        S["mel128_batch64_export"] = {
+            "seconds": round(dt, 2),
+            "audio_hours_per_min": round(mel_ahpm, 1),
+            "vs_reference_export_0.014": round(
+                mel_ahpm / ((10.0 / 3600.0) / (11.8 / 60.0)), 1),
+            "note": "64 clips -> 128-bin log-mel -> palette PNGs on disk "
+                    "(BASELINE config 2), warmed"}
+
+    # Stereo long-form (BASELINE config 4 verbatim: 1 h 48 kHz STEREO):
+    # both channels stream as a 2-recording fleet in one scan.
+    from spectral_tpu.parallel.streaming import ScanStreamer as _SS
+
+    def fold2(acc, psd, valid):
+        v = valid[None, :, None].astype(psd.dtype)
+        return (acc[0] + jnp.sum(psd * v, axis=(1, 2)),
+                acc[1] + jnp.sum(valid)), jnp.zeros(())
+
+    st2 = _SS(48000.0, cfg_s, chunk * cpb, n_long, use_matmul=True,
+              fold=fold2, init=(jnp.zeros(2), jnp.zeros((), jnp.int32)),
+              batch=2)
+    stereo = jnp.asarray(rng.randn(2, n_long).astype(np.float32))
+    (tot2, k2), _ = st2(stereo)                       # warm
+    # the frame-slot mask is shared across the fleet: counted once per block
+    assert int(k2) == num_frames(n_long, 1024, 896), int(k2)
+    t0 = time.time()
+    for _ in range(reps):
+        acc2, _ys2 = st2(stereo)
+        float(acc2[0][0])
+    dt = (time.time() - t0) / reps
+    S[f"streaming_{stream_minutes}min_48k_stereo"] = {
+        "seconds": round(dt, 3),
+        "audio_hours_per_min": round((stream_minutes / 60.0) / (dt / 60.0), 1),
+        "note": "both channels as a 2-recording fleet in one lax.scan "
+                "(batched ScanStreamer); audio-hours counts the recording "
+                "once, as the reference analyzes one channel at a time"}
+
     # End-to-end export (BASELINE config 5): decode -> fused STFT -> colormap
     # -> PNG on disk, all three stages overlapped (parallel/pipeline.py).
     # Reference analog: the serial matplotlib savefig loop at ~11.8 s/figure
