@@ -70,6 +70,11 @@ def build_window():
             self.tree.setHeaderLabel("Sweeps")
             self.tree.setSelectionMode(
                 QtWidgets.QAbstractItemView.ExtendedSelection)
+            # tree context menu: Remove Selected / Select All / Clear All
+            # (GUI.py:44,173,485-494)
+            self.tree.setContextMenuPolicy(QtCore.Qt.CustomContextMenu)
+            self.tree.customContextMenuRequested.connect(
+                self.open_tree_context_menu)
             panel.addWidget(self.tree, 2)
 
             btn_add = QtWidgets.QPushButton("Add Files")
@@ -316,9 +321,47 @@ def build_window():
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Refine error", str(e))
 
+        def open_tree_context_menu(self, position):
+            """GUI.py:485-494: Remove Selected / Select All / Clear All."""
+            menu = QtWidgets.QMenu(self)
+            for name in ("Remove Selected", "Select All", "Clear All"):
+                menu.addAction(name)
+            chosen = menu.exec_(QtGui.QCursor.pos())
+            if chosen is None:
+                return
+            if chosen.text() == "Remove Selected":
+                self.remove_selected()
+            elif chosen.text() == "Select All":
+                self.tree.selectAll()
+            elif chosen.text() == "Clear All":
+                self.clear_all()
+
+        def remove_selected(self):
+            """GUI.py:345-348: remove tree rows only (registry keeps the
+            data, as the reference's manager.data does)."""
+            for item in self.tree.selectedItems():
+                self.tree.takeTopLevelItem(
+                    self.tree.indexOfTopLevelItem(item))
+            self.status.setText("Removed selected items")
+
+        def clear_all(self):
+            """GUI.py:478-483: clear tree + plot state, disarm editing."""
+            self.tree.clear()
+            self.session.clear()
+            self.chk_edit.setChecked(False)
+            self._redraw()
+            self.status.setText("Cleared")
+
         def reset_model(self):
+            """GUI.py:350-357: reset the HMM and clear the canvas."""
             self.session.reset_model()
-            self.status.setText("Model reset")
+            self.session.clear()
+            self._redraw()
+            QtWidgets.QMessageBox.information(
+                self, "Model Status",
+                "The HMM model has been reset and the canvas has been "
+                "cleared.")
+            self.status.setText("HMM model reset. Canvas cleared.")
 
         def band_powers(self):
             """Band-power dialog (GUI.py:529-566)."""

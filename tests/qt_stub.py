@@ -56,6 +56,7 @@ class QSettings(QObject):
 
 class Qt:
     UserRole = 256
+    CustomContextMenu = 3
 
 
 class QPoint:
@@ -161,11 +162,15 @@ class QTreeWidget(_Widget):
     def __init__(self):
         super().__init__()
         self._items = []
+        self.customContextMenuRequested = _Signal()
 
     def setHeaderLabel(self, s):
         pass
 
     def setSelectionMode(self, m):
+        pass
+
+    def setContextMenuPolicy(self, p):
         pass
 
     def addTopLevelItem(self, item):
@@ -176,6 +181,19 @@ class QTreeWidget(_Widget):
 
     def topLevelItem(self, i):
         return self._items[i]
+
+    def indexOfTopLevelItem(self, item):
+        return self._items.index(item)
+
+    def takeTopLevelItem(self, i):
+        return self._items.pop(i)
+
+    def selectAll(self):
+        for i in self._items:
+            i.setSelected(True)
+
+    def clear(self):
+        self._items = []
 
     def selectedItems(self):
         return [i for i in self._items if i._selected]

@@ -192,3 +192,39 @@ def test_add_files_via_dialog(win, tmp_path):
     win.add_files()
     assert win.tree.topLevelItemCount() == before + 1
     assert "sweeps" in win.status.text()
+
+
+def test_tree_context_menu_remove_select_clear(win):
+    # GUI.py:485-494 semantics through the real handler
+    assert win.tree.topLevelItemCount() == 2
+    qt_stub.QMenu.next_choice = "Select All"
+    win.tree.customContextMenuRequested.emit(qt_stub.QPoint())
+    assert len(win.tree.selectedItems()) == 2
+    qt_stub.QMenu.next_choice = "Remove Selected"
+    win.tree.customContextMenuRequested.emit(qt_stub.QPoint())
+    assert win.tree.topLevelItemCount() == 0
+    # registry keeps the data (the reference leaves manager.data intact)
+    assert "s_sweep0" in win.session.registry.data
+    qt_stub.QMenu.next_choice = None
+
+
+def test_clear_all_resets_plot_and_editing(win):
+    _plot(win)
+    win.chk_edit.setChecked(True)
+    win.session.add_roi(9.0, 12.0)
+    qt_stub.QMenu.next_choice = "Clear All"
+    win.tree.customContextMenuRequested.emit(qt_stub.QPoint())
+    qt_stub.QMenu.next_choice = None
+    assert win.tree.topLevelItemCount() == 0
+    assert win.session.rois == [] and win.session.spec_data_source is None
+    assert not win.controller.roi_editor.editing
+
+
+def test_reset_model_clears_canvas_and_informs(win):
+    _plot(win)
+    win.detect()
+    win.reset_model()
+    kind, title, _text = qt_stub.QMessageBox.calls[-1]
+    assert kind == "information" and "Model" in title
+    assert win.session.last_detected_events == []
+    assert not win.session.detector.is_model_refined
