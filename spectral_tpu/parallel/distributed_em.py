@@ -76,21 +76,45 @@ def make_sharded_em_step(mesh: Mesh, batch_axis: str = "data"):
 
 def fit_sharded(params0: hmm.HMMParams, Xb: Array, mesh: Mesh,
                 n_iter: int = 100, tol: float = hmm.DEFAULT_TOL,
-                batch_axis: str = "data") -> Tuple[hmm.HMMParams, float, int]:
-    """Full data-parallel EM fit (host loop over jitted global steps)."""
+                batch_axis: str = "data",
+                checkpoint_dir: str = None,
+                checkpoint_every: int = 10
+                ) -> Tuple[hmm.HMMParams, float, int]:
+    """Full data-parallel EM fit (host loop over jitted global steps).
+
+    checkpoint_dir enables orbax checkpoint/resume (utils/checkpoint.py):
+    the fit resumes from the latest saved iteration if one exists, and
+    writes a checkpoint every checkpoint_every iterations plus one at the
+    end — a killed fleet run picks up where it stopped.
+    """
     step = make_sharded_em_step(mesh, batch_axis)
     Xb = jax.device_put(Xb, NamedSharding(mesh, P(batch_axis)))
-    params = jax.device_put(params0, NamedSharding(mesh, P()))
+
+    start_it = 0
     prev = -float("inf")
+    params = params0
+    if checkpoint_dir is not None:
+        from spectral_tpu.utils import checkpoint as ckpt
+        resumed = ckpt.load_training_state(checkpoint_dir)
+        if resumed is not None:
+            params, start_it, prev = resumed
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
     ll = prev
-    it = 0
-    for it in range(1, n_iter + 1):
+    it = start_it
+    for it in range(start_it + 1, n_iter + 1):
         params, ll_arr = step(params, Xb)
         ll = float(ll_arr)
+        if checkpoint_dir is not None and it % checkpoint_every == 0:
+            from spectral_tpu.utils import checkpoint as ckpt
+            ckpt.save_training_state(checkpoint_dir, params, it, ll)
         # hmmlearn ConvergenceMonitor semantics: stop whenever the gain
         # drops below tol — INCLUDING a sharp log-likelihood decrease
         # (tested by test_fit_sharded_stops_on_ll_decrease)
         if ll - prev < tol and it > 1:
             break
         prev = ll
+    if checkpoint_dir is not None and it > start_it:
+        from spectral_tpu.utils import checkpoint as ckpt
+        ckpt.save_training_state(checkpoint_dir, params, it, ll)
     return params, ll, it

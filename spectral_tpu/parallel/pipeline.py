@@ -34,6 +34,7 @@ class PipelineStats:
     batches: int = 0
     pngs_written: int = 0
     seconds_audio: float = 0.0
+    failed: int = 0              # encode failures isolated by on_error="skip"
 
 
 def _batched(it: Iterator[Tuple[str, np.ndarray]], batch: int, n: int
@@ -71,7 +72,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         use_pallas: bool = False,
                         encode_workers: int = 4,
                         prefetch: int = 2,
-                        pixel_format: str = "palette") -> PipelineStats:
+                        pixel_format: str = "palette",
+                        on_error: str = "raise") -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
 
     clip_samples fixes the static shape (shorter clips are zero-padded,
@@ -82,6 +84,12 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     device->host traffic and ~1/3 the deflate input at byte-identical
     colors (the PLTE is the LUT the device arithmetic reproduces exactly);
     'rgb' drops only the opaque alpha plane; 'rgba' ships full RGBA words.
+
+    on_error: 'raise' (default) fails the whole export on the first encode
+    error; 'skip' isolates per-clip failures (counted in stats.failed) so
+    one bad output path or disk hiccup cannot kill a 10k-clip job. Pair
+    with wav_clip_source(..., on_error='skip') to also skip undecodable
+    source files.
     """
     import jax
     import jax.numpy as jnp
@@ -93,6 +101,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
 
     if pixel_format not in ("palette", "rgb", "rgba"):
         raise ValueError(f"unknown pixel_format: {pixel_format!r}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
     palette_mode = pixel_format == "palette"
     palette_arr = None
     n_frames = None
@@ -178,32 +188,50 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                 stats.seconds_audio += clip_samples / fs
             for f in list(futures):
                 if f.done():
-                    f.result()
                     futures.remove(f)
-                    stats.pngs_written += 1
+                    _resolve(f, stats, on_error)
         for f in futures:
-            f.result()
-            stats.pngs_written += 1
+            _resolve(f, stats, on_error)
     t.join()
     if producer_error:
         raise producer_error[0]
     return stats
 
 
-def wav_clip_source(paths: Sequence[str]) -> Iterator[Tuple[str, np.ndarray]]:
+def _resolve(future, stats: PipelineStats, on_error: str) -> None:
+    try:
+        future.result()
+        stats.pngs_written += 1
+    except Exception:
+        if on_error == "raise":
+            raise
+        stats.failed += 1
+
+
+def wav_clip_source(paths: Sequence[str], on_error: str = "raise"
+                    ) -> Iterator[Tuple[str, np.ndarray]]:
     """Decode WAV files into (stem, mono) pairs.
 
     Mono 16-bit PCM files are yielded as RAW int16 (the pipeline stages
     them with half the upload bytes and normalizes on device); everything
-    else decodes to float32."""
+    else decodes to float32. on_error='skip' logs and skips undecodable
+    files instead of killing the whole dataset export."""
     from spectral_tpu.io.wav import read_wav, read_wav_int16
     for p in paths:
         try:
-            x, _fs = read_wav_int16(p)
-            if x.ndim == 2:          # downmix needs float math
-                raise ValueError
-        except ValueError:
-            x, _fs = read_wav(p)
-            if x.ndim == 2:
-                x = x.mean(axis=1)
+            try:
+                x, _fs = read_wav_int16(p)
+                if x.ndim == 2:      # downmix needs float math
+                    raise ValueError
+            except ValueError:
+                x, _fs = read_wav(p)
+                if x.ndim == 2:
+                    x = x.mean(axis=1)
+        except (OSError, ValueError) as e:
+            if on_error == "raise":
+                raise
+            import logging
+            logging.getLogger("spectral_tpu").warning(
+                "skipping undecodable clip %s: %s", p, e)
+            continue
         yield os.path.splitext(os.path.basename(p))[0], x

@@ -376,3 +376,78 @@ def test_wav_clip_source_and_pipeline(tmp_path):
         np.testing.assert_array_equal(
             decode_png(os.path.join(out, f"{name}.png")),
             decode_png(os.path.join(out2, f"{name}.png")), err_msg=name)
+
+
+def test_export_pipeline_error_isolation(tmp_path):
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    fs = 8000.0
+    n = 4000
+    rng = np.random.RandomState(0)
+    # "bad/clip" writes into a missing subdirectory -> encode failure
+    clips = [("ok0", rng.randn(n).astype(np.float32)),
+             ("bad/clip", rng.randn(n).astype(np.float32)),
+             ("ok1", rng.randn(n).astype(np.float32))]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    with pytest.raises(Exception):
+        export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "a"),
+                            clip_samples=n, batch=2)
+    stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "b"),
+                                clip_samples=n, batch=2, on_error="skip")
+    assert stats.failed == 1 and stats.pngs_written == 2
+    import os
+    assert sorted(os.listdir(tmp_path / "b")) == ["ok0.png", "ok1.png"]
+    with pytest.raises(ValueError, match="on_error"):
+        export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "c"),
+                            clip_samples=n, batch=2, on_error="bogus")
+
+
+def test_wav_clip_source_skips_bad_files(tmp_path):
+    from spectral_tpu.io.wav import write_wav
+    from spectral_tpu.parallel.pipeline import wav_clip_source
+    good = str(tmp_path / "good.wav")
+    write_wav(good, np.ones(1000, np.float32) * 0.1, 8000.0)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as fh:
+        fh.write(b"definitely not a wav file")
+    missing = str(tmp_path / "missing.wav")
+    with pytest.raises((OSError, ValueError)):
+        list(wav_clip_source([good, bad]))
+    clips = list(wav_clip_source([good, bad, missing], on_error="skip"))
+    assert [n for n, _ in clips] == ["good"]
+
+
+def test_fit_sharded_checkpoint_resume(tmp_path):
+    # orbax checkpoint/resume: a killed fit resumes at the saved iteration
+    # and converges to the same model as an uninterrupted run
+    from spectral_tpu.parallel.distributed_em import fit_sharded
+    rng = np.random.RandomState(0)
+    B, T = 8, 120
+    feats = rng.randn(B, T, 2).astype(np.float32) * 0.1 - 4.0
+    feats[:, 30:70, :] += 2.0
+    p0 = hmm.init_params(feats.reshape(-1, 2), 4, seed=42)
+    mesh = make_mesh()
+    Xb = jnp.asarray(feats)
+
+    ck = str(tmp_path / "ck")
+    # "killed" run: only 5 iterations, checkpoint every 2
+    p_a, ll_a, it_a = fit_sharded(p0, Xb, mesh, n_iter=5,
+                                  tol=-float("inf"), checkpoint_dir=ck,
+                                  checkpoint_every=2)
+    assert it_a == 5
+    from spectral_tpu.utils.checkpoint import load_training_state
+    loaded = load_training_state(ck)
+    assert loaded is not None and loaded[1] == 5
+
+    # resume to 12 total; must equal one uninterrupted 12-iteration run
+    p_b, ll_b, it_b = fit_sharded(p0, Xb, mesh, n_iter=12,
+                                  tol=-float("inf"), checkpoint_dir=ck)
+    assert it_b == 12
+    p_ref, ll_ref, it_ref = fit_sharded(p0, Xb, mesh, n_iter=12,
+                                        tol=-float("inf"))
+    assert it_ref == 12
+    np.testing.assert_allclose(float(ll_b), float(ll_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_b.means),
+                               np.asarray(p_ref.means), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_b.transmat),
+                               np.asarray(p_ref.transmat), rtol=1e-4,
+                               atol=1e-5)
