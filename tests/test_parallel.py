@@ -451,3 +451,44 @@ def test_fit_sharded_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(p_b.transmat),
                                np.asarray(p_ref.transmat), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_checkpoint_roundtrip_and_missing(tmp_path):
+    from spectral_tpu.utils.checkpoint import (load_training_state,
+                                               save_training_state)
+    assert load_training_state(str(tmp_path / "nope")) is None
+    p = hmm.HMMParams(jnp.asarray([0.7, 0.3]),
+                      jnp.asarray([[0.9, 0.1], [0.2, 0.8]]),
+                      jnp.asarray([[1.0, 2.0], [3.0, 4.0]]),
+                      jnp.asarray([[0.1, 0.2], [0.3, 0.4]]))
+    d = str(tmp_path / "ck")
+    save_training_state(d, p, step=7, loglik=-123.5)
+    save_training_state(d, p._replace(means=p.means + 1.0), step=9,
+                        loglik=-120.0)
+    got, step, ll = load_training_state(d)            # latest
+    assert step == 9 and ll == -120.0
+    np.testing.assert_allclose(np.asarray(got.means),
+                               np.asarray(p.means) + 1.0)
+    got7, step7, _ = load_training_state(d, step=7)   # explicit step
+    assert step7 == 7
+    np.testing.assert_allclose(np.asarray(got7.means), np.asarray(p.means))
+
+
+def test_export_pipeline_pallas_palette(tmp_path):
+    # the Pallas STFT path composed with palette output must write the same
+    # pixels as the XLA path (modulo <0.5% LUT-edge flips from different
+    # accumulation order)
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    from spectral_tpu.render.png import decode_png
+    fs = 8000.0
+    n = 8000
+    clips = [("p0", np.random.RandomState(0).randn(n).astype(np.float32))]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    export_spectrograms(iter(list(clips)), fs, cfg, str(tmp_path / "x"),
+                        clip_samples=n, batch=1)
+    export_spectrograms(iter(list(clips)), fs, cfg, str(tmp_path / "p"),
+                        clip_samples=n, batch=1, use_pallas=True)
+    a = decode_png(str(tmp_path / "x" / "p0.png"))
+    b = decode_png(str(tmp_path / "p" / "p0.png"))
+    assert a.shape == b.shape
+    assert (a != b).mean() < 5e-3
