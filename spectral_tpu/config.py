@@ -54,7 +54,9 @@ class SpecConfig:
     mel_fmin: float = 0.0
     mel_fmax: Optional[float] = None  # None => fs / 2
     mel_htk: bool = False  # False => Slaney-style mel + normalization
-    # Matmul/FFT precision: 'accurate' (f32, HIGHEST) or 'fast'.
+    # Matmul precision: 'accurate' (f32 6-pass, 3e-4 dB vs scipy — the
+    # contract default) or 'fast' (bf16 3-pass, ~5e-2 dB, 36% faster —
+    # display-only; see core/stft.matmul_precision for measurements).
     precision: str = "accurate"
 
     def __post_init__(self):

