@@ -27,14 +27,15 @@ import numpy as np
 
 def _make_config(args) -> "SpecConfig":
     from spectral_tpu.config import SpecConfig
+    precision = "fast" if getattr(args, "fast", False) else "accurate"
     if args.scipy_compat:
         return SpecConfig.scipy_default(
             nperseg=args.nperseg, fmin=args.fmin, fmax=args.fmax,
-            log_scale=args.log)
+            log_scale=args.log, precision=precision)
     return SpecConfig.north_star(
         n_fft=args.nperseg, hop=args.hop or args.nperseg // 4,
         window=args.window, fmin=args.fmin, fmax=args.fmax,
-        log_scale=args.log,
+        log_scale=args.log, precision=precision,
         n_mels=args.mels if getattr(args, "mels", 0) else None)
 
 
@@ -69,6 +70,9 @@ def _add_spec_args(p):
     p.add_argument("--fmin", type=float, default=None)
     p.add_argument("--fmax", type=float, default=None)
     p.add_argument("--log", action="store_true", help="dB display scale")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 3-pass matmuls: ~36%% faster, ~5e-2 dB error "
+                        "(display-only; default 'accurate' holds 1e-3 dB)")
     p.add_argument("--combine", action="store_true",
                    help="concatenate all sweeps (reference combine mode)")
 
