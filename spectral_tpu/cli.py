@@ -153,6 +153,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("info", help="list sweeps in files")
     p.add_argument("files", nargs="+")
 
+    p = sub.add_parser("doctor", help="environment self-check: backend, "
+                                      "native components, numerical sanity")
+
     p = sub.add_parser("gui", help="launch the Qt GUI client (needs PyQt5)")
 
     p = sub.add_parser("bench", help="throughput benchmark (reuses bench.py)")
@@ -292,6 +295,43 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        use_proc=args.proc, use_raw=not args.proc,
                                        window_seconds=args.window_seconds))
         return 0
+
+    if args.cmd == "doctor":
+        import jax
+        import jax.numpy as jnp
+        from spectral_tpu.config import SpecConfig
+        from spectral_tpu.core.stft import power_spectrogram, freq_axis
+        from spectral_tpu.native import png_native
+        from spectral_tpu.utils.cache import enable_compilation_cache
+
+        ok = True
+        print(f"backend:        {jax.default_backend()} "
+              f"({len(jax.devices())} device(s): "
+              f"{', '.join(str(d) for d in jax.devices()[:4])})")
+        enable_compilation_cache()
+        print("compile cache:  enabled")
+        native_ok = png_native.available()
+        print(f"native encoder: {'ok (C++ zlib)' if native_ok else 'absent (PIL/stdlib fallback)'}")
+        try:
+            import PyQt5  # noqa: F401
+            print("gui client:     PyQt5 available")
+        except ImportError:
+            print("gui client:     PyQt5 absent (headless CLI only)")
+
+        # numerical sanity: a pure tone must peak at its own bin
+        fs_t, f0 = 16000.0, 1000.0
+        t = np.arange(16000) / fs_t
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        cfg = SpecConfig.north_star(1024, 256)
+        psd = np.asarray(power_spectrogram(jnp.asarray(x), fs_t, cfg))
+        f = freq_axis(cfg, fs_t)
+        peak = float(f[int(psd.mean(axis=0).argmax())])
+        sane = abs(peak - f0) <= fs_t / 1024
+        ok &= sane
+        print(f"sanity:         1 kHz tone peaks at {peak:.1f} Hz "
+              f"({'ok' if sane else 'FAIL'})")
+        print("doctor:", "all good" if ok else "PROBLEMS FOUND")
+        return 0 if ok else 1
 
     if args.cmd == "gui":
         from spectral_tpu.gui.app import main as gui_main

@@ -53,9 +53,12 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
         a_im = np.stack([dft_matrices(configs[i])[1] for i in idxs])
         wts = np.stack([onesided_weights(configs[i], fs) for i in idxs])
 
+        from spectral_tpu.core.stft import matmul_precision
+        prec = matmul_precision(configs[idxs[0]])
+
         def one(ar, ai, w):
-            xr = jnp.matmul(frames, ar, precision=jax.lax.Precision.HIGHEST)
-            xi = jnp.matmul(frames, ai, precision=jax.lax.Precision.HIGHEST)
+            xr = jnp.matmul(frames, ar, precision=prec)
+            xi = jnp.matmul(frames, ai, precision=prec)
             return (xr * xr + xi * xi) * w
 
         psds = jax.vmap(one)(jnp.asarray(a_re, frames.dtype),

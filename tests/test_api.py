@@ -358,3 +358,10 @@ def test_cli_decorated_and_mel_render(tmp_path):
     assert main(["render", wav_path, "-o", mel, "--mels", "24",
                  "--nperseg", "512", "--hop", "128", "--log"]) == 0
     assert decode_png(mel).shape[0] == 24
+
+
+def test_cli_doctor(capsys):
+    from spectral_tpu.cli import main
+    assert main(["doctor"]) == 0
+    out = capsys.readouterr().out
+    assert "backend:" in out and "sanity:" in out and "all good" in out
