@@ -237,11 +237,14 @@ class ScanStreamer:
 
         def run(xp, init):
             # blocks are staged as scan xs (a reshape for the single-
-            # recording case; a transpose copy for batch mode). Slicing
-            # blocks inside the scan body with lax.dynamic_slice instead
-            # was measured 200x SLOWER on v5e (16.2 s vs 0.08 s for the
-            # 1-hour recording): XLA pipelines scan xs into the loop but
-            # cannot prefetch body-side dynamic windows.
+            # recording case; a transpose copy for batch mode). Two
+            # alternatives measured SLOWER on v5e and were rejected:
+            # lax.dynamic_slice windows in the scan body (200x: 16.2 s vs
+            # 0.08 s/hour — XLA pipelines xs but can't prefetch body-side
+            # windows) and a channels-last (n, B) layout with per-block
+            # transposes (43x: 15.0 s vs 0.35 s — a minor-dim-of-2 tile
+            # transpose per step is pathological for TPU lane layout).
+            # The one-time (B, n) transpose is the cheapest option.
             blocks = xp.reshape(lead + (n_blocks, block_size))
             if batch:
                 blocks = jnp.moveaxis(blocks, 0, 1)   # (nb, B, L)
