@@ -188,9 +188,26 @@ def build_window():
             c.mpl_connect("motion_notify_event", self._on_motion)
             c.mpl_connect("button_release_event", self._on_release)
 
+        def _xdata(self, event):
+            """PlotEngine._get_correct_xdata (:46-61): when the event is
+            inside an axes but carries no data coordinate, recover it by
+            inverse-transforming the pixel position."""
+            ax = getattr(event, "inaxes", None)
+            if ax is None:
+                return None
+            if event.xdata is not None:
+                return event.xdata
+            try:
+                inv = ax.transData.inverted()
+                xdata, _ = inv.transform((event.x, event.y))
+                return xdata
+            except Exception:
+                return None
+
         def _on_press(self, event):
             button = int(event.button) if event.button else 1
-            action = self.controller.roi_editor.on_press(event.xdata, button)
+            action = self.controller.roi_editor.on_press(self._xdata(event),
+                                                         button)
             if action == "menu":
                 menu = QtWidgets.QMenu(self)
                 for name in self.controller.roi_editor.context_actions():
@@ -203,10 +220,10 @@ def build_window():
                         self.controller.roi_editor.merge_hovered()
 
         def _on_motion(self, event):
-            self.controller.roi_editor.on_motion(event.xdata)
+            self.controller.roi_editor.on_motion(self._xdata(event))
 
         def _on_release(self, event):
-            self.controller.roi_editor.on_release(event.xdata)
+            self.controller.roi_editor.on_release(self._xdata(event))
 
         def _patches_changed(self):
             self._redraw()

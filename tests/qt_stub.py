@@ -391,12 +391,35 @@ class _Toolbar(_Widget):
         super().__init__()
 
 
-class _Event:
-    """matplotlib MouseEvent stand-in."""
+class _Axes:
+    """matplotlib Axes stand-in: a linear 10-pixels-per-unit data transform
+    so tests can exercise the pixel->data fallback."""
 
-    def __init__(self, xdata, button=1):
+    class _Trans:
+        class _Inv:
+            def transform(self, pt):
+                return (pt[0] / 10.0, pt[1] / 10.0)
+
+        def inverted(self):
+            return self._Inv()
+
+    transData = _Trans()
+
+
+class _Event:
+    """matplotlib MouseEvent stand-in. Events with data coords always carry
+    an axes (as real matplotlib events do); pass inaxes/x/y explicitly to
+    model the no-xdata edge."""
+
+    def __init__(self, xdata, button=1, inaxes="auto", x=0.0, y=0.0):
         self.xdata = xdata
         self.button = button
+        if inaxes == "auto":
+            self.inaxes = _Axes() if xdata is not None else None
+        else:
+            self.inaxes = inaxes
+        self.x = x
+        self.y = y
 
 
 def install():

@@ -228,3 +228,20 @@ def test_reset_model_clears_canvas_and_informs(win):
     assert kind == "information" and "Model" in title
     assert win.session.last_detected_events == []
     assert not win.session.detector.is_model_refined
+
+
+def test_xdata_pixel_fallback(win):
+    # PlotEngine._get_correct_xdata (:46-61): inside an axes but without a
+    # data coordinate, the pixel position inverse-transforms to data space
+    _plot(win)
+    win.chk_edit.setChecked(True)
+    press = win.canvas.handlers["button_press_event"]
+    release = win.canvas.handlers["button_release_event"]
+    ax = qt_stub._Axes()
+    # 10 px per data unit in the stub transform: x=90px -> 9.0 s
+    press(qt_stub._Event(None, 1, inaxes=ax, x=90.0, y=5.0))
+    release(qt_stub._Event(None, 1, inaxes=ax, x=160.0, y=5.0))
+    assert (9.0, 16.0) in win.session.rois
+    # outside any axes: ignored entirely
+    press(qt_stub._Event(None, 1, inaxes=None, x=300.0))
+    assert win.controller.roi_editor.drag_origin is None
