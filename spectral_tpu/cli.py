@@ -148,6 +148,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--pixel-format", choices=("palette", "rgb", "rgba"),
                    default="palette")
     p.add_argument("--compress-level", type=int, default=1)
+    p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
+                   help="'skip' isolates per-clip decode/encode failures "
+                        "instead of failing the whole dataset")
     _add_spec_args(p)
 
     p = sub.add_parser("info", help="list sweeps in files")
@@ -276,12 +279,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         # fs from the first file; the pipeline is single-rate by design
         _x0, fs = read_wav(args.files[0])
         stats = export_spectrograms(
-            wav_clip_source(args.files), fs, cfg, args.out_dir,
-            clip_samples=int(args.clip_seconds * fs), batch=args.batch,
-            colormap=args.cmap, compress_level=args.compress_level,
-            pixel_format=args.pixel_format)
+            wav_clip_source(args.files, on_error=args.on_error), fs, cfg,
+            args.out_dir, clip_samples=int(args.clip_seconds * fs),
+            batch=args.batch, colormap=args.cmap,
+            compress_level=args.compress_level,
+            pixel_format=args.pixel_format, on_error=args.on_error)
+        suffix = f"; {stats.failed} failed" if stats.failed else ""
         print(f"Exported {stats.pngs_written} spectrogram PNG(s) "
-              f"({stats.seconds_audio:.0f} s of audio) to {args.out_dir}")
+              f"({stats.seconds_audio:.0f} s of audio) to "
+              f"{args.out_dir}{suffix}")
         return 0
 
     if args.cmd == "export-batch":

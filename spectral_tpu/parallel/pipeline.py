@@ -216,6 +216,7 @@ def wav_clip_source(paths: Sequence[str], on_error: str = "raise"
     them with half the upload bytes and normalizes on device); everything
     else decodes to float32. on_error='skip' logs and skips undecodable
     files instead of killing the whole dataset export."""
+    import struct
     from spectral_tpu.io.wav import read_wav, read_wav_int16
     for p in paths:
         try:
@@ -223,11 +224,11 @@ def wav_clip_source(paths: Sequence[str], on_error: str = "raise"
                 x, _fs = read_wav_int16(p)
                 if x.ndim == 2:      # downmix needs float math
                     raise ValueError
-            except ValueError:
+            except (ValueError, struct.error):
                 x, _fs = read_wav(p)
                 if x.ndim == 2:
                     x = x.mean(axis=1)
-        except (OSError, ValueError) as e:
+        except (OSError, ValueError, struct.error) as e:
             if on_error == "raise":
                 raise
             import logging

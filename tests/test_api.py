@@ -365,3 +365,19 @@ def test_cli_doctor(capsys):
     assert main(["doctor"]) == 0
     out = capsys.readouterr().out
     assert "backend:" in out and "sanity:" in out and "all good" in out
+
+
+def test_cli_export_specs_on_error_skip(tmp_path, capsys):
+    from spectral_tpu.cli import main
+    fs = 8000.0
+    good = str(tmp_path / "good.wav")
+    write_wav(good, np.sin(np.linspace(0, 60, 8000)).astype(np.float32) * 0.4,
+              fs)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as fh:
+        fh.write(b"not a wav")
+    out = str(tmp_path / "specs")
+    assert main(["export-specs", good, bad, "-o", out, "--clip-seconds", "1",
+                 "--nperseg", "256", "--hop", "64", "--on-error", "skip"]) == 0
+    assert sorted(os.listdir(out)) == ["good.png"]
+    assert "Exported 1" in capsys.readouterr().out
