@@ -1,0 +1,71 @@
+"""Randomized config fuzz vs scipy: many (nperseg, hop, window, n, fs)
+combinations beyond the fixed golden matrix (tests/test_stft_golden.py).
+
+The GUI's legal parameter space is nperseg in 32..8192 step 32 with the
+scipy-default hop (GUI.py:87-90); the north-star space adds explicit hops
+and window families. Seeded sampling keeps runs reproducible.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax.numpy as jnp
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core import stft as stft_mod
+
+RNG = np.random.RandomState(20260816)
+
+
+def _signal(n, fs, kind, seed):
+    r = np.random.RandomState(seed)
+    t = np.arange(n) / fs
+    if kind == 0:
+        return r.randn(n)
+    if kind == 1:
+        return np.sin(2 * np.pi * (fs * 0.05) * t) + 0.1 * r.randn(n)
+    return r.randn(n) + 3.0 * r.rand()        # offset -> detrend matters
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_scipy_default_grid(trial):
+    r = np.random.RandomState(trial * 7 + 1)
+    nperseg = int(r.randint(1, 257)) * 32      # the GUI's 32..8192 step 32
+    fs = float(r.choice([250.0, 1000.0, 16000.0, 48000.0]))
+    n = int(nperseg * r.uniform(3.0, 8.0))
+    x = _signal(n, fs, int(r.randint(3)), trial)
+    cfg = SpecConfig.scipy_default(nperseg)
+
+    f_ref, t_ref, sxx_ref = scipy.signal.spectrogram(
+        x, fs=fs, nperseg=nperseg, scaling="density", mode="psd")
+    f, t, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg)
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
+    np.testing.assert_allclose(t, t_ref, atol=1e-9)
+    err = np.max(np.abs(np.asarray(sxx) - sxx_ref)) / sxx_ref.max()
+    assert err < 4e-5, (nperseg, fs, n, err)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_north_star_combos(trial):
+    r = np.random.RandomState(trial * 13 + 5)
+    nperseg = int(2 ** r.randint(6, 13))       # 64..4096
+    hop = max(1, nperseg // int(2 ** r.randint(1, 4)))
+    window = ["hann", "hamming", "blackman", ("tukey", 0.25)][r.randint(4)]
+    fs = float(r.choice([1000.0, 8000.0, 16000.0]))
+    n = int(nperseg * r.uniform(4.0, 10.0))
+    x = _signal(n, fs, int(r.randint(3)), trial + 100)
+    cfg = SpecConfig.north_star(nperseg, hop, window=window)
+
+    win_name = window if isinstance(window, str) else window
+    f_ref, t_ref, sxx_ref = scipy.signal.spectrogram(
+        x, fs=fs, window=scipy.signal.get_window(win_name, nperseg,
+                                                 fftbins=True),
+        nperseg=nperseg, noverlap=nperseg - hop, detrend=False,
+        scaling="density", mode="psd")
+    use_matmul = bool(r.randint(2))
+    f, t, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg,
+                                     use_matmul=use_matmul)
+    np.testing.assert_allclose(t, t_ref, atol=1e-9)
+    err = np.max(np.abs(np.asarray(sxx) - sxx_ref)) / sxx_ref.max()
+    assert err < 4e-5, (nperseg, hop, window, fs, n, use_matmul, err)
