@@ -31,14 +31,16 @@ nF x signal bytes instead of B x matrix bytes.
 
 Measured on v5e (ms/clip, 10 s @ 16 kHz, r = 4): the kernel WINS at the
 headline nperseg=1024 (0.073 pallas vs 0.079 xla-matmul vs 0.140 xla-fft);
-at tiled sizes the tile re-streaming and linearly growing DFT FLOPs hand the
-lead to XLA's rFFT (4096: 0.35 pallas / 0.34 xla-matmul / 0.19 xla-fft), so
-the production default keeps the XLA paths and the kernel is the opt-in
-fast path for nperseg <= 1024. At nperseg=8192 the double-buffered A tiles
-exceed VMEM (Mosaic compile failure on chip), hence the 4096 cap; the XLA
-paths cover 8192 (golden-tested), with the DFT matrices generated on device
-above 8 MB so multi-hundred-MB constants never embed in executables
-(core.stft.dft_matrices_device).
+at tiled sizes the tile re-streaming and linearly growing DFT FLOPs hand
+the lead to XLA's rFFT (4096: 0.35 pallas / 0.34 xla-matmul / 0.19
+xla-fft; 8192: 0.58 / 0.68 / 0.31), so the production default keeps the
+XLA paths and the kernel is the opt-in fast path for nperseg <= 1024.
+Above nperseg 4096 the Mosaic pipeline's double-buffered A tiles exceed
+VMEM, so the kernel switches to manual DMA: A stays in HBM and one
+single-buffered scratch tile reloads only on frequency-tile changes —
+the full GUI range 32..8192 (GUI.py:87-90) is supported. The DFT matrices
+are generated on device above 8 MB so multi-hundred-MB constants never
+embed in executables (core.stft.dft_matrices_device).
 
 Constraints: hop | nperseg and nfft == nperseg (north-star configs; the jnp
 path covers the rest — including the scipy-default hop = 7/8 nperseg, whose
@@ -64,11 +66,15 @@ from spectral_tpu.core.stft import (dft_matrices, dft_matrices_device,
 Array = jax.Array
 
 LANE = 128
-MAX_NPERSEG_VMEM = 4096  # 8192's double-buffered A tiles exceed v5e VMEM
+MAX_NPERSEG_VMEM = 8192  # GUI ceiling (GUI.py:87-90); manual DMA above 4096
 # per-step budget for the two A tiles combined (double-buffered by the
 # Mosaic pipeline when the tile index changes): 2 * nperseg * FT * 4 bytes
 # per buffer set, kept ~<= 6 MB so rows/out/accumulators fit comfortably
 _A_TILE_BUDGET = 6 * 2 ** 20
+# when even one double-buffered tile pair exceeds this, switch to the
+# manual-DMA kernel: A stays in HBM and ONE single-buffered VMEM scratch
+# tile reloads only when the frequency-tile index changes
+_A_AUTO_LIMIT = 12 * 2 ** 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -180,7 +186,17 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
     xp = jnp.pad(x, ((0, 0), (0, total - n))) if total > n else x[:, :total]
     rows = xp.reshape(B, rows_padded, hop)
 
-    def kernel(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref):
+    # Above _A_AUTO_LIMIT the Mosaic pipeline's double-buffered A tiles no
+    # longer fit VMEM (measured compile failure at nperseg=8192): switch to
+    # manual DMA — A stays in HBM (memory_space=ANY, pre-tiled (nF, r, hop,
+    # FT) so each tile is one contiguous copy) and ONE single-buffered VMEM
+    # scratch pair reloads only when the frequency tile changes (grid order
+    # (j, f, b) makes that once per B inner steps). The interpreter has no
+    # VMEM limit and no DMA primitives, so it always runs the auto kernel
+    # (identical math); the manual path is chip-validated.
+    manual_a = (not interpret) and 2 * 2 * 4 * nperseg * FT > _A_AUTO_LIMIT
+
+    def _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref):
         # frame i of this block = rows[i : i + r] flattened; instead of
         # materializing frames (Mosaic rejects the offset concat), decompose
         # the DFT matmul over hop-pieces and accumulate on the MXU:
@@ -196,37 +212,69 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
                 else jax.lax.Precision.DEFAULT)
         for k in range(r):
             piece = jax.lax.slice(rows2, (k, 0), (k + BF, hop))
-            xr = xr + jnp.dot(piece, are_ref[k], precision=prec,
+            xr = xr + jnp.dot(piece, are_v[k], precision=prec,
                               preferred_element_type=jnp.float32)
-            xi = xi + jnp.dot(piece, aim_ref[k], precision=prec,
+            xi = xi + jnp.dot(piece, aim_v[k], precision=prec,
                               preferred_element_type=jnp.float32)
         p = (xr * xr + xi * xi) * wts_ref[:, :]
         if log10_out:
             p = jnp.log10(p + 1e-20)
         out_ref[:, :] = p
 
+    def kernel_auto(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref):
+        _compute(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref)
+
+    def kernel_manual(rows_a, rows_b, are_hbm, aim_hbm, wts_ref, out_ref,
+                      are_v, aim_v, sem):
+        @pl.when(pl.program_id(2) == 0)   # first clip of this (j, f) pair
+        def _load_tile():
+            f = pl.program_id(1)
+            cre = pltpu.make_async_copy(are_hbm.at[f], are_v, sem.at[0])
+            cim = pltpu.make_async_copy(aim_hbm.at[f], aim_v, sem.at[1])
+            cre.start()
+            cim.start()
+            cre.wait()
+            cim.wait()
+        _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref)
+
+    rows_spec_a = pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j, 0),
+                               memory_space=pltpu.VMEM)
+    rows_spec_b = pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j + 1, 0),
+                               memory_space=pltpu.VMEM)
+    wts_spec = pl.BlockSpec((1, FT), lambda j, f, b: (0, f),
+                            memory_space=pltpu.VMEM)
+    if manual_a:
+        kernel = kernel_manual
+        a_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)]
+        a_re_op = a_re.reshape(r, hop, nF, FT).transpose(2, 0, 1, 3)
+        a_im_op = a_im.reshape(r, hop, nF, FT).transpose(2, 0, 1, 3)
+        scratch = [pltpu.VMEM((r, hop, FT), jnp.float32),
+                   pltpu.VMEM((r, hop, FT), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kernel = kernel_auto
+        a_specs = [pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
+                                memory_space=pltpu.VMEM)]
+        a_re_op, a_im_op = a_re, a_im
+        scratch = []
+
     # Grid order (j, f, b): the batch dim is innermost so the A tile (the
-    # big operand, changing only with f) stays resident across all clips
-    # while the per-clip signal rows stream; for nF == 1 (nperseg <= 1024)
-    # this reduces to the untiled kernel with A resident across everything.
+    # big operand, changing only with f) stays VMEM-resident across all
+    # clips while the per-clip signal rows stream; for nF == 1 (nperseg <=
+    # 1024) this reduces to the untiled kernel with A resident everywhere.
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, nF, B),
-        in_specs=[
-            pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, FT), lambda j, f, b: (0, f),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[rows_spec_a, rows_spec_b, *a_specs, wts_spec],
         out_specs=pl.BlockSpec((None, BF, FT), lambda j, f, b: (b, j, f),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Tp, Fp), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * Tp * nperseg * Fp,
             bytes_accessed=(nF * B * total * 4 * 2 + 2 * nperseg * Fp * 4
@@ -234,7 +282,7 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
             transcendentals=B * Tp * Fp if log10_out else 0,
         ),
         interpret=interpret,
-    )(rows, rows, a_re, a_im, wts[None, :])
+    )(rows, rows, a_re_op, a_im_op, wts[None, :])
     return out[:, :T, :F]
 
 

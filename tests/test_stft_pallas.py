@@ -74,11 +74,10 @@ def test_pallas_rejects_unsupported():
         stft_psd_pallas(jnp.zeros(10000), 1000.0,
                         SpecConfig.scipy_default(1024))  # hop 896
     assert not pallas_supported(SpecConfig.scipy_default(1024))
-    # 8192: the double-buffered A tiles exceed v5e VMEM (measured Mosaic
-    # compile failure on chip) -> XLA paths cover it (golden-tested)
-    assert not pallas_supported(SpecConfig.north_star(8192, 2048))
+    assert not pallas_supported(SpecConfig.north_star(16384, 4096))
     assert pallas_supported(SpecConfig.north_star(2048, 512))  # freq-tiled
     assert pallas_supported(SpecConfig.north_star(4096, 1024))
+    assert pallas_supported(SpecConfig.north_star(8192, 2048))  # manual DMA
     assert pallas_supported(SpecConfig.north_star(1024, 256))
 
 
@@ -109,7 +108,8 @@ def test_pallas_pipeline_matches_xla_pipeline():
 
 @pytest.mark.parametrize("nperseg,hop,n", [
     (2048, 512, 60000),    # first freq-tiled size (FT < Fp)
-    (4096, 1024, 60000),   # largest supported tiled size
+    (4096, 1024, 60000),   # largest auto-pipelined tiled size
+    (8192, 2048, 120000),  # GUI ceiling: manual-DMA A tiles (HBM + scratch)
 ])
 def test_pallas_freq_tiled_matches_jnp(nperseg, hop, n):
     from spectral_tpu.ops.stft_pallas import _freq_dims
