@@ -77,6 +77,58 @@ def _add_spec_args(p):
                    help="concatenate all sweeps (reference combine mode)")
 
 
+def _detect_each(args) -> int:
+    """Per-sweep unsupervised detection: a fresh HMM per sweep (the
+    reference's persistent model only makes sense within one plot), printed
+    as `sweep<TAB>start<TAB>end` lines plus an optional combined CSV in the
+    reference's schema (ExportManager.py:43-50 columns; IBI restarts per
+    sweep; sweep index parsed as the reference does)."""
+    from spectral_tpu.api.session import AnalysisSession
+    from spectral_tpu.config import ViewSettings
+    from spectral_tpu.io.registry import split_display_name
+    s = AnalysisSession()
+    names = []
+    for p in args.files:
+        try:
+            names += s.load(p)
+        except FileNotFoundError:
+            sys.exit(f"error: file not found: {p}")
+        except ValueError as e:
+            sys.exit(f"error: {e}")
+    if not names:
+        sys.exit("no sweeps loaded")
+    rows = []
+    for name in names:
+        s.reset_model()
+        s.plot_sweeps([name], _make_config(args),
+                      ViewSettings(mode_proc="Spectrogram",
+                                   mode_raw="Spectrogram"))
+        try:
+            events = s.unsupervised_detect()
+        except ValueError as e:           # e.g. sweep too short to train on
+            print(f"{name}\tskipped: {e}", file=sys.stderr)
+            continue
+        base, sweep_idx = split_display_name(name)
+        prev_end = None
+        for a, b in events:
+            print(f"{name}\t{a:.4f}\t{b:.4f}")
+            ibi = float("nan") if prev_end is None else a - prev_end
+            rows.append((base, sweep_idx if sweep_idx is not None else "",
+                         a, b, ibi))
+            prev_end = b
+    if args.csv:
+        import csv as _csv
+        with open(args.csv, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["Burst ID", "Source File", "Sweep",
+                        "Start Time (s)", "End Time (s)",
+                        "Inter Burst Interval (s)"])
+            for i, (base, idx, a, b, ibi) in enumerate(rows, 1):
+                w.writerow([i, base, idx, a, b, ibi])
+        print(f"Successfully exported {len(rows)} events to {args.csv}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(
         prog="spectral-tpu",
@@ -100,6 +152,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("detect", help="unsupervised burst detection")
     p.add_argument("files", nargs="+")
     p.add_argument("--csv", default=None, help="write burst table here")
+    p.add_argument("--each", action="store_true",
+                   help="detect every sweep independently (fresh model per "
+                        "sweep; one combined table with sweep attribution)")
     _add_spec_args(p)
 
     p = sub.add_parser("learn", help="learn-from-examples detection")
@@ -192,6 +247,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     if args.cmd == "detect":
+        if args.each:
+            return _detect_each(args)
         s, _ = _session_for(args.files, args)
         events = s.unsupervised_detect()
         for a, b in events:

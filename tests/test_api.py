@@ -381,3 +381,30 @@ def test_cli_export_specs_on_error_skip(tmp_path, capsys):
                  "--nperseg", "256", "--hop", "64", "--on-error", "skip"]) == 0
     assert sorted(os.listdir(out)) == ["good.png"]
     assert "Exported 1" in capsys.readouterr().out
+
+
+def test_cli_detect_each(tmp_path, capsys):
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    # one NPZ with two sweeps of different lengths + different burst spots
+    import numpy as np
+    a = _bursty(fs=fs, dur=60.0, bursts=((10, 15),), seed=1)
+    b = _bursty(fs=fs, dur=40.0, bursts=((20, 26),), seed=2)
+    w1 = str(tmp_path / "a.wav")
+    w2 = str(tmp_path / "b.wav")
+    write_wav(w1, a * 0.5, fs)
+    write_wav(w2, b * 0.5, fs)
+    csv_path = str(tmp_path / "each.csv")
+    assert main(["detect", w1, w2, "--each", "--scipy-compat",
+                 "--nperseg", "1024", "--fmin", "0", "--fmax", "30",
+                 "--csv", csv_path]) == 0
+    out = capsys.readouterr().out
+    assert "a_sweep0\t" in out and "b_sweep0\t" in out
+    with open(csv_path) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0][0] == "Burst ID"
+    sources = {r[1] for r in rows[1:]}
+    assert sources == {"a", "b"}
+    # per-sweep IBI restarts: first event of each sweep has IBI nan
+    firsts = [r for r in rows[1:] if r[1] == "b"][0]
+    assert firsts[5] == "nan"
