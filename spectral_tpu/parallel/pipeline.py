@@ -20,6 +20,7 @@ import concurrent.futures as cf
 import os
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Sequence, Tuple
 
@@ -142,6 +143,7 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         fn = jax.jit(lambda x: base(dev_in(x))["rgb_packed"])
 
     os.makedirs(out_dir, exist_ok=True)
+    t_start = time.time()
     stats = PipelineStats()
     stage_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     producer_error: list = []
@@ -195,7 +197,20 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     t.join()
     if producer_error:
         raise producer_error[0]
+    _log_throughput(stats, time.time() - t_start)
     return stats
+
+
+def _log_throughput(stats: PipelineStats, elapsed: float) -> None:
+    """Structured completion log in the benchmark's units (audio-h/min)."""
+    import logging
+    if elapsed <= 0:
+        return
+    ahpm = (stats.seconds_audio / 3600.0) / (elapsed / 60.0)
+    logging.getLogger("spectral_tpu").info(
+        "export_spectrograms: %d clips, %d PNGs, %d failed, %.1f s audio "
+        "in %.1f s (%.2f audio-h/min)", stats.clips, stats.pngs_written,
+        stats.failed, stats.seconds_audio, elapsed, ahpm)
 
 
 def _resolve(future, stats: PipelineStats, on_error: str) -> None:
