@@ -10,6 +10,7 @@ headless operation is a new capability. Subcommands mirror the app's actions:
   stream      long recording -> streamed PSD / dB image / band powers
   export-specs  WAV dataset -> spectrogram PNGs (overlapped pipeline)
   export-batch  files -> per-sweep waveform PNGs
+  serve       long-lived JSONL worker (warm compiled programs + sessions)
   info        file -> registered sweeps
   bench       quick throughput probe on the current backend
 """
@@ -129,6 +130,86 @@ def _detect_each(args) -> int:
     return 0
 
 
+def _serve(stdin, stdout) -> int:
+    """JSONL request/response worker (the serving shape for deployments:
+    one warm process amortizes compile latency and session state across
+    requests instead of paying them per CLI invocation).
+
+    Request:  one JSON object per line:
+      {"cmd": "render"|"detect"|"learn"|"bands",
+       "files": [...], "out": "x.png"?, "rois": [[a,b],...]?,
+       "config": {SpecConfig fields}?, "combine": bool?}
+      {"cmd": "ping"} -> liveness; {"cmd": "shutdown"} -> exit 0.
+    Response: one JSON object per line: {"ok": true, ...result} or
+      {"ok": false, "error": "..."}; errors never kill the worker.
+
+    Sessions are cached per file-set, so repeated requests against the same
+    recording reuse its loaded sweeps, spectrogram, and trained model.
+    """
+    import json as _json
+    from spectral_tpu.api.session import AnalysisSession
+    from spectral_tpu.config import SpecConfig, ViewSettings
+    from spectral_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    sessions = {}
+
+    def get_session(files):
+        key = tuple(files)
+        if key not in sessions:
+            s = AnalysisSession()
+            for p in files:
+                s.load(p)
+            sessions[key] = s
+        return sessions[key]
+
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = _json.loads(line)
+            cmd = req.get("cmd")
+            if cmd == "ping":
+                resp = {"ok": True, "pong": True}
+            elif cmd == "shutdown":
+                stdout.write(_json.dumps({"ok": True, "bye": True}) + "\n")
+                stdout.flush()
+                return 0
+            elif cmd in ("render", "detect", "learn", "bands"):
+                s = get_session(req["files"])
+                cfg = SpecConfig(**req.get("config", {}))
+                names = (s.registry.names() if req.get("combine")
+                         else s.registry.names()[:1])
+                s.plot_sweeps(names, cfg,
+                              ViewSettings(combine=bool(req.get("combine")),
+                                           mode_proc="Spectrogram",
+                                           mode_raw="Spectrogram"))
+                if cmd == "render":
+                    resp = {"ok": True,
+                            "message": s.export_png(req["out"])}
+                elif cmd == "detect":
+                    events = s.unsupervised_detect()
+                    resp = {"ok": True, "events": events}
+                elif cmd == "learn":
+                    rois = [tuple(r) for r in req["rois"]]
+                    events = s.learn_and_detect(rois)
+                    resp = {"ok": True, "events": events}
+                else:
+                    bp = s.calculate_band_powers()
+                    resp = {"ok": True, "bands": bp,
+                            "total_power": s.calculate_absolute_power()}
+                if req.get("csv"):
+                    resp["csv"] = s.export_csv(req["csv"])
+            else:
+                resp = {"ok": False, "error": f"unknown cmd: {cmd!r}"}
+        except Exception as e:      # a bad request must not kill the worker
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        stdout.write(_json.dumps(resp) + "\n")
+        stdout.flush()
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(
         prog="spectral-tpu",
@@ -210,6 +291,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("info", help="list sweeps in files")
     p.add_argument("files", nargs="+")
+
+    p = sub.add_parser("serve", help="long-lived worker: read JSONL requests "
+                                     "on stdin, answer on stdout (keeps "
+                                     "compiled programs and sessions warm)")
 
     p = sub.add_parser("doctor", help="environment self-check: backend, "
                                       "native components, numerical sanity")
@@ -358,6 +443,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        use_proc=args.proc, use_raw=not args.proc,
                                        window_seconds=args.window_seconds))
         return 0
+
+    if args.cmd == "serve":
+        return _serve(sys.stdin, sys.stdout)
 
     if args.cmd == "doctor":
         import jax

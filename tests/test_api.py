@@ -408,3 +408,39 @@ def test_cli_detect_each(tmp_path, capsys):
     # per-sweep IBI restarts: first event of each sweep has IBI nan
     firsts = [r for r in rows[1:] if r[1] == "b"][0]
     assert firsts[5] == "nan"
+
+
+def test_cli_serve_jsonl(tmp_path):
+    import io
+    import json
+    from spectral_tpu.cli import _serve
+    fs = 1000.0
+    wav_path = str(tmp_path / "sig.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=60.0) * 0.5, fs)
+    png_path = str(tmp_path / "served.png")
+    reqs = [
+        {"cmd": "ping"},
+        {"cmd": "bands", "files": [wav_path],
+         "config": {"nperseg": 512, "fmin": 0.0, "fmax": 30.0}},
+        {"cmd": "detect", "files": [wav_path],
+         "config": {"nperseg": 1024, "fmin": 0.0, "fmax": 30.0}},
+        {"cmd": "render", "files": [wav_path], "out": png_path,
+         "config": {"nperseg": 512, "log_scale": True}},
+        {"cmd": "learn", "files": [wav_path], "rois": [[8, 17], [28, 40]],
+         "config": {"nperseg": 1024, "fmin": 0.0, "fmax": 30.0}},
+        {"cmd": "nonsense"},
+        {"cmd": "detect", "files": ["/does/not/exist.wav"]},
+        {"cmd": "shutdown"},
+    ]
+    stdin = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out[0] == {"ok": True, "pong": True}
+    assert out[1]["ok"] and out[1]["bands"]["Theta (θ)"] > 0.5
+    assert out[2]["ok"] and len(out[2]["events"]) == 2
+    assert out[3]["ok"] and os.path.exists(png_path)
+    assert out[4]["ok"] and len(out[4]["events"]) >= 2
+    assert not out[5]["ok"] and "unknown cmd" in out[5]["error"]
+    assert not out[6]["ok"]                      # error did not kill worker
+    assert out[7] == {"ok": True, "bye": True}
