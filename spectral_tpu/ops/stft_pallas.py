@@ -207,9 +207,12 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         # NOTE: precision must be explicit — a bare f32 jnp.dot lowers to a
         # single-pass bf16 MXU matmul under Mosaic (measured 18 dB error);
         # HIGHEST selects the multi-pass f32 path (2.7e-4 dB vs scipy) and
-        # still runs at ~0.07 ms/clip. Mosaic supports only DEFAULT/HIGHEST.
-        prec = (jax.lax.Precision.HIGHEST if cfg.precision == "accurate"
-                else jax.lax.Precision.DEFAULT)
+        # still runs at ~0.07 ms/clip. Mosaic supports only DEFAULT/HIGHEST
+        # (DotAlgorithmPreset raises TypeError, chip-verified), so the
+        # kernel runs cfg.precision='fast' at HIGHEST too rather than at
+        # the useless single-pass tier; the XLA paths provide the real
+        # 'fast' (bf16 3-pass) tier.
+        prec = jax.lax.Precision.HIGHEST
         for k in range(r):
             piece = jax.lax.slice(rows2, (k, 0), (k + BF, hop))
             xr = xr + jnp.dot(piece, are_v[k], precision=prec,
