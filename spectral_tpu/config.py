@@ -56,7 +56,9 @@ class SpecConfig:
     mel_htk: bool = False  # False => Slaney-style mel + normalization
     # Matmul precision: 'accurate' (f32 6-pass, 3e-4 dB vs scipy — the
     # contract default) or 'fast' (bf16 3-pass, ~5e-2 dB, 36% faster —
-    # display-only; see core/stft.matmul_precision for measurements).
+    # display-only; XLA paths only: Mosaic lacks the algorithm, so the
+    # Pallas kernel always runs full precision). Measurements in
+    # core/stft.matmul_precision.
     precision: str = "accurate"
 
     def __post_init__(self):
