@@ -46,7 +46,7 @@ def build_window():
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import SpecConfig, ViewSettings
     from spectral_tpu.gui.controller import WindowController
-    from spectral_tpu.render.figure import render_session_figure
+    from spectral_tpu.render.figure import SessionFigureView
 
     class MainWindow(QtWidgets.QMainWindow):
         def __init__(self):
@@ -142,9 +142,22 @@ def build_window():
             self.status = QtWidgets.QLabel("Ready")
             panel.addWidget(self.status)
 
-            # right: matplotlib canvas fed from the headless session
-            self.fig = Figure()
+            # right: incremental figure view + matplotlib canvas fed from
+            # the headless session. The view owns ONE persistent Figure:
+            # plot/clear/reset rebuild its static layers, mouse events only
+            # mutate the burst-span overlay artists (render/figure.py) —
+            # never the pcolormesh (the reference works the same way,
+            # PlotEngine.py:497-543/:615-620; a mesh rebuild costs ~360 ms).
+            self.view = SessionFigureView(Figure(constrained_layout=True))
+            self.fig = self.view.fig
             self.canvas = FigureCanvasQTAgg(self.fig)
+            # blit when the canvas supports it: the static layers render
+            # once into a cached background and motion events repaint only
+            # the overlay artists
+            self._blit = all(hasattr(self.canvas, m) for m in
+                             ("copy_from_bbox", "restore_region", "blit"))
+            self.view.animated = self._blit
+            self._bg = None
             right = QtWidgets.QVBoxLayout()
             right.addWidget(NavigationToolbar2QT(self.canvas, self))
             right.addWidget(self.canvas)
@@ -187,6 +200,16 @@ def build_window():
             c.mpl_connect("button_press_event", self._on_press)
             c.mpl_connect("motion_notify_event", self._on_motion)
             c.mpl_connect("button_release_event", self._on_release)
+            if self._blit:
+                # canonical blitting recipe: every full draw (first render,
+                # resize, toolbar actions) recaptures the static background
+                # and repaints the animated overlay artists on top
+                c.mpl_connect("draw_event", self._on_draw)
+
+        def _on_draw(self, event):
+            self._bg = self.canvas.copy_from_bbox(self.fig.bbox)
+            for a in self.view.overlay_artists():
+                a.axes.draw_artist(a)
 
         def _xdata(self, event):
             """PlotEngine._get_correct_xdata (:46-61): when the event is
@@ -226,7 +249,19 @@ def build_window():
             self.controller.roi_editor.on_release(self._xdata(event))
 
         def _patches_changed(self):
-            self._redraw()
+            # overlay-only change (hover, drag preview, add/delete/merge):
+            # reconcile the span artists and blit — the pcolormesh and the
+            # rest of the figure are untouched
+            ed = self.controller.roi_editor
+            self.view.update_overlays(ed.patches(), ed.patch_colors(),
+                                      ed.drag_span)
+            if self._blit and self._bg is not None:
+                self.canvas.restore_region(self._bg)
+                for a in self.view.overlay_artists():
+                    a.axes.draw_artist(a)
+                self.canvas.blit(self.fig.bbox)
+            else:
+                self.canvas.draw()
             self._update_gates()
 
         def _update_gates(self):
@@ -305,12 +340,15 @@ def build_window():
                 QtWidgets.QMessageBox.critical(self, "Plot error", str(e))
 
         def _redraw(self):
-            # render through the shared decorated-figure layer and swap the
-            # canvas figure (all draw logic stays in render/figure.py)
-            self.canvas.figure = render_session_figure(self.session)
-            self.canvas.figure.set_canvas(self.canvas)
+            # the plotted data changed (plot/clear/reset): rebuild the
+            # static layers into the SAME Figure object (no canvas swap, no
+            # event re-wiring), then lay the current overlays back on top.
+            # The draw recaptures the blit background via _on_draw.
+            self.view.rebuild(self.session)
+            ed = self.controller.roi_editor
+            self.view.update_overlays(ed.patches(), ed.patch_colors(),
+                                      ed.drag_span)
             self.canvas.draw()
-            self._connect_canvas()
 
         def detect(self):
             try:

@@ -230,6 +230,80 @@ def test_reset_model_clears_canvas_and_informs(win):
     assert not win.session.detector.is_model_refined
 
 
+def test_mesh_survives_motion_events(win):
+    # weak-point fix: mouse motion must NOT rebuild the Figure/pcolormesh
+    # (the reference mutates patch artists in place, PlotEngine.py:497-543;
+    # a pcolormesh rebuild costs ~360 ms per event, SURVEY.md §6)
+    _plot(win)
+    win.detect()
+    mesh_before = win.view.mesh
+    fig_before = win.canvas.figure
+    assert mesh_before is not None
+    win.chk_edit.setChecked(True)
+    move = win.canvas.handlers["motion_notify_event"]
+    for x in (1.0, 11.0, 25.0, 33.0, 50.0):
+        move(qt_stub._Event(x, 1))
+    assert win.view.mesh is mesh_before
+    assert win.canvas.figure is fig_before
+    assert mesh_before.axes is win.view.ax_spec  # still attached
+
+
+def test_hover_highlight_recolors_patch_artists(win):
+    # PlotEngine.py:497-543: hovering a patch turns it blue -> red on BOTH
+    # axes; leaving it restores blue. Round 2 tracked this in the controller
+    # but never rendered it.
+    import matplotlib.colors as mcolors
+    _plot(win)
+    win.chk_edit.setChecked(True)
+    press = win.canvas.handlers["button_press_event"]
+    move = win.canvas.handlers["motion_notify_event"]
+    release = win.canvas.handlers["button_release_event"]
+    press(qt_stub._Event(9.0, 1))
+    release(qt_stub._Event(16.0, 1))
+    pairs = win.view.span_artists()
+    assert len(pairs) == 1 and len(pairs[0]) == 2
+
+    def face(artist):
+        return mcolors.to_rgb(artist.get_facecolor())
+
+    move(qt_stub._Event(12.0, 1))          # inside the span -> red
+    for a in win.view.span_artists()[0]:
+        assert face(a) == mcolors.to_rgb("red")
+        assert a.get_facecolor()[3] == pytest.approx(0.5)
+    move(qt_stub._Event(50.0, 1))          # off the span -> back to blue
+    for a in win.view.span_artists()[0]:
+        assert face(a) == mcolors.to_rgb("blue")
+
+
+def test_drag_preview_artists_live_during_drag(win):
+    # PlotEngine.py:615-620: while dragging, a green alpha-0.3 span pair
+    # previews the region on both axes; it disappears on release, replaced
+    # by the committed blue span.
+    import matplotlib.colors as mcolors
+    _plot(win)
+    win.chk_edit.setChecked(True)
+    press = win.canvas.handlers["button_press_event"]
+    move = win.canvas.handlers["motion_notify_event"]
+    release = win.canvas.handlers["button_release_event"]
+    press(qt_stub._Event(20.0, 1))
+    move(qt_stub._Event(24.0, 1))
+    drag = win.view.drag_artists()
+    assert drag is not None and len(drag) == 2
+    assert drag[0].axes is win.view.ax_signal
+    assert drag[1].axes is win.view.ax_spec
+    for a in drag:
+        assert mcolors.to_rgb(a.get_facecolor()) == mcolors.to_rgb("green")
+        assert a.get_facecolor()[3] == pytest.approx(0.3)
+    move(qt_stub._Event(28.0, 1))          # preview follows the mouse
+    r = win.view.drag_artists()[0]
+    assert r.get_x() == pytest.approx(20.0)
+    assert r.get_x() + r.get_width() == pytest.approx(28.0)
+    release(qt_stub._Event(28.0, 1))
+    assert win.view.drag_artists() is None
+    assert (20.0, 28.0) in win.session.rois
+    assert len(win.view.span_artists()) == 1
+
+
 def test_xdata_pixel_fallback(win):
     # PlotEngine._get_correct_xdata (:46-61): inside an axes but without a
     # data coordinate, the pixel position inverse-transforms to data space
