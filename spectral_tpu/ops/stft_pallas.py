@@ -15,8 +15,19 @@ avoiding the (nperseg/hop)x HBM blowup of materializing frames. Overlap
 between adjacent frame blocks is handled by reading TWO adjacent row blocks
 per grid step (plain Blocked indexing — no overlapping BlockSpecs needed):
 frames in block j start inside rows [j*BF, (j+1)*BF) and extend at most
-r-1 = nperseg/hop - 1 rows past it, which the second block covers since
-r - 1 <= BF.
+rp-1 = ceil(nperseg/hop) - 1 rows past it, which the second block covers
+since rp - 1 <= BF.
+
+Hops that do NOT divide nperseg (including the reference's own scipy
+default hop = nperseg - nperseg//8, PlotEngine.py:113 — e.g. 896 at 1024)
+use a gcd decomposition of the same accumulated-matmul framing: with
+g = gcd(nperseg, hop), the signal is viewed as rows of g samples, each
+frame is P = nperseg/g consecutive rows starting every S = hop/g rows,
+and frames @ A == sum_k piece_k @ A[k] over P g-wide pieces, where piece
+k = (q, s) of a frame block is the static slice rows[(q, s)] of the
+(2*BF, S, g)-shaped dual row block (k = q*S + s). The A matrices keep
+exactly nperseg rows — no padding, no extra FLOPs, and the dividing-hop
+case degenerates to S = 1 / g = hop (the original kernel).
 
 The matmul-DFT trades ~40x the FLOPs of an rFFT for MXU throughput and
 fusion (GEMM-native NDFT, cf. the MelT paper in PAPERS.md) — the op stays
@@ -42,14 +53,14 @@ the full GUI range 32..8192 (GUI.py:87-90) is supported. The DFT matrices
 are generated on device above 8 MB so multi-hundred-MB constants never
 embed in executables (core.stft.dft_matrices_device).
 
-Constraints: hop | nperseg and nfft == nperseg (north-star configs; the jnp
-path covers the rest — including the scipy-default hop = 7/8 nperseg, whose
-frame grid is not hop-aligned and frames via gcd-strided slices in XLA).
+Constraints: nfft == nperseg and nperseg <= 8192 (the full GUI range,
+GUI.py:87-90); the jnp path covers zero-padded nfft and exotic modes.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -81,6 +92,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _gcd_dims(cfg: SpecConfig):
+    """(g, S, P): row width, row stride between frame starts, pieces per
+    frame of the gcd framing (see module docstring). Dividing hops give
+    (hop, 1, nperseg//hop) — the original kernel layout."""
+    g = math.gcd(cfg.nperseg, cfg.hop_)
+    return g, cfg.hop_ // g, cfg.nperseg // g
+
+
 def _freq_tile(nperseg: int, f_padded: int) -> int:
     """Lane-aligned frequency tile width: the whole (padded) axis when the
     matrices fit the budget, else the largest lane multiple that does."""
@@ -106,12 +125,11 @@ def _padded_consts(cfg: SpecConfig, fs: float):
     a_re, a_im = dft_matrices(cfg)   # (nperseg, F) float64
     wts = onesided_weights(cfg, fs)  # (F,)
     F, Fp, ft = _freq_dims(cfg)
+    g, _S, P = _gcd_dims(cfg)
     pad = ((0, 0), (0, Fp - F))
-    hop = cfg.hop_
-    r = cfg.nperseg // hop
-    # reshape to per-hop-piece stacks: frames @ A == sum_k piece_k @ A[k]
-    a_re = np.pad(a_re, pad).astype(np.float32).reshape(r, hop, Fp)
-    a_im = np.pad(a_im, pad).astype(np.float32).reshape(r, hop, Fp)
+    # reshape to per-g-piece stacks: frames @ A == sum_k piece_k @ A[k]
+    a_re = np.pad(a_re, pad).astype(np.float32).reshape(P, g, Fp)
+    a_im = np.pad(a_im, pad).astype(np.float32).reshape(P, g, Fp)
     return a_re, a_im, np.pad(wts, (0, Fp - F)).astype(np.float32), ft
 
 
@@ -124,21 +142,27 @@ def _dft_operands(cfg: SpecConfig, fs: float):
         a_re, a_im, wts, ft = _padded_consts(cfg, fs)
         return (jnp.asarray(a_re), jnp.asarray(a_im), jnp.asarray(wts), ft)
     F, Fp, ft = _freq_dims(cfg)
-    hop = cfg.hop_
-    r = cfg.nperseg // hop
+    g, _S, P = _gcd_dims(cfg)
     ar, ai = dft_matrices_device(cfg)
-    ar = jnp.pad(ar, ((0, 0), (0, Fp - F))).reshape(r, hop, Fp)
-    ai = jnp.pad(ai, ((0, 0), (0, Fp - F))).reshape(r, hop, Fp)
+    pad = ((0, 0), (0, Fp - F))
+    ar = jnp.pad(ar, pad).reshape(P, g, Fp)
+    ai = jnp.pad(ai, pad).reshape(P, g, Fp)
     wts = np.pad(onesided_weights(cfg, fs),
                  (0, Fp - F)).astype(np.float32)
     return ar, ai, jnp.asarray(wts), ft
 
 
 def pallas_supported(cfg: SpecConfig) -> bool:
-    return (cfg.nperseg % cfg.hop_ == 0
-            and cfg.nfft_ == cfg.nperseg
+    """Non-dividing hops — including the reference's scipy default,
+    PlotEngine.py:113 — are supported through the gcd framing; required:
+    nfft == nperseg, the GUI nperseg ceiling, and gcd(nperseg, hop) >= 8
+    (smaller row widths waste >16x of every VMEM lane; the GUI's scipy
+    range nperseg >= 64 always satisfies it, and the jnp path covers the
+    rest)."""
+    g = math.gcd(cfg.nperseg, cfg.hop_)
+    return (cfg.nfft_ == cfg.nperseg
             and cfg.nperseg <= MAX_NPERSEG_VMEM
-            and cfg.nperseg // cfg.hop_ >= 1)
+            and g >= 8)
 
 
 def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
@@ -155,13 +179,16 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
                                interpret)[0]
     if not pallas_supported(cfg):
         raise ValueError(
-            "config unsupported by the pallas kernel (need hop | nperseg, "
-            f"nfft == nperseg, nperseg <= {MAX_NPERSEG_VMEM}); "
+            "config unsupported by the pallas kernel (need nfft == nperseg "
+            f"and nperseg <= {MAX_NPERSEG_VMEM}); "
             "use core.stft.power_spectrogram")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nperseg, hop = cfg.nperseg, cfg.hop_
-    r = nperseg // hop
+    g, S, P = _gcd_dims(cfg)
+    # frames in a block extend at most q_max frame-rows past it (gcd
+    # framing: piece k = q*S + s of frame i reads row group i + q)
+    q_max = (P - 1) // S
 
     B, n = x.shape
     T = num_frames(n, nperseg, hop)
@@ -173,18 +200,35 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
     nF = Fp // FT
     F = cfg.n_freqs
 
+    a_vmem = 2 * 4 * nperseg * FT     # the A_re/A_im pair, one buffer set
+    manual_a = (not interpret) and 2 * a_vmem > _A_AUTO_LIMIT
     BF = min(block_frames, _round_up(T, 8))
-    if r - 1 > BF:  # overlap must fit in the second row block
-        BF = _round_up(r - 1, 8)
+    if S > 1:
+        # VMEM budget for the frame blocks: a (BF, S, g) row block occupies
+        # BF * S_pad * max(g, LANE) f32 lanes; the pipeline holds 2 dual
+        # reads x 2 buffers plus the in-kernel concat/slice temporaries
+        # (~10 block-equivalents measured at 8192-scipy: 18.9 MB scoped at
+        # BF=32). Shave BF so everything beside the A tiles fits the ~16 MB
+        # scoped VMEM limit with ~2 MB slack.
+        s_pad = _round_up(S, 8)
+        per_bf = 10 * s_pad * max(g, LANE) * 4
+        avail = 14 * 2 ** 20 - (a_vmem if manual_a
+                                else min(2 * a_vmem, _A_TILE_BUDGET))
+        BF = min(BF, max(8, avail // per_bf // 8 * 8))
+    if q_max > BF:  # overlap must fit in the second row block
+        BF = _round_up(q_max, 8)
     n_blocks = -(-T // BF)
     Tp = n_blocks * BF
 
-    # rows of `hop` samples; (n_blocks + 1) blocks of BF rows so the dual
-    # read's j+1 block always exists
-    rows_padded = (n_blocks + 1) * BF
-    total = rows_padded * hop
+    # row groups of S rows x g samples (= hop samples per frame slot);
+    # (n_blocks + 1) blocks of BF groups so the dual read's j+1 block
+    # always exists. Dividing hops (S == 1) keep the original 3D layout —
+    # the unit S dim costs a measured ~9% in relayouts.
+    groups_padded = (n_blocks + 1) * BF
+    total = groups_padded * hop
     xp = jnp.pad(x, ((0, 0), (0, total - n))) if total > n else x[:, :total]
-    rows = xp.reshape(B, rows_padded, hop)
+    rows = xp.reshape(B, groups_padded, g) if S == 1 \
+        else xp.reshape(B, groups_padded, S, g)
 
     # Above _A_AUTO_LIMIT the Mosaic pipeline's double-buffered A tiles no
     # longer fit VMEM (measured compile failure at nperseg=8192): switch to
@@ -194,14 +238,14 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
     # (j, f, b) makes that once per B inner steps). The interpreter has no
     # VMEM limit and no DMA primitives, so it always runs the auto kernel
     # (identical math); the manual path is chip-validated.
-    manual_a = (not interpret) and 2 * 2 * 4 * nperseg * FT > _A_AUTO_LIMIT
-
     def _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref):
-        # frame i of this block = rows[i : i + r] flattened; instead of
-        # materializing frames (Mosaic rejects the offset concat), decompose
-        # the DFT matmul over hop-pieces and accumulate on the MXU:
-        #   frames @ A == sum_k rows[k : k + BF] @ A[k*hop : (k+1)*hop]
-        rows2 = jnp.concatenate([rows_a[:, :], rows_b[:, :]], axis=0)
+        # frame i of this block = row groups [i : i + P/S) flattened;
+        # instead of materializing frames (Mosaic rejects the offset
+        # concat), decompose the DFT matmul over g-wide pieces and
+        # accumulate on the MXU: with piece k = q*S + s,
+        #   frames @ A == sum_k rows[q : q + BF, s] @ A[k*g : (k+1)*g]
+        rows2 = jnp.concatenate([rows_a[...], rows_b[...]], axis=0)
+        # rows2: (2BF, g) when S == 1, else (2BF, S, g)
         xr = jnp.zeros((BF, FT), jnp.float32)
         xi = jnp.zeros((BF, FT), jnp.float32)
         # NOTE: precision must be explicit — a bare f32 jnp.dot lowers to a
@@ -213,8 +257,13 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         # the useless single-pass tier; the XLA paths provide the real
         # 'fast' (bf16 3-pass) tier.
         prec = jax.lax.Precision.HIGHEST
-        for k in range(r):
-            piece = jax.lax.slice(rows2, (k, 0), (k + BF, hop))
+        for k in range(P):
+            q, s = divmod(k, S)
+            if S == 1:
+                piece = jax.lax.slice(rows2, (q, 0), (q + BF, g))
+            else:
+                piece = jax.lax.slice(rows2, (q, s, 0),
+                                      (q + BF, s + 1, g)).reshape(BF, g)
             xr = xr + jnp.dot(piece, are_v[k], precision=prec,
                               preferred_element_type=jnp.float32)
             xi = xi + jnp.dot(piece, aim_v[k], precision=prec,
@@ -240,26 +289,35 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
             cim.wait()
         _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref)
 
-    rows_spec_a = pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j, 0),
-                               memory_space=pltpu.VMEM)
-    rows_spec_b = pl.BlockSpec((None, BF, hop), lambda j, f, b: (b, j + 1, 0),
-                               memory_space=pltpu.VMEM)
+    if S == 1:
+        rows_spec_a = pl.BlockSpec((None, BF, g), lambda j, f, b: (b, j, 0),
+                                   memory_space=pltpu.VMEM)
+        rows_spec_b = pl.BlockSpec((None, BF, g),
+                                   lambda j, f, b: (b, j + 1, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        rows_spec_a = pl.BlockSpec((None, BF, S, g),
+                                   lambda j, f, b: (b, j, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        rows_spec_b = pl.BlockSpec((None, BF, S, g),
+                                   lambda j, f, b: (b, j + 1, 0, 0),
+                                   memory_space=pltpu.VMEM)
     wts_spec = pl.BlockSpec((1, FT), lambda j, f, b: (0, f),
                             memory_space=pltpu.VMEM)
     if manual_a:
         kernel = kernel_manual
         a_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)]
-        a_re_op = a_re.reshape(r, hop, nF, FT).transpose(2, 0, 1, 3)
-        a_im_op = a_im.reshape(r, hop, nF, FT).transpose(2, 0, 1, 3)
-        scratch = [pltpu.VMEM((r, hop, FT), jnp.float32),
-                   pltpu.VMEM((r, hop, FT), jnp.float32),
+        a_re_op = a_re.reshape(P, g, nF, FT).transpose(2, 0, 1, 3)
+        a_im_op = a_im.reshape(P, g, nF, FT).transpose(2, 0, 1, 3)
+        scratch = [pltpu.VMEM((P, g, FT), jnp.float32),
+                   pltpu.VMEM((P, g, FT), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,))]
     else:
         kernel = kernel_auto
-        a_specs = [pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
+        a_specs = [pl.BlockSpec((P, g, FT), lambda j, f, b: (0, 0, f),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((r, hop, FT), lambda j, f, b: (0, 0, f),
+                   pl.BlockSpec((P, g, FT), lambda j, f, b: (0, 0, f),
                                 memory_space=pltpu.VMEM)]
         a_re_op, a_im_op = a_re, a_im
         scratch = []

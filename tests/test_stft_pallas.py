@@ -72,13 +72,68 @@ def test_pallas_log10_output():
 def test_pallas_rejects_unsupported():
     with pytest.raises(ValueError, match="unsupported"):
         stft_psd_pallas(jnp.zeros(10000), 1000.0,
-                        SpecConfig.scipy_default(1024))  # hop 896
-    assert not pallas_supported(SpecConfig.scipy_default(1024))
+                        SpecConfig.north_star(16384, 4096))
     assert not pallas_supported(SpecConfig.north_star(16384, 4096))
+    assert not pallas_supported(
+        SpecConfig.north_star(1024, 256, nfft=2048))  # zero-padded nfft
+    assert not pallas_supported(
+        SpecConfig.north_star(1024, 255))  # gcd 1: degenerate row width
+    assert pallas_supported(SpecConfig.scipy_default(1024))  # hop 896
+    assert pallas_supported(SpecConfig.scipy_default(8192))  # gcd 1024
     assert pallas_supported(SpecConfig.north_star(2048, 512))  # freq-tiled
     assert pallas_supported(SpecConfig.north_star(4096, 1024))
     assert pallas_supported(SpecConfig.north_star(8192, 2048))  # manual DMA
     assert pallas_supported(SpecConfig.north_star(1024, 256))
+
+
+@pytest.mark.parametrize("nperseg,n", [
+    (1024, 160000),   # the reference's exact default path (hop 896, g 128)
+    (512, 30000),     # hop 448, g 64
+    (256, 10000),     # hop 224, g 32
+    (2048, 120000),   # hop 1792, g 256, freq-tiled
+    (8192, 200000),   # hop 7168, g 1024: GUI ceiling, manual-DMA A tiles
+])
+def test_pallas_scipy_default_hop(nperseg, n):
+    """The reference's own config (PlotEngine.py:113: Tukey 0.25, hop =
+    nperseg - nperseg//8, constant detrend) through the kernel: the
+    non-dividing hop exercises the gcd framing (g-wide pieces, S > 1)."""
+    fs = 16000.0
+    cfg = SpecConfig.scipy_default(nperseg)
+    assert cfg.nperseg % cfg.hop_ != 0          # truly non-dividing
+    rng = np.random.RandomState(7)
+    x = rng.randn(n).astype(np.float32) + 2.5   # DC offset: detrend matters
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg,
+                                       use_matmul=True))
+    out = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
+    assert out.shape == ref.shape == (num_frames(n, nperseg, cfg.hop_),
+                                      cfg.n_freqs)
+    # f32 accumulation-order noise under the DC offset: worst observed
+    # 2.4e-4 relative on bins ~1e-5 of the spectrum peak
+    np.testing.assert_allclose(out, ref, rtol=3e-4, atol=ref.max() * 1e-6)
+
+
+def test_pallas_scipy_default_vs_scipy_oracle():
+    import scipy.signal
+    fs = 1000.0
+    cfg = SpecConfig.scipy_default(1024)
+    x = np.random.RandomState(11).randn(60000).astype(np.float32)
+    out = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
+    f, t, sxx = scipy.signal.spectrogram(np.asarray(x, np.float64), fs=fs,
+                                         nperseg=1024, scaling="density",
+                                         mode="psd")
+    assert out.T.shape == sxx.shape
+    np.testing.assert_allclose(out.T, sxx, rtol=2e-4, atol=sxx.max() * 2e-5)
+
+
+def test_pallas_hop_larger_than_nperseg():
+    # gapped framing (hop > nperseg): rp = 1 with zero-padded tail rows
+    fs = 16000.0
+    cfg = SpecConfig.north_star(256, 384)
+    x = np.random.RandomState(13).randn(20000).astype(np.float32)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg,
+                                       use_matmul=True))
+    out = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-10)
 
 
 def test_pallas_short_signal_zero_frames():
