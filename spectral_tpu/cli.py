@@ -130,7 +130,9 @@ def _detect_each(args) -> int:
     return 0
 
 
-def _serve(stdin, stdout) -> int:
+def _serve(stdin, stdout, *, max_sessions: int = 16,
+           request_timeout: Optional[float] = None,
+           max_request_bytes: int = 1 << 20) -> int:
     """JSONL request/response worker (the serving shape for deployments:
     one warm process amortizes compile latency and session state across
     requests instead of paying them per CLI invocation).
@@ -139,75 +141,128 @@ def _serve(stdin, stdout) -> int:
       {"cmd": "render"|"detect"|"learn"|"bands",
        "files": [...], "out": "x.png"?, "rois": [[a,b],...]?,
        "config": {SpecConfig fields}?, "combine": bool?}
+      {"cmd": "render_batch", "files": [...], "out_dir": ...,
+       "clip_seconds": 10.0?, "config": {...}?} — N clips rendered through
+      ONE batched device dispatch per batch (the overlapped export
+      pipeline), not N session round-trips.
       {"cmd": "ping"} -> liveness; {"cmd": "shutdown"} -> exit 0.
     Response: one JSON object per line: {"ok": true, ...result} or
       {"ok": false, "error": "..."}; errors never kill the worker.
 
-    Sessions are cached per file-set, so repeated requests against the same
-    recording reuse its loaded sweeps, spectrogram, and trained model.
+    Robustness guards (each surfaces as an error response, never a crash):
+      * sessions are cached per file-set with LRU eviction at
+        `max_sessions`, so memory stays flat across many distinct inputs;
+      * `request_timeout` bounds each request's wall clock (the stuck
+        worker thread is abandoned and a fresh one serves the next
+        request);
+      * lines over `max_request_bytes` are rejected before parsing.
     """
+    import collections
+    import concurrent.futures as _cf
     import json as _json
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import SpecConfig, ViewSettings
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    sessions = {}
+    sessions: "collections.OrderedDict" = collections.OrderedDict()
 
     def get_session(files):
         key = tuple(files)
-        if key not in sessions:
-            s = AnalysisSession()
-            for p in files:
-                s.load(p)
-            sessions[key] = s
-        return sessions[key]
+        if key in sessions:
+            sessions.move_to_end(key)
+            return sessions[key]
+        s = AnalysisSession()
+        for p in files:
+            s.load(p)
+        sessions[key] = s
+        while len(sessions) > max_sessions:   # evict least-recently used
+            sessions.popitem(last=False)
+        return s
 
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = _json.loads(line)
-            cmd = req.get("cmd")
-            if cmd == "ping":
-                resp = {"ok": True, "pong": True}
-            elif cmd == "shutdown":
-                stdout.write(_json.dumps({"ok": True, "bye": True}) + "\n")
-                stdout.flush()
-                return 0
-            elif cmd in ("render", "detect", "learn", "bands"):
-                s = get_session(req["files"])
-                cfg = SpecConfig(**req.get("config", {}))
-                names = (s.registry.names() if req.get("combine")
-                         else s.registry.names()[:1])
-                s.plot_sweeps(names, cfg,
-                              ViewSettings(combine=bool(req.get("combine")),
-                                           mode_proc="Spectrogram",
-                                           mode_raw="Spectrogram"))
-                if cmd == "render":
-                    resp = {"ok": True,
-                            "message": s.export_png(req["out"])}
-                elif cmd == "detect":
-                    events = s.unsupervised_detect()
-                    resp = {"ok": True, "events": events}
-                elif cmd == "learn":
-                    rois = [tuple(r) for r in req["rois"]]
-                    events = s.learn_and_detect(rois)
-                    resp = {"ok": True, "events": events}
-                else:
-                    bp = s.calculate_band_powers()
-                    resp = {"ok": True, "bands": bp,
-                            "total_power": s.calculate_absolute_power()}
-                if req.get("csv"):
-                    resp["csv"] = s.export_csv(req["csv"])
+    def handle(req):
+        cmd = req.get("cmd")
+        if cmd == "ping":
+            return {"ok": True, "pong": True}
+        if cmd == "render_batch":
+            from spectral_tpu.io.wav import read_wav
+            from spectral_tpu.parallel.pipeline import (export_spectrograms,
+                                                        wav_clip_source)
+            files = req["files"]
+            cfg = SpecConfig(**req.get("config", {}))
+            _x0, fs = read_wav(files[0])
+            clip_s = float(req.get("clip_seconds", 10.0))
+            stats = export_spectrograms(
+                wav_clip_source(files), fs, cfg, req["out_dir"],
+                clip_samples=int(clip_s * fs),
+                batch=min(len(files), int(req.get("batch", 64))),
+                compress_level=int(req.get("compress_level", 1)))
+            return {"ok": True, "written": stats.pngs_written,
+                    "seconds_audio": stats.seconds_audio}
+        if cmd in ("render", "detect", "learn", "bands"):
+            s = get_session(req["files"])
+            cfg = SpecConfig(**req.get("config", {}))
+            names = (s.registry.names() if req.get("combine")
+                     else s.registry.names()[:1])
+            s.plot_sweeps(names, cfg,
+                          ViewSettings(combine=bool(req.get("combine")),
+                                       mode_proc="Spectrogram",
+                                       mode_raw="Spectrogram"))
+            if cmd == "render":
+                resp = {"ok": True, "message": s.export_png(req["out"])}
+            elif cmd == "detect":
+                resp = {"ok": True, "events": s.unsupervised_detect()}
+            elif cmd == "learn":
+                rois = [tuple(r) for r in req["rois"]]
+                resp = {"ok": True, "events": s.learn_and_detect(rois)}
             else:
-                resp = {"ok": False, "error": f"unknown cmd: {cmd!r}"}
-        except Exception as e:      # a bad request must not kill the worker
-            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        stdout.write(_json.dumps(resp) + "\n")
-        stdout.flush()
-    return 0
+                resp = {"ok": True, "bands": s.calculate_band_powers(),
+                        "total_power": s.calculate_absolute_power()}
+            if req.get("csv"):
+                resp["csv"] = s.export_csv(req["csv"])
+            return resp
+        return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
+
+    pool = _cf.ThreadPoolExecutor(max_workers=1) if request_timeout else None
+    try:
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                if len(line) > max_request_bytes:
+                    raise ValueError(
+                        f"request exceeds max_request_bytes "
+                        f"({len(line)} > {max_request_bytes})")
+                req = _json.loads(line)
+                if req.get("cmd") == "shutdown":
+                    stdout.write(_json.dumps({"ok": True, "bye": True})
+                                 + "\n")
+                    stdout.flush()
+                    return 0
+                if pool is None:
+                    resp = handle(req)
+                else:
+                    fut = pool.submit(handle, req)
+                    try:
+                        resp = fut.result(timeout=request_timeout)
+                    except _cf.TimeoutError:
+                        # abandon the stuck thread; a fresh worker serves
+                        # the next request (the old one dies with the
+                        # process)
+                        pool.shutdown(wait=False)
+                        pool = _cf.ThreadPoolExecutor(max_workers=1)
+                        resp = {"ok": False,
+                                "error": "TimeoutError: request exceeded "
+                                         f"{request_timeout}s"}
+            except Exception as e:  # a bad request must not kill the worker
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            stdout.write(_json.dumps(resp) + "\n")
+            stdout.flush()
+        return 0
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -287,6 +342,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
                    help="'skip' isolates per-clip decode/encode failures "
                         "instead of failing the whole dataset")
+    p.add_argument("--shard", action="store_true",
+                   help="shard each batch over ALL local devices (one "
+                        "'data' mesh axis; batch must divide evenly)")
     _add_spec_args(p)
 
     p = sub.add_parser("info", help="list sweeps in files")
@@ -295,6 +353,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("serve", help="long-lived worker: read JSONL requests "
                                      "on stdin, answer on stdout (keeps "
                                      "compiled programs and sessions warm)")
+    p.add_argument("--max-sessions", type=int, default=16,
+                   help="LRU bound on cached per-file-set sessions")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="per-request wall-clock limit in seconds")
+    p.add_argument("--max-request-bytes", type=int, default=1 << 20,
+                   help="reject request lines larger than this")
 
     p = sub.add_parser("doctor", help="environment self-check: backend, "
                                       "native components, numerical sanity")
@@ -420,12 +484,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg = dataclasses.replace(cfg, n_mels=args.mels)
         # fs from the first file; the pipeline is single-rate by design
         _x0, fs = read_wav(args.files[0])
+        mesh = None
+        if args.shard:
+            from spectral_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
         stats = export_spectrograms(
             wav_clip_source(args.files, on_error=args.on_error), fs, cfg,
             args.out_dir, clip_samples=int(args.clip_seconds * fs),
             batch=args.batch, colormap=args.cmap,
             compress_level=args.compress_level,
-            pixel_format=args.pixel_format, on_error=args.on_error)
+            pixel_format=args.pixel_format, on_error=args.on_error,
+            mesh=mesh)
         suffix = f"; {stats.failed} failed" if stats.failed else ""
         print(f"Exported {stats.pngs_written} spectrogram PNG(s) "
               f"({stats.seconds_audio:.0f} s of audio) to "
@@ -445,7 +514,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     if args.cmd == "serve":
-        return _serve(sys.stdin, sys.stdout)
+        return _serve(sys.stdin, sys.stdout,
+                      max_sessions=args.max_sessions,
+                      request_timeout=args.timeout,
+                      max_request_bytes=args.max_request_bytes)
 
     if args.cmd == "doctor":
         import jax

@@ -74,7 +74,9 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         encode_workers: int = 4,
                         prefetch: int = 2,
                         pixel_format: str = "palette",
-                        on_error: str = "raise") -> PipelineStats:
+                        on_error: str = "raise",
+                        mesh=None, batch_axis: str = "data"
+                        ) -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
 
     clip_samples fixes the static shape (shorter clips are zero-padded,
@@ -91,6 +93,15 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     one bad output path or disk hiccup cannot kill a 10k-clip job. Pair
     with wav_clip_source(..., on_error='skip') to also skip undecodable
     source files.
+
+    mesh: a jax.sharding.Mesh shards the batch dimension over
+    ``batch_axis`` so every chip of a slice computes its shard of each
+    batch (the config-5 workload on a v5e-8; the reference's analog is a
+    serial single-process loop, ExportManager.py:146). The per-shard
+    program runs under shard_map, so both the XLA and the Pallas kernels
+    shard. `batch` must be divisible by the axis size. Pixels are
+    bit-identical to the unsharded path (no cross-clip communication
+    exists in this pipeline).
     """
     import jax
     import jax.numpy as jnp
@@ -137,10 +148,28 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         return x
 
     if palette_mode:
-        fn = jax.jit(lambda x: colormap_index_packed(
-            base(dev_in(x))["image"], flip_rows=True))
+        core = lambda x: colormap_index_packed(            # noqa: E731
+            base(dev_in(x))["image"], flip_rows=True)
     else:
-        fn = jax.jit(lambda x: base(dev_in(x))["rgb_packed"])
+        core = lambda x: base(dev_in(x))["rgb_packed"]     # noqa: E731
+
+    in_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_shards = mesh.shape[batch_axis]
+        if batch % n_shards != 0:
+            raise ValueError(
+                f"batch ({batch}) must be divisible by the '{batch_axis}' "
+                f"mesh axis size ({n_shards})")
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        fn = jax.jit(shard_map(core, mesh=mesh, in_specs=P(batch_axis),
+                               out_specs=P(batch_axis)))
+        in_sharding = NamedSharding(mesh, P(batch_axis))
+    else:
+        fn = jax.jit(core)
 
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
@@ -152,7 +181,9 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         try:
             for names, xb in _batched(iter(clips), batch, clip_samples):
                 # async dispatch: upload + compute overlap with consumer
-                packed = fn(jnp.asarray(xb))
+                xd = jnp.asarray(xb) if in_sharding is None \
+                    else jax.device_put(xb, in_sharding)
+                packed = fn(xd)
                 stage_q.put((names, packed))
         except BaseException as e:  # re-raised in the consumer
             producer_error.append(e)

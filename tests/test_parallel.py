@@ -325,6 +325,38 @@ def test_export_pipeline_writes_pngs(tmp_path):
             > 1.5 * _os.path.getsize(str(tmp_path / "clip3.png")))
 
 
+def test_export_pipeline_sharded_matches_unsharded(tmp_path):
+    """Config-5 on a mesh: export_spectrograms(mesh=...) shards each batch
+    over the 'data' axis (the reference's analog is the serial loop at
+    ExportManager.py:146); the PNGs must be byte-identical to the
+    single-device path."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    fs = 8000.0
+    n = 8000
+    rng = np.random.RandomState(42)
+    clips = [(f"c{i}", rng.randn(n).astype(np.float32)) for i in range(10)]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    base_dir, shard_dir = tmp_path / "base", tmp_path / "shard"
+    # batch=1 reference: the same (1, n) per-program shape as each shard's
+    # slice, so byte-equality isolates the sharding (other batch shapes
+    # reassociate f32 matmuls by ~1 ulp -> LUT-bin-edge pixel flips)
+    stats0 = export_spectrograms(iter(clips), fs, cfg, str(base_dir),
+                                 clip_samples=n, batch=1)
+    mesh = make_mesh((8,), ("data",))
+    stats1 = export_spectrograms(iter(clips), fs, cfg, str(shard_dir),
+                                 clip_samples=n, batch=8, mesh=mesh)
+    assert stats0.pngs_written == stats1.pngs_written == 10
+    for i in range(10):
+        a = (base_dir / f"c{i}.png").read_bytes()
+        b = (shard_dir / f"c{i}.png").read_bytes()
+        assert a == b, f"clip {i} pixels differ under sharding"
+    # batch not divisible by the axis size is an explicit error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "x"),
+                            clip_samples=n, batch=6, mesh=mesh)
+
+
 def test_export_pipeline_pads_short_clips(tmp_path):
     from spectral_tpu.parallel.pipeline import export_spectrograms
     fs = 8000.0
