@@ -88,25 +88,50 @@ def main() -> int:
     audio_hours = batch * clip_seconds / 3600.0
     ahpm = audio_hours / (dt / 60.0)
 
-    # Accuracy artifact: max |dB| error of the exact kernel being timed vs a
-    # float64 scipy oracle on one clip (scipy is a bench/test oracle only,
-    # never a package dependency). The display image is min-max rescaled to
-    # [0, 1], so the error is mapped back to dB via the image's dB range.
-    max_db_err = None
+    # Accuracy artifacts: max |dB| error vs a float64 scipy oracle on one
+    # clip (scipy is a bench/test oracle only, never a package dependency).
+    # The display image is min-max rescaled to [0, 1], so the error maps
+    # back to dB via the image's dB range. Three driver-captured points:
+    #   * the exact kernel being timed (headline config, 'accurate' tier);
+    #   * the scipy-compat nperseg=8192 config — the f32-accumulation worst
+    #     case of the 1e-3 dB contract (core/stft.matmul_precision);
+    #   * the 'fast' (bf16 3-pass) tier at the headline config — the
+    #     ~5e-2 dB display-only claim.
+    max_db_err = err_8192 = err_fast = None
     try:
         from scipy.signal import spectrogram as sp_spec
+
+        def db_image_err(dev_img, x64, **sp_kw):
+            _f, _t, sxx = sp_spec(x64, fs=fs, scaling="density", mode="psd",
+                                  **sp_kw)
+            norm = np.clip(sxx / (sxx.max() + 1e-20), 0.0, 1.0)
+            db = np.nan_to_num(10.0 * np.log10(norm + 1e-12))
+            rng_db = db.max() - db.min()
+            oracle_img = (db - db.min()) / rng_db
+            return round(float(np.max(np.abs(dev_img - oracle_img))
+                               * rng_db), 6)
+
         x0 = np.asarray(xb[0], np.float64)
-        _f, _t, sxx = sp_spec(x0, fs=fs, window="hann", nperseg=1024,
-                              noverlap=1024 - 256, nfft=1024, detrend=False,
-                              scaling="density", mode="psd")
-        norm = np.clip(sxx / (sxx.max() + 1e-20), 0.0, 1.0)
-        db = np.nan_to_num(10.0 * np.log10(norm + 1e-12))
-        rng_db = db.max() - db.min()
-        oracle_img = (db - db.min()) / rng_db
         dev_img = np.asarray(jax.jit(
             lambda x: fn_raw(x)["image"])(xb[:1]))[0]
-        max_db_err = round(float(np.max(np.abs(dev_img - oracle_img))
-                                 * rng_db), 6)
+        max_db_err = db_image_err(dev_img, x0, window="hann", nperseg=1024,
+                                  noverlap=1024 - 256, nfft=1024,
+                                  detrend=False)
+
+        cfg8k = SpecConfig.scipy_default(8192, log_scale=True)
+        img8k = np.asarray(jax.jit(lambda x: batched_spectrogram_fn(
+            fs, cfg8k, use_matmul=True, colormap=None)(x)["image"])(
+            xb[:1]))[0]
+        err_8192 = db_image_err(img8k, x0, nperseg=8192)
+
+        cfg_fast = SpecConfig.north_star(1024, 256, log_scale=True,
+                                         precision="fast")
+        img_fast = np.asarray(jax.jit(lambda x: batched_spectrogram_fn(
+            fs, cfg_fast, use_matmul=True, colormap=None)(x)["image"])(
+            xb[:1]))[0]
+        err_fast = db_image_err(img_fast, x0, window="hann", nperseg=1024,
+                                noverlap=1024 - 256, nfft=1024,
+                                detrend=False)
     except Exception:
         pass
 
@@ -119,6 +144,8 @@ def main() -> int:
         "unit": "audio-hours/min",
         "vs_baseline": round(ahpm / BASELINE_AUDIO_H_PER_MIN, 1),
         "max_db_err_vs_scipy": max_db_err,
+        "max_db_err_8192_scipy_compat": err_8192,
+        "max_db_err_fast_tier": err_fast,
     }))
     return 0
 

@@ -229,6 +229,12 @@ class AnalysisSession:
         img = np.asarray(normalize(jnp.asarray(sxx), cfg.log_scale,
                                    global_max))
         self.last_image = img
+        # warm-start interactive detection: precompile the fused
+        # fit+patch+Viterbi for this plot's feature shape (T, 2) in the
+        # background, so the first Auto-Detect click after a plot pays no
+        # compile latency (models/detector.py::warmup; no-op per shape
+        # after the first time)
+        self.detector.warmup(len(t), 2)
         return SpectrogramResult(f, t, sxx, img)
 
     # ------------------------------------------------------------------

@@ -7,8 +7,10 @@ architectural weak point).
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +18,10 @@ from spectral_tpu.core import events as ev
 from spectral_tpu.models import hmm
 
 Event = Tuple[float, float]
+
+# one persistent jit wrapper so repeated decodes hit the compilation cache
+# (a fresh jax.jit(...) per call would retrace every time)
+_viterbi_jit = jax.jit(hmm.viterbi)
 
 
 class BurstDetector:
@@ -55,6 +61,47 @@ class BurstDetector:
         self.is_model_refined = False
 
     # ------------------------------------------------------------------
+    # Warm-start: precompile the detection programs for a feature shape
+    # ------------------------------------------------------------------
+
+    _warmed: set = set()            # (T, D, n_states, n_iter) per process
+
+    def warmup(self, T: int, D: int = 2, background: bool = True) -> None:
+        """Precompile the fused fit+patch+Viterbi and the standalone
+        Viterbi for feature shape (T, D) on the backend this problem size
+        will use, so the first interactive detection after a plot pays no
+        compile latency (over a tunneled chip that latency is the whole
+        interactive budget). Shape-only AOT lowering — no data, no
+        execution. Keyed per shape; jax's jit cache plus the persistent
+        compilation cache make repeats free."""
+        key = (int(T), int(D), self.n_states, self.n_iter, self.device)
+        if T <= 0 or key in BurstDetector._warmed:
+            return
+        BurstDetector._warmed.add(key)
+
+        def _compile():
+            try:
+                with self._device_ctx(T * D):
+                    X = jax.ShapeDtypeStruct((T, D), jnp.float32)
+                    K = self.n_states
+                    p = hmm.HMMParams(
+                        startprob=jax.ShapeDtypeStruct((K,), jnp.float32),
+                        transmat=jax.ShapeDtypeStruct((K, K), jnp.float32),
+                        means=jax.ShapeDtypeStruct((K, D), jnp.float32),
+                        covars=jax.ShapeDtypeStruct((K, D), jnp.float32))
+                    hmm.unsupervised_fit_decode.lower(
+                        p, X, n_iter=self.n_iter).compile()
+                    _viterbi_jit.lower(p, X).compile()
+            except Exception:       # warmup must never break detection
+                BurstDetector._warmed.discard(key)
+
+        if background:
+            threading.Thread(target=_compile, daemon=True,
+                             name="detector-warmup").start()
+        else:
+            _compile()
+
+    # ------------------------------------------------------------------
     # Unsupervised detection (PlotEngine.py:411-473)
     # ------------------------------------------------------------------
 
@@ -78,7 +125,7 @@ class BurstDetector:
                                                 n_iter=self.n_iter)
                 states = np.asarray(states_d)
             else:
-                states = np.asarray(hmm.viterbi(self.params, X))
+                states = np.asarray(_viterbi_jit(self.params, X))
         means = np.asarray(self.params.means)
         baseline_state = int(np.argmin(means[:, 0]))  # PlotEngine.py:445
         events = ev.baseline_scan(states, t, baseline_state)
@@ -113,7 +160,7 @@ class BurstDetector:
         self.is_model_refined = True  # PlotEngine.py:387
 
         with self._device_ctx(X.size):
-            states = np.asarray(hmm.viterbi(self.params, jnp.asarray(X)))
+            states = np.asarray(_viterbi_jit(self.params, jnp.asarray(X)))
         events = ev.label_scan(states, t)
         return ev.merge_overlapping_events(events)
 

@@ -36,6 +36,30 @@ class PipelineStats:
     pngs_written: int = 0
     seconds_audio: float = 0.0
     failed: int = 0              # encode failures isolated by on_error="skip"
+    # per-stage breakdown (seconds; encode_s is summed worker CPU-seconds,
+    # the others are wall time on their stage's thread)
+    stage_s: float = 0.0         # producer: staging + async dispatch
+    d2h_s: float = 0.0           # blocking device->host readback
+    d2h_bytes: int = 0
+    unpack_s: float = 0.0        # packed-word -> pixel-array host unpack
+    encode_s: float = 0.0        # deflate + file write, summed over workers
+    wall_s: float = 0.0
+
+    def breakdown(self) -> dict:
+        """Stage seconds + derived rates, for benchmark artifacts."""
+        d = {"stage_producer_s": round(self.stage_s, 3),
+             "d2h_s": round(self.d2h_s, 3),
+             "d2h_mb": round(self.d2h_bytes / 2 ** 20, 1),
+             "unpack_s": round(self.unpack_s, 3),
+             "encode_cpu_s": round(self.encode_s, 3),
+             "wall_s": round(self.wall_s, 3)}
+        if self.d2h_s > 0:
+            d["d2h_mb_per_s"] = round(self.d2h_bytes / 2 ** 20
+                                      / self.d2h_s, 1)
+        if self.pngs_written:
+            d["encode_ms_per_png"] = round(
+                self.encode_s * 1000 / self.pngs_written, 2)
+        return d
 
 
 def _batched(it: Iterator[Tuple[str, np.ndarray]], batch: int, n: int
@@ -75,7 +99,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         prefetch: int = 2,
                         pixel_format: str = "palette",
                         on_error: str = "raise",
-                        mesh=None, batch_axis: str = "data"
+                        mesh=None, batch_axis: str = "data",
+                        encode_executor: str = "thread"
                         ) -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
 
@@ -102,12 +127,21 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     shard. `batch` must be divisible by the axis size. Pixels are
     bit-identical to the unsharded path (no cross-clip communication
     exists in this pipeline).
+
+    encode_executor: 'thread' (default; zlib releases the GIL in both the
+    native and PIL encoders) or 'process' (sidesteps the GIL entirely for
+    the filter/pack Python overhead at the cost of pickling each image to
+    the pool — wins when encode is the bottleneck and images are small).
+
+    The returned stats carry a per-stage breakdown
+    (:meth:`PipelineStats.breakdown`): producer staging/dispatch, blocking
+    device->host readback (+ bytes), host unpack, and summed encode CPU
+    seconds.
     """
     import jax
     import jax.numpy as jnp
     from spectral_tpu.ops.colormap import (colormap_index_packed,
                                            unpack_indices, unpack_rgba)
-    from spectral_tpu.render.png import encode_png, encode_png_palette
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -115,6 +149,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         raise ValueError(f"unknown pixel_format: {pixel_format!r}")
     if on_error not in ("raise", "skip"):
         raise ValueError(f"unknown on_error: {on_error!r}")
+    if encode_executor not in ("thread", "process"):
+        raise ValueError(f"unknown encode_executor: {encode_executor!r}")
     palette_mode = pixel_format == "palette"
     palette_arr = None
     n_frames = None
@@ -181,9 +217,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         try:
             for names, xb in _batched(iter(clips), batch, clip_samples):
                 # async dispatch: upload + compute overlap with consumer
+                t0 = time.time()
                 xd = jnp.asarray(xb) if in_sharding is None \
                     else jax.device_put(xb, in_sharding)
                 packed = fn(xd)
+                stats.stage_s += time.time() - t0
                 stage_q.put((names, packed))
         except BaseException as e:  # re-raised in the consumer
             producer_error.append(e)
@@ -193,7 +231,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     t = threading.Thread(target=producer, daemon=True)
     t.start()
 
-    with cf.ThreadPoolExecutor(max_workers=encode_workers) as pool:
+    if encode_executor == "process":
+        pool = cf.ProcessPoolExecutor(max_workers=encode_workers)
+    else:
+        pool = cf.ThreadPoolExecutor(max_workers=encode_workers)
+    try:
         futures = []
         while True:
             item = stage_q.get()
@@ -201,21 +243,27 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                 break
             names, packed = item
             # blocks on this batch's device->host transfer only
+            t0 = time.time()
+            raw = np.asarray(packed)
+            stats.d2h_s += time.time() - t0
+            stats.d2h_bytes += raw.nbytes
+            t0 = time.time()
             if palette_mode:
-                host = unpack_indices(np.asarray(packed), n_frames)
+                host = unpack_indices(raw, n_frames)
             else:
-                host = unpack_rgba(np.asarray(packed))
+                host = unpack_rgba(raw)
                 if pixel_format == "rgb":
                     host = np.ascontiguousarray(host[..., :3])
+            stats.unpack_s += time.time() - t0
             stats.batches += 1
             for i, name in enumerate(names):
                 path = os.path.join(out_dir, f"{name}.png")
                 if palette_mode:
-                    futures.append(pool.submit(encode_png_palette, host[i],
-                                               palette_arr, path,
+                    futures.append(pool.submit(_timed_encode_palette,
+                                               host[i], palette_arr, path,
                                                compress_level))
                 else:
-                    futures.append(pool.submit(encode_png, host[i], path,
+                    futures.append(pool.submit(_timed_encode, host[i], path,
                                                compress_level))
                 stats.clips += 1
                 stats.seconds_audio += clip_samples / fs
@@ -225,10 +273,13 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                     _resolve(f, stats, on_error)
         for f in futures:
             _resolve(f, stats, on_error)
+    finally:
+        pool.shutdown(wait=True)
     t.join()
     if producer_error:
         raise producer_error[0]
-    _log_throughput(stats, time.time() - t_start)
+    stats.wall_s = time.time() - t_start
+    _log_throughput(stats, stats.wall_s)
     return stats
 
 
@@ -244,9 +295,25 @@ def _log_throughput(stats: PipelineStats, elapsed: float) -> None:
         stats.failed, stats.seconds_audio, elapsed, ahpm)
 
 
+def _timed_encode(arr, path, compress_level) -> float:
+    """Module-level (process-pool picklable) timed RGB(A) encode; returns
+    elapsed encode seconds."""
+    from spectral_tpu.render.png import encode_png
+    t0 = time.time()
+    encode_png(arr, path, compress_level)
+    return time.time() - t0
+
+
+def _timed_encode_palette(indices, palette, path, compress_level) -> float:
+    from spectral_tpu.render.png import encode_png_palette
+    t0 = time.time()
+    encode_png_palette(indices, palette, path, compress_level)
+    return time.time() - t0
+
+
 def _resolve(future, stats: PipelineStats, on_error: str) -> None:
     try:
-        future.result()
+        stats.encode_s += future.result()
         stats.pngs_written += 1
     except Exception:
         if on_error == "raise":

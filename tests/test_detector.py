@@ -132,3 +132,30 @@ def test_reset_model():
     det.params = "sentinel"
     det.reset()
     assert det.params is None and not det.is_model_refined
+
+
+def test_warmup_precompiles_and_detect_matches():
+    """warmup(T, D) is shape-only (no data), idempotent per shape, and a
+    warmed detector produces identical events to a cold one."""
+    import time
+    rng = np.random.RandomState(3)
+    T = 300
+    t = np.arange(T) * 0.064
+    feats = rng.randn(T, 2).astype(np.float32)
+    feats[80:140] += 3.0
+
+    cold = BurstDetector()
+    ev_cold = cold.unsupervised_detect(t, feats)
+
+    warm = BurstDetector()
+    warm.warmup(T, 2, background=False)
+    key = (T, 2, 4, 100, "auto")
+    assert key in BurstDetector._warmed
+    t0 = time.time()
+    warm.warmup(T, 2, background=False)     # second call: cache no-op
+    assert time.time() - t0 < 0.05
+    ev_warm = warm.unsupervised_detect(t, feats)
+    assert ev_warm == ev_cold
+
+    # background form returns immediately and never raises
+    BurstDetector().warmup(T + 8, 2, background=True)

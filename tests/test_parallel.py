@@ -357,6 +357,37 @@ def test_export_pipeline_sharded_matches_unsharded(tmp_path):
                             clip_samples=n, batch=6, mesh=mesh)
 
 
+def test_export_pipeline_stage_breakdown_and_process_pool(tmp_path):
+    """Per-stage profiling artifact + the process-pool encode option."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    fs = 8000.0
+    n = 8000
+    rng = np.random.RandomState(1)
+    clips = [(f"p{i}", rng.randn(n).astype(np.float32)) for i in range(4)]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "t"),
+                                clip_samples=n, batch=2)
+    b = stats.breakdown()
+    assert b["wall_s"] > 0 and b["d2h_mb"] > 0
+    assert b["encode_ms_per_png"] > 0
+    assert set(b) >= {"stage_producer_s", "d2h_s", "unpack_s",
+                      "encode_cpu_s", "d2h_mb_per_s"}
+    # process-pool encode writes the same files
+    stats_p = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "p"),
+                                  clip_samples=n, batch=2,
+                                  encode_executor="process",
+                                  encode_workers=2)
+    assert stats_p.pngs_written == 4
+    for i in range(4):
+        assert (tmp_path / "t" / f"p{i}.png").read_bytes() == \
+            (tmp_path / "p" / f"p{i}.png").read_bytes()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="encode_executor"):
+        export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "x"),
+                            clip_samples=n, batch=2,
+                            encode_executor="greenlet")
+
+
 def test_export_pipeline_pads_short_clips(tmp_path):
     from spectral_tpu.parallel.pipeline import export_spectrograms
     fs = 8000.0

@@ -94,6 +94,31 @@ def main() -> int:
     S["stft_xla_fft"] = {"ms_per_clip": round(dt * 1000 / B, 4),
                          "audio_hours_per_min": ahpm(dt)}
 
+    # The reference's own default path (BASELINE.md rows 1-2: scipy
+    # spectrogram at PlotEngine.py:113 — Tukey 0.25, hop = nperseg -
+    # nperseg//8 = 896, constant detrend; 11.8 audio-h/min single-core).
+    # The gcd-framed Pallas kernel and both XLA engines run it natively.
+    cfg_ref = SpecConfig.scipy_default(1024)
+    ref_ahpm_cpu = 11.8
+    row = {}
+    if pallas_supported(cfg_ref):
+        dt = _timer_amortized(lambda x: stft_psd_pallas(x, fs, cfg_ref), xb)
+        row["pallas_ms_per_clip"] = round(dt * 1000 / B, 4)
+        row["pallas_audio_hours_per_min"] = ahpm(dt)
+    dt = _timer_amortized(
+        lambda x: power_spectrogram(x, fs, cfg_ref, use_matmul=True), xb)
+    row["xla_matmul_ms_per_clip"] = round(dt * 1000 / B, 4)
+    row["xla_matmul_audio_hours_per_min"] = ahpm(dt)
+    dt_fft = _timer_amortized(
+        lambda x: power_spectrogram(x, fs, cfg_ref, use_matmul=False), xb)
+    row["xla_fft_ms_per_clip"] = round(dt_fft * 1000 / B, 4)
+    best = max(v for k, v in row.items() if k.endswith("per_min"))
+    row["vs_cpu_reference_11.8"] = round(best / ref_ahpm_cpu, 1)
+    row["note"] = ("the reference's exact scipy-default config "
+                   "(PlotEngine.py:113); baseline = 11.8 audio-h/min "
+                   "single-core scipy (BASELINE.md row 1)")
+    S["stft_scipy_default_1024"] = row
+
     # full pipeline (arith colormap)
     def full(x):
         img = jax.vmap(lambda s: normalize(s, True, None))(
@@ -145,6 +170,32 @@ def main() -> int:
     S["hmm_fused_detect_T600_device"] = {
         "ms": round((time.time() - t0) * 1000, 2),
         "note": "fit+patch+viterbi, one dispatch, default backend"}
+
+    # Interactive detect latency, warm-started: plot -> events with the
+    # detection programs precompiled at plot time (BurstDetector.warmup,
+    # triggered by AnalysisSession._compute_spectrogram). Compares the
+    # forced-TPU path against the AUTO_CPU fallback the detector would
+    # otherwise pick for T=600.
+    from spectral_tpu.models.detector import BurstDetector
+    tax = np.arange(T) * 0.064
+
+    def detect_ms(device):
+        det = BurstDetector(device=device)
+        det.warmup(T, 2, background=False)      # what plot time does
+        det.unsupervised_detect(tax, feats)     # absorb one-time constants
+        det.reset()
+        t0 = time.time()
+        ev_out = det.unsupervised_detect(tax, feats)
+        return (time.time() - t0) * 1000, len(ev_out)
+
+    dev_ms, n_ev = detect_ms("default")
+    cpu_ms, _ = detect_ms("cpu")
+    S["interactive_detect_T600_warm"] = {
+        "device_ms": round(dev_ms, 1), "cpu_ms": round(cpu_ms, 1),
+        "device_vs_cpu": round(dev_ms / cpu_ms, 2), "events": n_ev,
+        "note": "unrefined detect (fit+patch+viterbi) after plot-time "
+                "warmup precompiled the shape; detector AUTO mode picks "
+                "cpu for small T, 'default' forces the accelerator path"}
 
     # Long-form streaming STFT (BASELINE config 4 / BASELINE.md row 3:
     # 1 h @ 48 kHz on the reference's exact scipy-default path, measured
@@ -293,6 +344,38 @@ def main() -> int:
             for i in range(n_clips):
                 yield f"clip{i:05d}", pool[i % len(pool)]
 
+        # encode-worker / executor sweep at a reduced clip count: where does
+        # host-side encode saturate?
+        ncpu = os.cpu_count() or 1
+        sweep = {}
+        sweep_clips = 100 if args.quick else 1000
+
+        def sweep_source():
+            for i in range(sweep_clips):
+                yield f"s{i:05d}", pool[i % len(pool)]
+
+        for workers, executor in ((4, "thread"), (ncpu, "thread"),
+                                  (2 * ncpu, "thread"), (ncpu, "process")):
+            d = tempfile.mkdtemp(prefix="spectpu_sweep_")
+            try:
+                t0 = time.time()
+                stw = export_spectrograms(
+                    sweep_source(), fs, cfg, d, clip_samples=n, batch=128,
+                    compress_level=1, encode_workers=workers,
+                    encode_executor=executor)
+                dtw = time.time() - t0
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+            sweep[f"{executor}_x{workers}"] = {
+                "audio_hours_per_min": round(
+                    (stw.seconds_audio / 3600.0) / (dtw / 60.0), 1),
+                **stw.breakdown()}
+        S["export_encode_sweep"] = {"clips_per_run": sweep_clips,
+                                    "cpus": ncpu, **sweep}
+        best_key = max(sweep, key=lambda k:
+                       sweep[k]["audio_hours_per_min"])
+        best_exec, best_workers = best_key.rsplit("_x", 1)
+
         out_dir = tempfile.mkdtemp(prefix="spectpu_e2e_")
         try:
             t0 = time.time()
@@ -300,7 +383,8 @@ def main() -> int:
             # tunneled chip (fewer device round trips per clip)
             st = export_spectrograms(
                 clip_source(), fs, cfg, out_dir, clip_samples=n, batch=128,
-                compress_level=1, encode_workers=max(4, os.cpu_count() or 1))
+                compress_level=1, encode_workers=int(best_workers),
+                encode_executor=best_exec)
             dt = time.time() - t0
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -312,6 +396,8 @@ def main() -> int:
             "seconds": round(dt, 1),
             "audio_hours_per_min": round(e2e_ahpm, 1),
             "vs_reference_export_0.014": round(e2e_ahpm / ref_export_ahpm, 1),
+            "encode": f"{best_exec} x{best_workers}",
+            "breakdown": st.breakdown(),
             "note": "decode->device pipeline->PNG-on-disk, overlapped "
                     "producer/device/encoder stages; raw-int16 staging, "
                     "indexed-color (PLTE) PNGs at level 1; reference = "
