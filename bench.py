@@ -47,11 +47,12 @@ def main() -> int:
     xb = jnp.asarray(rng.randn(batch, n).astype(np.float32))
 
     # Both kernels implement the same window/detrend-folded DFT-as-GEMM.
-    # Measured on v5e (r2): the Pallas kernel wins the bare STFT stage
-    # (0.073 vs 0.079 ms/clip) but XLA wins the full pipeline (0.086 vs
-    # 0.099) because it fuses the normalize/dB/colormap tail into the
-    # unpadded matmul output, so the pipeline default stays XLA.
-    # BENCH_PALLAS=1 selects the Pallas-STFT pipeline.
+    # Measured on v5e (r3): the Pallas kernel wins the bare STFT stage
+    # (0.0736 vs 0.0804 ms/clip) but XLA wins the full pipeline (0.0867 vs
+    # 0.0929 even with in-kernel min/max stats) because it fuses the
+    # normalize/dB/colormap tail into its matmul epilogue, which a
+    # pallas_call's HBM output boundary cannot. The pipeline default is
+    # XLA; BENCH_PALLAS=1 opts into the Pallas-STFT pipeline.
     use_pallas = os.environ.get("BENCH_PALLAS", "0") != "0"
     fn_raw = batched_spectrogram_fn(fs, cfg, use_matmul=True, colormap="jet")
     if use_pallas:

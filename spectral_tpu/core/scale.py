@@ -40,14 +40,56 @@ def normalize(sxx: Array, log_scale: bool = False,
     else:
         gm = jnp.asarray(global_max, sxx.dtype)
         base = jnp.where(gm > 0, gm, own_max)
-    norm = jnp.clip(sxx / (base + 1e-20), 0.0, 1.0)
     if not log_scale:
-        return norm
-    db = 10.0 * jnp.log10(norm + 1e-12)
-    db = jnp.nan_to_num(db)
-    min_db = jnp.min(db)
-    max_db = jnp.max(db)
+        return jnp.clip(sxx / (base + 1e-20), 0.0, 1.0)
+
+    # The dB min-max rescale needs min(db)/max(db), but db is a monotone
+    # non-decreasing function of Sxx, so min(db) == db(min(Sxx)) and
+    # max(db) == db(max(Sxx)) BIT-EXACTLY (the same fp ops on the same
+    # element). Reducing Sxx once (min+max fuse into one pass) instead of
+    # materializing db and reducing it again turns the reference's
+    # 3-full-array-pass tail (PlotEngine.py:126-131) into 2 passes: one
+    # fused min/max reduction + one fused elementwise map that XLA folds
+    # into whatever consumes the image (e.g. the colormap gather).
+    def db_of(v):
+        return jnp.nan_to_num(
+            10.0 * jnp.log10(jnp.clip(v / (base + 1e-20), 0.0, 1.0)
+                             + 1e-12))
+
+    min_db = db_of(jnp.min(sxx))
+    max_db = db_of(own_max)
     rng = max_db - min_db
+    db = db_of(sxx)
+    rescaled = (db - min_db) / jnp.where(rng > 1e-6, rng, 1.0)
+    return jnp.where(rng > 1e-6, rescaled, jnp.zeros_like(db))
+
+
+def normalize_from_stats(sxx: Array, own_min: Array, own_max: Array,
+                         log_scale: bool = False,
+                         global_max: Optional[Union[float, Array]] = None
+                         ) -> Array:
+    """:func:`normalize` with the image's min/max supplied by the caller
+    (e.g. reduced inside the Pallas kernel) — BIT-IDENTICAL output, since
+    normalize itself only consumes min(sxx)/max(sxx) (the dB extrema are
+    the monotone dB map evaluated at them). Saves the reduction pass over
+    the full array: the remaining work is one fused elementwise map."""
+    if global_max is None:
+        base = own_max
+    else:
+        gm = jnp.asarray(global_max, sxx.dtype)
+        base = jnp.where(gm > 0, gm, own_max)
+    if not log_scale:
+        return jnp.clip(sxx / (base + 1e-20), 0.0, 1.0)
+
+    def db_of(v):
+        return jnp.nan_to_num(
+            10.0 * jnp.log10(jnp.clip(v / (base + 1e-20), 0.0, 1.0)
+                             + 1e-12))
+
+    min_db = db_of(own_min)
+    max_db = db_of(own_max)
+    rng = max_db - min_db
+    db = db_of(sxx)
     rescaled = (db - min_db) / jnp.where(rng > 1e-6, rng, 1.0)
     return jnp.where(rng > 1e-6, rescaled, jnp.zeros_like(db))
 

@@ -40,12 +40,20 @@ x frequency tile f of clip b. The batch dimension is INNERMOST so the A-tile
 signal rows (the small operand) re-stream per tile instead, which costs
 nF x signal bytes instead of B x matrix bytes.
 
-Measured on v5e (ms/clip, 10 s @ 16 kHz, r = 4): the kernel WINS at the
-headline nperseg=1024 (0.073 pallas vs 0.079 xla-matmul vs 0.140 xla-fft);
-at tiled sizes the tile re-streaming and linearly growing DFT FLOPs hand
-the lead to XLA's rFFT (4096: 0.35 pallas / 0.34 xla-matmul / 0.19
-xla-fft; 8192: 0.58 / 0.68 / 0.31), so the production default keeps the
-XLA paths and the kernel is the opt-in fast path for nperseg <= 1024.
+Measured on v5e (ms/clip, 10 s @ 16 kHz): the kernel WINS the bare STFT
+stage at the headline nperseg=1024 (0.0736 pallas vs 0.0804 xla-matmul vs
+0.133 xla-fft) but LOSES the full display pipeline (0.0929 vs 0.0867,
+round 3) — XLA fuses the normalize/dB/colormap tail into its own matmul
+epilogue, while a pallas_call output must materialize to HBM first. The
+in-kernel min/max stats (with_stats) + the analytic dB-extrema tail
+(core.scale.normalize_from_stats) recovered 0.006 of the r2 gap (0.099 ->
+0.0929) but not the lead; recorded as a negative result. At tiled sizes
+the tile re-streaming and linearly growing DFT FLOPs hand even the bare
+stage to XLA's rFFT (4096: 0.35 pallas / 0.34 xla-matmul / 0.19 xla-fft;
+8192: 0.58 / 0.68 / 0.31). The production default is therefore the XLA
+matmul path everywhere; the kernel is an opt-in for bare-STFT workloads
+at nperseg <= 1024 and the reference demonstration of the fused-framing
+technique.
 Above nperseg 4096 the Mosaic pipeline's double-buffered A tiles exceed
 VMEM, so the kernel switches to manual DMA: A stays in HBM and one
 single-buffered scratch tile reloads only on frequency-tile changes —
@@ -168,15 +176,27 @@ def pallas_supported(cfg: SpecConfig) -> bool:
 def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
                     block_frames: int = 128,
                     log10_out: bool = False,
-                    interpret: Optional[bool] = None) -> Array:
+                    interpret: Optional[bool] = None,
+                    with_stats: bool = False):
     """Fused PSD spectrogram: (n,) or (B, n) -> (B?, T, F) float32.
 
     Matches core.stft.power_spectrogram (and scipy) for supported configs.
     interpret=None auto-selects interpreter mode off-TPU (tests).
+
+    with_stats=True additionally reduces each image's min/max PSD inside
+    the kernel (masked over valid frames/bins) and returns
+    (psd, pmin, pmax) with pmin/pmax of shape (B?,) — feeding
+    core.scale.normalize_from_stats, which turns the display tail into a
+    single fused elementwise pass (no separate reduction read of the PSD).
+    Incompatible with log10_out (stats are over linear PSD).
     """
     if x.ndim == 1:
-        return stft_psd_pallas(x[None], fs, cfg, block_frames, log10_out,
-                               interpret)[0]
+        out = stft_psd_pallas(x[None], fs, cfg, block_frames, log10_out,
+                              interpret, with_stats)
+        return (out[0][0], out[1][0], out[2][0]) if with_stats else out[0]
+    if with_stats and log10_out:
+        raise ValueError("with_stats computes linear-PSD extrema; "
+                         "combine with log10_out is unsupported")
     if not pallas_supported(cfg):
         raise ValueError(
             "config unsupported by the pallas kernel (need nfft == nperseg "
@@ -193,7 +213,10 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
     B, n = x.shape
     T = num_frames(n, nperseg, hop)
     if T <= 0:
-        return jnp.zeros((B, 0, cfg.n_freqs), jnp.float32)
+        empty = jnp.zeros((B, 0, cfg.n_freqs), jnp.float32)
+        if with_stats:
+            return empty, jnp.zeros(B), jnp.zeros(B)
+        return empty
 
     a_re, a_im, wts, FT = _dft_operands(cfg, fs)
     Fp = a_re.shape[2]
@@ -238,7 +261,8 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
     # (j, f, b) makes that once per B inner steps). The interpreter has no
     # VMEM limit and no DMA primitives, so it always runs the auto kernel
     # (identical math); the manual path is chip-validated.
-    def _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref):
+    def _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref,
+                 omin_ref=None, omax_ref=None):
         # frame i of this block = row groups [i : i + P/S) flattened;
         # instead of materializing frames (Mosaic rejects the offset
         # concat), decompose the DFT matmul over g-wide pieces and
@@ -272,12 +296,28 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         if log10_out:
             p = jnp.log10(p + 1e-20)
         out_ref[:, :] = p
+        if with_stats:
+            # per-(frame-block, freq-tile) extrema over VALID frames only
+            # (rows >= T are zero-padding artifacts); padded freq columns
+            # are excluded later by the [:F] slice of the partials. The
+            # one-row result broadcasts to the 8-sublane block Mosaic
+            # requires — the duplicates are harmless to the host min/max.
+            fid = (jax.lax.broadcasted_iota(jnp.int32, (BF, FT), 0)
+                   + pl.program_id(0) * BF)
+            valid = fid < T
+            mn = jnp.min(jnp.where(valid, p, jnp.inf), axis=0)
+            mx = jnp.max(jnp.where(valid, p, -jnp.inf), axis=0)
+            omin_ref[:, :] = jnp.broadcast_to(mn[None, :], (8, FT))
+            omax_ref[:, :] = jnp.broadcast_to(mx[None, :], (8, FT))
 
-    def kernel_auto(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref):
-        _compute(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref)
+    def kernel_auto(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref,
+                    *rest):
+        _compute(rows_a, rows_b, are_ref, aim_ref, wts_ref, out_ref, *rest)
 
     def kernel_manual(rows_a, rows_b, are_hbm, aim_hbm, wts_ref, out_ref,
-                      are_v, aim_v, sem):
+                      *rest):
+        *stats_refs, are_v, aim_v, sem = rest
+
         @pl.when(pl.program_id(2) == 0)   # first clip of this (j, f) pair
         def _load_tile():
             f = pl.program_id(1)
@@ -287,7 +327,8 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
             cim.start()
             cre.wait()
             cim.wait()
-        _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref)
+        _compute(rows_a, rows_b, are_v, aim_v, wts_ref, out_ref,
+                 *stats_refs)
 
     if S == 1:
         rows_spec_a = pl.BlockSpec((None, BF, g), lambda j, f, b: (b, j, 0),
@@ -322,6 +363,17 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         a_re_op, a_im_op = a_re, a_im
         scratch = []
 
+    out_specs = [pl.BlockSpec((None, BF, FT), lambda j, f, b: (b, j, f),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Tp, Fp), jnp.float32)]
+    if with_stats:
+        stat_spec = pl.BlockSpec((None, 8, FT), lambda j, f, b: (b, j, f),
+                                 memory_space=pltpu.VMEM)
+        stat_shape = jax.ShapeDtypeStruct((B, 8 * n_blocks, Fp),
+                                          jnp.float32)
+        out_specs += [stat_spec, stat_spec]
+        out_shapes += [stat_shape, stat_shape]
+
     # Grid order (j, f, b): the batch dim is innermost so the A tile (the
     # big operand, changing only with f) stays VMEM-resident across all
     # clips while the per-clip signal rows stream; for nF == 1 (nperseg <=
@@ -330,9 +382,8 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         kernel,
         grid=(n_blocks, nF, B),
         in_specs=[rows_spec_a, rows_spec_b, *a_specs, wts_spec],
-        out_specs=pl.BlockSpec((None, BF, FT), lambda j, f, b: (b, j, f),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, Fp), jnp.float32),
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shapes if with_stats else out_shapes[0],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
@@ -344,6 +395,11 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
         ),
         interpret=interpret,
     )(rows, rows, a_re_op, a_im_op, wts[None, :])
+    if with_stats:
+        psd, omin, omax = out
+        pmin = jnp.min(omin[:, :, :F], axis=(1, 2))
+        pmax = jnp.max(omax[:, :, :F], axis=(1, 2))
+        return psd[:, :T, :F], pmin, pmax
     return out[:, :T, :F]
 
 
@@ -353,15 +409,26 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
                        interpret: Optional[bool] = None):
     """Full display pipeline with the Pallas kernel as the STFT stage:
     (B, n) -> {psd, image, rgb_packed?}, output-compatible with
-    parallel.sharding.batched_spectrogram_fn."""
-    from spectral_tpu.core.scale import display_images
+    parallel.sharding.batched_spectrogram_fn.
+
+    The per-image PSD extrema reduce INSIDE the kernel (with_stats), so the
+    display tail is one fused elementwise map (normalize_from_stats) into
+    the colormap pack — no separate reduction pass re-reading the PSD."""
+    import jax as _jax
+    from spectral_tpu.core.scale import normalize_from_stats
     from spectral_tpu.ops.colormap import apply_colormap_packed
 
     def fn(xb: Array):
-        psd = stft_psd_pallas(xb, fs, cfg, block_frames, interpret=interpret)
-        out = {"psd": psd, "image": display_images(psd, cfg.log_scale)}
+        psd, pmin, pmax = stft_psd_pallas(xb, fs, cfg, block_frames,
+                                          interpret=interpret,
+                                          with_stats=True)
+        img = _jax.vmap(
+            lambda s, lo, hi: normalize_from_stats(s, lo, hi,
+                                                   cfg.log_scale)
+        )(jnp.swapaxes(psd, -1, -2), pmin, pmax)
+        out = {"psd": psd, "image": img}
         if colormap:
-            out["rgb_packed"] = apply_colormap_packed(out["image"], colormap,
+            out["rgb_packed"] = apply_colormap_packed(img, colormap,
                                                       flip_rows=True)
         return out
 

@@ -136,6 +136,35 @@ def test_pallas_hop_larger_than_nperseg():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-10)
 
 
+def test_pallas_with_stats_matches_full_reduction():
+    """with_stats returns each image's exact PSD min/max (masked over the
+    padded frames/bins), and normalize_from_stats is bit-identical to
+    normalize on those stats."""
+    from spectral_tpu.core.scale import normalize, normalize_from_stats
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128, log_scale=True)
+    rng = np.random.RandomState(17)
+    xb = jnp.asarray(rng.randn(3, 15000).astype(np.float32))  # partial block
+    psd, pmin, pmax = stft_psd_pallas(xb, fs, cfg, with_stats=True)
+    ref = np.asarray(stft_psd_pallas(xb, fs, cfg))
+    np.testing.assert_array_equal(np.asarray(psd), ref)
+    np.testing.assert_array_equal(np.asarray(pmin), ref.min(axis=(1, 2)))
+    np.testing.assert_array_equal(np.asarray(pmax), ref.max(axis=(1, 2)))
+    for i in range(3):
+        s = jnp.swapaxes(psd[i], 0, 1)
+        a = np.asarray(normalize(s, True))
+        b = np.asarray(normalize_from_stats(s, pmin[i], pmax[i], True))
+        np.testing.assert_array_equal(a, b)
+    # scipy-default hop through the stats path too (gcd framing)
+    cfg2 = SpecConfig.scipy_default(1024)
+    psd2, lo2, hi2 = stft_psd_pallas(xb, fs, cfg2, with_stats=True)
+    ref2 = np.asarray(stft_psd_pallas(xb, fs, cfg2))
+    np.testing.assert_array_equal(np.asarray(lo2), ref2.min(axis=(1, 2)))
+    np.testing.assert_array_equal(np.asarray(hi2), ref2.max(axis=(1, 2)))
+    with pytest.raises(ValueError, match="with_stats"):
+        stft_psd_pallas(xb, fs, cfg, log10_out=True, with_stats=True)
+
+
 def test_pallas_short_signal_zero_frames():
     cfg = SpecConfig.north_star(1024, 256)
     out = stft_psd_pallas(jnp.zeros(100), 16000.0, cfg)
