@@ -453,7 +453,6 @@ def test_cli_serve_lru_eviction_and_guards(tmp_path, monkeypatch):
     N clips)."""
     import io
     import json
-    import spectral_tpu.cli as cli_mod
     from spectral_tpu.cli import _serve
 
     fs = 1000.0
@@ -463,25 +462,34 @@ def test_cli_serve_lru_eviction_and_guards(tmp_path, monkeypatch):
         write_wav(p, _bursty(fs=fs, dur=20.0) * 0.5, fs)
         paths.append(p)
 
-    # count live sessions through the constructor
-    created = []
-    real_session = cli_mod  # keep flake quiet
-
     # LRU of 2: 6 distinct file-sets + a revisit of the first -> the first
-    # was evicted, so it reloads (a fresh session); the last two stay live
+    # was evicted, so it must reload (a fresh session); the cache never
+    # holds more than 2 sessions. Proven by counting loads.
+    import spectral_tpu.api.session as sess_mod
+    loads = []
+    orig_session = sess_mod.AnalysisSession
+
+    class CountingSession(orig_session):
+        def load(self, path):
+            loads.append(path)
+            return super().load(path)
+
+    monkeypatch.setattr(sess_mod, "AnalysisSession", CountingSession)
     reqs = [{"cmd": "bands", "files": [p],
              "config": {"nperseg": 256, "fmin": 0.0, "fmax": 30.0}}
             for p in paths]
-    reqs.append(reqs[0])
+    reqs.append(reqs[0])            # revisit the evicted first file-set
+    reqs.append(reqs[-2])           # revisit the still-cached last one
     reqs.append({"cmd": "shutdown"})
     stdin = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
     stdout = io.StringIO()
-    import tracemalloc
-    tracemalloc.start()
     assert _serve(stdin, stdout, max_sessions=2) == 0
     out = [json.loads(l) for l in stdout.getvalue().splitlines()]
     assert all(o["ok"] for o in out)
-    tracemalloc.stop()
+    # 6 distinct loads + 1 reload of the evicted set; the cached revisit
+    # loads nothing
+    assert loads == paths + [paths[0]]
+    monkeypatch.setattr(sess_mod, "AnalysisSession", orig_session)
 
     # oversized request rejected before parsing, worker stays up
     big = json.dumps({"cmd": "bands", "files": [paths[0]],
@@ -495,12 +503,6 @@ def test_cli_serve_lru_eviction_and_guards(tmp_path, monkeypatch):
 
     # per-request timeout: a stuck handler answers with a timeout error and
     # the NEXT request is still served
-    orig_loads = json.loads
-
-    def handler_patch(req_line):
-        req = orig_loads(req_line)
-        return req
-
     slow_marker = {"cmd": "bands", "files": [str(tmp_path / "slow.wav")]}
     import time as _time
     from spectral_tpu.api import session as sess_mod
