@@ -118,16 +118,21 @@ class BurstDetector:
                     raise ValueError(
                         "Not enough data to train the model. Signal may be too short.")
                 params0 = hmm.init_params(X, self.n_states, seed=self.seed)
-                # fit + escape-route patch + Viterbi in ONE dispatch
-                # (dispatch latency dominates compute on remote runtimes)
-                self.params, states_d, _b, _ll, _it = \
+                # fit + escape-route patch + baseline + Viterbi in ONE
+                # dispatch (dispatch latency dominates compute on remote
+                # runtimes), and the baseline comes back with that
+                # dispatch's outputs — fetching params.means for a host
+                # argmin would cost a second device->host round trip
+                # (measured ~80 ms over the tunnel)
+                self.params, states_d, b_d, _ll, _it = \
                     hmm.unsupervised_fit_decode(params0, X,
                                                 n_iter=self.n_iter)
                 states = np.asarray(states_d)
+                baseline_state = int(b_d)             # PlotEngine.py:445
             else:
                 states = np.asarray(_viterbi_jit(self.params, X))
-        means = np.asarray(self.params.means)
-        baseline_state = int(np.argmin(means[:, 0]))  # PlotEngine.py:445
+                means = np.asarray(self.params.means)
+                baseline_state = int(np.argmin(means[:, 0]))
         events = ev.baseline_scan(states, t, baseline_state)
         return ev.merge_overlapping_events(events)
 
