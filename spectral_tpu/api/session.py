@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -210,7 +211,8 @@ class AnalysisSession:
                                                hz_to_mel)
             fb = mel_filterbank(cfg.n_mels, psd.shape[-1], fs, cfg.mel_fmin,
                                 cfg.mel_fmax, cfg.mel_htk)
-            psd = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype))
+            psd = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype),
+                             precision=jax.lax.Precision.HIGHEST)
             # frequency axis becomes the mel filters' center frequencies
             mel_max = cfg.mel_fmax if cfg.mel_fmax is not None else fs / 2.0
             pts = np.linspace(hz_to_mel(cfg.mel_fmin, cfg.mel_htk),

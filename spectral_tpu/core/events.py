@@ -53,7 +53,11 @@ def features_from_psd(f: np.ndarray, psd_tf: Array, fmin: float, fmax: float
     f = np.asarray(f)
     mask = (f >= fmin) & (f <= fmax)
     w = jnp.asarray(mask.astype(np.float32))
-    power = jnp.einsum("...tf,f->...t", psd_tf.astype(jnp.float32), w)
+    # HIGHEST: on TPU the default einsum precision rounds the operands to
+    # bf16, costing ~4e-3 relative in the band sum — outside this module's
+    # 2e-4 feature contract (and these reductions are never the hot path).
+    power = jnp.einsum("...tf,f->...t", psd_tf.astype(jnp.float32), w,
+                       precision=jax.lax.Precision.HIGHEST)
     log_power = jnp.log10(power + 1e-20)
     delta = jnp.diff(log_power, axis=-1,
                      prepend=log_power[..., :1])
@@ -205,7 +209,8 @@ def band_powers_device(f: np.ndarray, psd_tf: Array,
                       for lo, hi in band_edges])  # (B, F)
     sxx_lin = jnp.maximum(0.0, psd_tf)
     total = jnp.sum(sxx_lin, axis=(-2, -1))  # (...,)
-    band = jnp.einsum("...tf,bf->...b", sxx_lin, jnp.asarray(masks))
+    band = jnp.einsum("...tf,bf->...b", sxx_lin, jnp.asarray(masks),
+                      precision=jax.lax.Precision.HIGHEST)
     rel = band / jnp.maximum(total[..., None], 1e-30)
     return jnp.where(total[..., None] < 1e-18, jnp.zeros_like(rel), rel)
 

@@ -212,8 +212,14 @@ def dft_matrices_device(cfg: SpecConfig, dtype=jnp.float32):
         c = ns - (N - 1) / 2.0
         q2 = c / jnp.sqrt(jnp.sum(c * c))
         Q = jnp.concatenate([q1, q2], axis=1)
-        a_re = a_re - Q @ (Q.T @ a_re)
-        a_im = a_im - Q @ (Q.T @ a_im)
+        # HIGHEST: these projections bake into the DFT matrices themselves,
+        # and the TPU-default dot's bf16 rounding would put ~1e-2 relative
+        # error into every matrix entry
+        hp = jax.lax.Precision.HIGHEST
+        a_re = a_re - jnp.matmul(Q, jnp.matmul(Q.T, a_re, precision=hp),
+                                 precision=hp)
+        a_im = a_im - jnp.matmul(Q, jnp.matmul(Q.T, a_im, precision=hp),
+                                 precision=hp)
     return a_re, a_im
 
 

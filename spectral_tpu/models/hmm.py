@@ -156,8 +156,16 @@ def _m_step(params: HMMParams, X: Array, gamma: Array, xi_sum: Array,
     trans_new = num_t / jnp.where(rsum == 0, 1.0, rsum)
 
     denom = jnp.sum(gamma, axis=0)                    # (K,)
-    obs = gamma.T @ X                                 # (K, D)
-    obs2 = gamma.T @ (X * X)                          # (K, D)
+    # HIGHEST precision is load-bearing: on TPU the default dot rounds the
+    # operands to bf16, and the covariance update below is a cancellation
+    # (obs2 - 2 m obs + m^2 denom) — bf16-rounded stats drive variances to
+    # ~0, emission log-likelihoods to -1e4, and EM "converges" in 2
+    # iterations to a collapsed model (measured on v5e: zero events on the
+    # burst fixture vs the correct CPU decode; HIGHEST restores bit-level
+    # agreement). These (T,K)x(T,D) dots are microscopic — no perf cost.
+    hp = jax.lax.Precision.HIGHEST
+    obs = jnp.matmul(gamma.T, X, precision=hp)        # (K, D)
+    obs2 = jnp.matmul(gamma.T, X * X, precision=hp)   # (K, D)
     d = jnp.maximum(denom, 1e-30)[:, None]
     means_new = jnp.where(denom[:, None] > 0, obs / d, params.means)
     # GaussianHMM._do_mstep 'diag': cv_num / max(cv_den, 1e-5) with the
@@ -308,7 +316,10 @@ def patch_escape_routes_traced(transmat: Array, baseline_state: Array) -> Array:
     idx = jnp.arange(k)
     onehot_b = (idx == baseline_state).astype(transmat.dtype)  # (k,)
     diag = jnp.diagonal(transmat)
-    tm_b = transmat @ onehot_b                                 # column b
+    # column b; HIGHEST so the TPU default's bf16 rounding cannot flip the
+    # 1e-5 threshold test below
+    tm_b = jnp.matmul(transmat, onehot_b,
+                      precision=jax.lax.Precision.HIGHEST)
     cond = (idx != baseline_state) & (tm_b < 1e-5) & (diag > 0.1)
     donation = jnp.where(cond, jnp.minimum(diag * 0.05, 0.05), 0.0)
     return (transmat - jnp.diag(donation)

@@ -29,8 +29,12 @@ def _batch_e_step(params: hmm.HMMParams, Xb: Array):
     """Per-sequence E-step over (B, T, D); returns summed sufficient stats."""
     def one(X):
         gamma, xi_sum, ll = hmm._e_step(params, X)
+        # HIGHEST for the same reason as hmm._m_step: the covariance update
+        # is a cancellation, and TPU-default bf16 stats collapse the model.
+        hp = jax.lax.Precision.HIGHEST
         return (gamma[0], xi_sum, jnp.sum(gamma, axis=0),
-                gamma.T @ X, gamma.T @ (X * X), ll)
+                jnp.matmul(gamma.T, X, precision=hp),
+                jnp.matmul(gamma.T, X * X, precision=hp), ll)
 
     g0, xi, denom, obs, obs2, ll = jax.vmap(one)(Xb)
     # sums over the (sharded) batch dim -> XLA inserts the all-reduce

@@ -43,7 +43,8 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
         if n_mels:
             fb = mel_filterbank(n_mels, psd.shape[-1], fs, cfg.mel_fmin,
                                 cfg.mel_fmax, cfg.mel_htk)
-            out["mel"] = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype))
+            out["mel"] = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype),
+                                    precision=jax.lax.Precision.HIGHEST)
         base = out["mel"] if n_mels else psd
         img = display_images(base, cfg.log_scale, share_max)
         out["image"] = img

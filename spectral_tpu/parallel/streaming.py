@@ -351,8 +351,12 @@ def stream_band_powers(x, fs: float, cfg: SpecConfig, chunk_size: int,
     def fold(acc, psd, valid):
         band_acc, tot = acc
         p = jnp.maximum(psd, 0.0) * valid[:, None].astype(psd.dtype)
-        return (band_acc + jnp.sum(p @ masks_j.T, axis=0),
-                tot + jnp.sum(p @ total_j))
+        # HIGHEST: the TPU-default dot would round the PSD to bf16 before
+        # the band reductions (core/events.py has the same guard)
+        hp = jax.lax.Precision.HIGHEST
+        return (band_acc + jnp.sum(jnp.matmul(p, masks_j.T, precision=hp),
+                                   axis=0),
+                tot + jnp.sum(jnp.matmul(p, total_j, precision=hp)))
 
     band_sums, total = stream_fold(
         x, fs, cfg, chunk_size, fold,

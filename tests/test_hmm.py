@@ -326,3 +326,37 @@ def test_unsupervised_fit_decode_matches_staged_flow():
                                np.asarray(p_staged.transmat), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(states_fused),
                                   np.asarray(states_staged))
+
+
+# ---- TPU matmul-precision guard --------------------------------------------
+
+def _dot_precisions(jaxpr):
+    """Collect the precision of every dot_general in a (nested) jaxpr."""
+    out = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append(eqn.params.get("precision"))
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):           # ClosedJaxpr
+                out.extend(_dot_precisions(v.jaxpr))
+            elif hasattr(v, "eqns"):          # bare Jaxpr
+                out.extend(_dot_precisions(v))
+    return out
+
+
+def test_em_dots_are_highest_precision():
+    """On TPU the default dot rounds f32 operands to bf16; through the
+    M-step's cancellation-prone covariance update that collapses EM to a
+    degenerate model (measured on v5e: 2-iteration convergence to
+    ll=-425 and ZERO detected events on the burst fixture, vs the correct
+    CPU decode). Every dot in the fused detection program must therefore
+    carry explicit HIGHEST precision."""
+    X, _ = _two_state_data()
+    p0 = hmm.init_params(X, 4, seed=42)
+    closed = jax.make_jaxpr(
+        lambda p, x: hmm.unsupervised_fit_decode(p, x, n_iter=5))(
+            p0, jnp.asarray(X))
+    precs = _dot_precisions(closed.jaxpr)
+    assert precs, "expected dot_general ops in the EM program"
+    hp = jax.lax.Precision.HIGHEST
+    assert all(p == (hp, hp) for p in precs), precs
