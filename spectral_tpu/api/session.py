@@ -68,9 +68,17 @@ class AnalysisSession:
     """
 
     def __init__(self, registry: Optional[SweepRegistry] = None,
-                 detector: Optional[BurstDetector] = None):
+                 detector: Optional[BurstDetector] = None,
+                 warm_detection: bool = True):
+        """warm_detection: precompile the detection programs for each
+        plot's feature shape in a background thread at plot time (makes
+        the first Auto-Detect click compile-free). Pass False for
+        render/bands-only workloads — e.g. a serving worker that never
+        detects — where speculative HMM compiles would contend with the
+        requested work (over a tunneled chip a compile costs 20 s-5 min)."""
         self.registry = registry if registry is not None else SweepRegistry()
         self.detector = detector if detector is not None else BurstDetector()
+        self.warm_detection = warm_detection
         self.config: Optional[SpecConfig] = None
         self.view = ViewSettings()
         # reference state mirror
@@ -236,7 +244,8 @@ class AnalysisSession:
         # background, so the first Auto-Detect click after a plot pays no
         # compile latency (models/detector.py::warmup; no-op per shape
         # after the first time)
-        self.detector.warmup(len(t), 2)
+        if self.warm_detection:
+            self.detector.warmup(len(t), 2)
         return SpectrogramResult(f, t, sxx, img)
 
     # ------------------------------------------------------------------

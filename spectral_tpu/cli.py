@@ -152,35 +152,41 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
     Robustness guards (each surfaces as an error response, never a crash):
       * sessions are cached per file-set with LRU eviction at
         `max_sessions`, so memory stays flat across many distinct inputs;
-      * `request_timeout` bounds each request's wall clock (the stuck
-        worker thread is abandoned and a fresh one serves the next
-        request);
+      * `request_timeout` bounds each request's wall clock. The stuck
+        request runs on a daemon thread (it cannot block interpreter
+        exit), and on timeout the WHOLE session cache is replaced — the
+        abandoned thread keeps only orphaned state, so it can never race
+        the replacement worker on a shared session or the LRU dict;
       * lines over `max_request_bytes` are rejected before parsing.
     """
     import collections
-    import concurrent.futures as _cf
     import json as _json
+    import threading as _threading
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import SpecConfig, ViewSettings
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    # The cache is passed INTO each request handler (not read from the
+    # enclosing scope at call time) so that after a timeout the main loop
+    # can swap in a fresh dict: the abandoned thread holds a reference to
+    # the old, orphaned one and cannot corrupt the live cache.
     sessions: "collections.OrderedDict" = collections.OrderedDict()
 
-    def get_session(files):
+    def get_session(files, cache):
         key = tuple(files)
-        if key in sessions:
-            sessions.move_to_end(key)
-            return sessions[key]
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
         s = AnalysisSession()
         for p in files:
             s.load(p)
-        sessions[key] = s
-        while len(sessions) > max_sessions:   # evict least-recently used
-            sessions.popitem(last=False)
+        cache[key] = s
+        while len(cache) > max_sessions:      # evict least-recently used
+            cache.popitem(last=False)
         return s
 
-    def handle(req):
+    def handle(req, cache):
         cmd = req.get("cmd")
         if cmd == "ping":
             return {"ok": True, "pong": True}
@@ -200,7 +206,7 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
             return {"ok": True, "written": stats.pngs_written,
                     "seconds_audio": stats.seconds_audio}
         if cmd in ("render", "detect", "learn", "bands"):
-            s = get_session(req["files"])
+            s = get_session(req["files"], cache)
             cfg = SpecConfig(**req.get("config", {}))
             names = (s.registry.names() if req.get("combine")
                      else s.registry.names()[:1])
@@ -223,46 +229,61 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
             return resp
         return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
 
-    pool = _cf.ThreadPoolExecutor(max_workers=1) if request_timeout else None
-    try:
-        for line in stdin:
-            line = line.strip()
-            if not line:
-                continue
+    def handle_with_timeout(req, cache):
+        """Run handle() on a daemon thread bounded by request_timeout.
+        Returns (resp, timed_out). A daemon thread — unlike a
+        ThreadPoolExecutor worker — is not joined by the interpreter's
+        atexit hook, so a permanently wedged request can't stop the
+        process from exiting after shutdown/EOF."""
+        box = {}
+
+        def target():
             try:
-                if len(line) > max_request_bytes:
-                    raise ValueError(
-                        f"request exceeds max_request_bytes "
-                        f"({len(line)} > {max_request_bytes})")
-                req = _json.loads(line)
-                if req.get("cmd") == "shutdown":
-                    stdout.write(_json.dumps({"ok": True, "bye": True})
-                                 + "\n")
-                    stdout.flush()
-                    return 0
-                if pool is None:
-                    resp = handle(req)
-                else:
-                    fut = pool.submit(handle, req)
-                    try:
-                        resp = fut.result(timeout=request_timeout)
-                    except _cf.TimeoutError:
-                        # abandon the stuck thread; a fresh worker serves
-                        # the next request (the old one dies with the
-                        # process)
-                        pool.shutdown(wait=False)
-                        pool = _cf.ThreadPoolExecutor(max_workers=1)
-                        resp = {"ok": False,
-                                "error": "TimeoutError: request exceeded "
-                                         f"{request_timeout}s"}
-            except Exception as e:  # a bad request must not kill the worker
-                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            stdout.write(_json.dumps(resp) + "\n")
-            stdout.flush()
-        return 0
-    finally:
-        if pool is not None:
-            pool.shutdown(wait=False)
+                box["resp"] = handle(req, cache)
+            except Exception as e:
+                box["exc"] = e
+
+        th = _threading.Thread(target=target, daemon=True,
+                               name="serve-request")
+        th.start()
+        th.join(request_timeout)
+        if th.is_alive():
+            return None, True
+        if "exc" in box:
+            raise box["exc"]
+        return box["resp"], False
+
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            if len(line) > max_request_bytes:
+                raise ValueError(
+                    f"request exceeds max_request_bytes "
+                    f"({len(line)} > {max_request_bytes})")
+            req = _json.loads(line)
+            if req.get("cmd") == "shutdown":
+                stdout.write(_json.dumps({"ok": True, "bye": True}) + "\n")
+                stdout.flush()
+                return 0
+            if request_timeout is None:
+                resp = handle(req, sessions)
+            else:
+                resp, timed_out = handle_with_timeout(req, sessions)
+                if timed_out:
+                    # Abandon the stuck daemon thread WITH its state: it
+                    # keeps the old cache (and whatever session it was
+                    # mutating); the live loop starts from a fresh dict.
+                    sessions = collections.OrderedDict()
+                    resp = {"ok": False,
+                            "error": "TimeoutError: request exceeded "
+                                     f"{request_timeout}s"}
+        except Exception as e:  # a bad request must not kill the worker
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        stdout.write(_json.dumps(resp) + "\n")
+        stdout.flush()
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:

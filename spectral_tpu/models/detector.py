@@ -187,7 +187,7 @@ class BurstDetector:
                 return None
             means = np.asarray(params.means)
             burst_state = int(np.argmax(means[:, 0]))  # larger mean log-power
-            states = np.asarray(hmm.viterbi(params, X))
+            states = np.asarray(_viterbi_jit(params, X))
         burst_idx = np.where(states == burst_state)[0]
         if len(burst_idx) == 0:
             return None

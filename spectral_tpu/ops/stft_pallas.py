@@ -160,17 +160,39 @@ def _dft_operands(cfg: SpecConfig, fs: float):
     return ar, ai, jnp.asarray(wts), ft
 
 
+def _bf_vmem_cap(cfg: SpecConfig) -> int:
+    """Largest frame-block size (multiple of 8) the on-chip scoped-VMEM
+    budget affords for this config, per the measured cost model of the
+    S>1 shave in stft_psd_pallas (~10 block-equivalents of (BF, S_pad, g)
+    row temporaries next to the A tiles). The kernel's dual-read overlap
+    requires BF >= q_max = (P-1)//S, so configs whose q_max exceeds this
+    cap cannot run on chip at all — pallas_supported rejects them."""
+    g, S, P = _gcd_dims(cfg)
+    FT = _freq_dims(cfg)[2]
+    a_vmem = 2 * 4 * cfg.nperseg * FT
+    manual_a = 2 * a_vmem > _A_AUTO_LIMIT
+    s_pad = _round_up(S, 8) if S > 1 else 1
+    per_bf = 10 * s_pad * max(g, LANE) * 4
+    avail = 14 * 2 ** 20 - (a_vmem if manual_a
+                            else min(2 * a_vmem, _A_TILE_BUDGET))
+    return max(8, avail // per_bf // 8 * 8)
+
+
 def pallas_supported(cfg: SpecConfig) -> bool:
     """Non-dividing hops — including the reference's scipy default,
     PlotEngine.py:113 — are supported through the gcd framing; required:
-    nfft == nperseg, the GUI nperseg ceiling, and gcd(nperseg, hop) >= 8
+    nfft == nperseg, the GUI nperseg ceiling, gcd(nperseg, hop) >= 8
     (smaller row widths waste >16x of every VMEM lane; the GUI's scipy
     range nperseg >= 64 always satisfies it, and the jnp path covers the
-    rest)."""
-    g = math.gcd(cfg.nperseg, cfg.hop_)
+    rest), and a frame overlap that fits the VMEM frame-block budget
+    (q_max <= _bf_vmem_cap: rules out tiny hops at huge nperseg, e.g.
+    8192/24, where the forced overlap block alone would blow VMEM)."""
+    g, S, P = _gcd_dims(cfg)
+    q_max = (P - 1) // S
     return (cfg.nfft_ == cfg.nperseg
             and cfg.nperseg <= MAX_NPERSEG_VMEM
-            and g >= 8)
+            and g >= 8
+            and q_max <= _bf_vmem_cap(cfg))
 
 
 def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
@@ -226,20 +248,24 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
     a_vmem = 2 * 4 * nperseg * FT     # the A_re/A_im pair, one buffer set
     manual_a = (not interpret) and 2 * a_vmem > _A_AUTO_LIMIT
     BF = min(block_frames, _round_up(T, 8))
+    bf_cap = _bf_vmem_cap(cfg)
     if S > 1:
         # VMEM budget for the frame blocks: a (BF, S, g) row block occupies
         # BF * S_pad * max(g, LANE) f32 lanes; the pipeline holds 2 dual
         # reads x 2 buffers plus the in-kernel concat/slice temporaries
         # (~10 block-equivalents measured at 8192-scipy: 18.9 MB scoped at
         # BF=32). Shave BF so everything beside the A tiles fits the ~16 MB
-        # scoped VMEM limit with ~2 MB slack.
-        s_pad = _round_up(S, 8)
-        per_bf = 10 * s_pad * max(g, LANE) * 4
-        avail = 14 * 2 ** 20 - (a_vmem if manual_a
-                                else min(2 * a_vmem, _A_TILE_BUDGET))
-        BF = min(BF, max(8, avail // per_bf // 8 * 8))
+        # scoped VMEM limit with ~2 MB slack (_bf_vmem_cap).
+        BF = min(BF, bf_cap)
     if q_max > BF:  # overlap must fit in the second row block
         BF = _round_up(q_max, 8)
+        if BF > bf_cap and not interpret:
+            # unreachable through pallas_supported (it checks q_max
+            # against the same cap); guard direct callers
+            raise ValueError(
+                f"hop {hop} too small for nperseg {nperseg}: the forced "
+                f"overlap block ({BF} frames) exceeds the VMEM budget "
+                f"({bf_cap}); use core.stft.power_spectrogram")
     n_blocks = -(-T // BF)
     Tp = n_blocks * BF
 

@@ -232,7 +232,15 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     t.start()
 
     if encode_executor == "process":
-        pool = cf.ProcessPoolExecutor(max_workers=encode_workers)
+        # forkserver, not the (pre-3.14) default fork: this process is
+        # already multi-threaded (the producer thread above plus the JAX
+        # runtime's own threads), and a child forked while another thread
+        # holds a malloc/zlib lock deadlocks — hanging the export on its
+        # future.result(). The forkserver parent is single-threaded.
+        import multiprocessing as _mp
+        pool = cf.ProcessPoolExecutor(
+            max_workers=encode_workers,
+            mp_context=_mp.get_context("forkserver"))
     else:
         pool = cf.ThreadPoolExecutor(max_workers=encode_workers)
     try:

@@ -60,8 +60,12 @@ class SessionFigureView:
     """
 
     def __init__(self, fig=None, animated: bool = False):
-        import matplotlib
-        matplotlib.use("Agg")
+        if fig is None:
+            # headless default only: flipping the process-wide backend is
+            # wrong when the caller hands us a figure it already embedded
+            # (e.g. the Qt canvas in gui/app.py)
+            import matplotlib
+            matplotlib.use("Agg")
         from matplotlib.figure import Figure
         self.fig = fig if fig is not None else Figure(constrained_layout=True)
         self.animated = animated

@@ -69,3 +69,31 @@ def test_batch_shared_max():
     for b in range(4):
         np.testing.assert_allclose(out[b], _ref_normalize(batch[b], global_max=gm),
                                    atol=1e-6)
+
+
+def test_nan_pixel_with_global_max_matches_elementwise_reference():
+    """A non-finite PSD value must behave like the reference's ELEMENTWISE
+    nan_to_num (the bad pixel renders as db=0 and the extrema come from
+    the finite pixels + that 0), not poison the analytic extrema into an
+    all-zero image. Regression: the monotone-extrema shortcut returned
+    all-black for any NaN under a caller-supplied global_max."""
+    rng = np.random.RandomState(7)
+    sxx32 = (rng.rand(16, 8).astype(np.float32)) * 1e-3
+    sxx32[3, 4] = np.nan
+    gm = 2e-3
+    out = np.asarray(normalize(jnp.asarray(sxx32), log_scale=True,
+                               global_max=gm))
+    ref = _ref_normalize(sxx32.astype(np.float64), log_scale=True,
+                         global_max=gm)
+    assert np.isfinite(out).all()
+    assert out.max() > 0.5          # the image is NOT collapsed to zeros
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_inf_pixel_matches_elementwise_reference():
+    rng = np.random.RandomState(8)
+    sxx32 = (rng.rand(16, 8).astype(np.float32)) * 1e-3
+    sxx32[5, 2] = np.inf
+    out = np.asarray(normalize(jnp.asarray(sxx32), log_scale=True))
+    ref = _ref_normalize(sxx32.astype(np.float64), log_scale=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -84,6 +84,14 @@ def test_pallas_rejects_unsupported():
     assert pallas_supported(SpecConfig.north_star(4096, 1024))
     assert pallas_supported(SpecConfig.north_star(8192, 2048))  # manual DMA
     assert pallas_supported(SpecConfig.north_star(1024, 256))
+    # tiny hop at huge nperseg: the gcd framing's forced overlap block
+    # (q_max=341 frames of (S=3, g=8) rows) alone exceeds the on-chip VMEM
+    # budget — must be rejected so callers fall back to the XLA path
+    # instead of failing Mosaic compilation mid-job
+    assert not pallas_supported(SpecConfig.north_star(8192, 24))
+    with pytest.raises(ValueError, match="unsupported"):
+        stft_psd_pallas(jnp.zeros(100000), 1000.0,
+                        SpecConfig.north_star(8192, 24))
 
 
 @pytest.mark.parametrize("nperseg,n", [

@@ -112,6 +112,7 @@ def main() -> int:
     dt_fft = _timer_amortized(
         lambda x: power_spectrogram(x, fs, cfg_ref, use_matmul=False), xb)
     row["xla_fft_ms_per_clip"] = round(dt_fft * 1000 / B, 4)
+    row["xla_fft_audio_hours_per_min"] = ahpm(dt_fft)
     best = max(v for k, v in row.items() if k.endswith("per_min"))
     row["vs_cpu_reference_11.8"] = round(best / ref_ahpm_cpu, 1)
     row["note"] = ("the reference's exact scipy-default config "
