@@ -12,6 +12,7 @@ Usage: python tools/bench_report.py [--out FILE] [--cpu] [--quick]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -129,6 +130,25 @@ def main() -> int:
     dt = _timer_amortized(full, xb)
     S["pipeline_full"] = {"ms_per_clip": round(dt * 1000 / B, 4),
                           "audio_hours_per_min": ahpm(dt)}
+
+    # same pipeline on the measured 'fast' precision tier (bf16 3-pass
+    # DFT matmuls, ~5e-2 dB display-only error — core/stft.py
+    # matmul_precision): the throughput headroom when the scipy contract
+    # is not required
+    cfg_fast = dataclasses.replace(cfg, precision="fast")
+
+    def full_fast(x):
+        img = jax.vmap(lambda s: normalize(s, True, None))(
+            jnp.swapaxes(power_spectrogram(x, fs, cfg_fast,
+                                           use_matmul=True), -1, -2))
+        return apply_colormap_packed(img, "jet", flip_rows=True)
+    dt = _timer_amortized(full_fast, xb)
+    S["pipeline_full_fast_tier"] = {
+        "ms_per_clip": round(dt * 1000 / B, 4),
+        "audio_hours_per_min": ahpm(dt),
+        "note": "precision='fast' (bf16 3-pass DFT, ~5e-2 dB display-only "
+                "error tier) — the headroom when scipy-contract accuracy "
+                "is not required"}
 
     # PNG encode (host)
     packed = np.asarray(jax.jit(full)(xb)[:4])
