@@ -96,15 +96,18 @@ def export_batch_signals_png(out_dir: str, registry: SweepRegistry,
                              names: Sequence[str], *,
                              use_proc: bool = False, use_raw: bool = True,
                              height: int = 1200, width: int = 3600,
-                             window_seconds: Optional[float] = None,
+                             window_seconds: Optional[float] = 300.0,
                              compress_level: int = 4) -> str:
     """Batch waveform export with the reference's two-pass shared y-scale.
 
-    window_seconds mirrors the reference's hardcoded 0-300 s x-limit
-    (ExportManager.py:178); None sizes the axis to each signal.
+    window_seconds defaults to the reference's hardcoded 0-300 s x-limit
+    (ExportManager.py:178 — signals shorter than the window leave the
+    remaining columns empty, exactly like the fixed xlim); pass None to
+    size the axis to each signal instead.
     """
     if not names:
         return "No items selected for batch export."
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     # pass 1: global max amplitude across every exported signal (:126-144)
     max_amp = 0.0

@@ -329,7 +329,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("files", nargs="+")
     p.add_argument("-o", "--out-dir", required=True)
     p.add_argument("--proc", action="store_true")
-    p.add_argument("--window-seconds", type=float, default=None)
+    p.add_argument("--window-seconds", type=float, default=300.0,
+                   help="fixed x-window like the reference's 0-300 s "
+                        "(ExportManager.py:178); 0 sizes to each signal")
 
     p = sub.add_parser("stream", help="chunked STFT for long recordings "
                                       "(bounded device memory)")

@@ -202,10 +202,29 @@ def test_cli_info_and_batch(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "sig_sweep0" in out and "fs=1000" in out
 
-    out_dir = str(tmp_path / "batch")
-    os.makedirs(out_dir)
+    # out dir is created on demand (no pre-existing-dir requirement)
+    out_dir = str(tmp_path / "batch" / "nested")
     assert main(["export-batch", wav_path, "-o", out_dir]) == 0
     assert os.path.exists(os.path.join(out_dir, "sig_sweep0.png"))
+
+    # the reference's fixed 0-300 s x-window is the DEFAULT
+    # (ExportManager.py:178): a 6 s signal occupies the left 2% of the
+    # width, the rest stays background
+    from spectral_tpu.render.png import decode_png
+    img = np.asarray(decode_png(os.path.join(out_dir, "sig_sweep0.png")))
+    ink = (img[..., :3].min(axis=-1) < 250).any(axis=0)
+    assert ink[: img.shape[1] // 50].any()          # signal at the left edge
+    assert not ink[int(img.shape[1] * 0.05):].any()  # empty past 6/300
+
+    # opt-out: --window-seconds 0 sizes the axis to the signal
+    out_dir2 = str(tmp_path / "batch_fit")
+    assert main(["export-batch", wav_path, "-o", out_dir2,
+                 "--window-seconds", "0"]) == 0
+    img2 = np.asarray(decode_png(os.path.join(out_dir2, "sig_sweep0.png")))
+    ink2 = (img2[..., :3].min(axis=-1) < 250).any(axis=0)
+    # fills most of the width (envelope rasterizer maps whole samples per
+    # column, so 6000 samples / 3600 cols -> 2/col -> 3000 used columns)
+    assert ink2[int(img2.shape[1] * 0.75):].any()
 
 
 def test_gui_graceful_without_qt(capsys):
