@@ -111,7 +111,6 @@ def export_batch_signals_png(out_dir: str, registry: SweepRegistry,
 
     # pass 1: global max amplitude across every exported signal (:126-144)
     max_amp = 0.0
-    selected = []
     for name in names:
         if name not in registry.data:
             continue

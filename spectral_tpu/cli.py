@@ -178,7 +178,11 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
         if key in cache:
             cache.move_to_end(key)
             return cache[key]
-        s = AnalysisSession()
+        # warm_detection=False: the worker is strictly sequential, so a
+        # speculative background detection compile at plot time only
+        # contends with the request being served; a detect/learn request
+        # pays its compile inline (same total cost, no contention)
+        s = AnalysisSession(warm_detection=False)
         for p in files:
             s.load(p)
         cache[key] = s
@@ -267,7 +271,7 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
                 stdout.write(_json.dumps({"ok": True, "bye": True}) + "\n")
                 stdout.flush()
                 return 0
-            if request_timeout is None:
+            if not request_timeout:      # None or 0 = no timeout
                 resp = handle(req, sessions)
             else:
                 resp, timed_out = handle_with_timeout(req, sessions)

@@ -238,9 +238,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         # holds a malloc/zlib lock deadlocks — hanging the export on its
         # future.result(). The forkserver parent is single-threaded.
         import multiprocessing as _mp
+        method = ("forkserver"
+                  if "forkserver" in _mp.get_all_start_methods() else "spawn")
         pool = cf.ProcessPoolExecutor(
             max_workers=encode_workers,
-            mp_context=_mp.get_context("forkserver"))
+            mp_context=_mp.get_context(method))
     else:
         pool = cf.ThreadPoolExecutor(max_workers=encode_workers)
     try:
