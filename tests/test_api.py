@@ -542,6 +542,15 @@ def test_cli_serve_lru_eviction_and_guards(tmp_path, monkeypatch):
     assert not out[0]["ok"] and "Timeout" in out[0]["error"]
     assert out[1] == {"ok": True, "pong": True}   # recovered
 
+    # timeout 0 (and None) means NO timeout — the documented disabled
+    # value; regression: the daemon-thread rewrite briefly treated 0 as a
+    # zero-second deadline, timing out every request
+    stdin = io.StringIO(json.dumps(slow_marker) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout, request_timeout=0) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out[0]["ok"], out[0]    # the 1 s-slow request completed
+
 
 def test_cli_serve_render_batch(tmp_path):
     """render_batch: N clips through ONE batched dispatch (the export
