@@ -7,6 +7,7 @@ architectural weak point).
 
 from __future__ import annotations
 
+import functools
 import threading
 from typing import List, Optional, Sequence, Tuple
 
@@ -22,6 +23,18 @@ Event = Tuple[float, float]
 # one persistent jit wrapper so repeated decodes hit the compilation cache
 # (a fresh jax.jit(...) per call would retrace every time)
 _viterbi_jit = jax.jit(hmm.viterbi)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _fused_detect_packed(params0: hmm.HMMParams, X, n_iter: int):
+    """unsupervised_fit_decode with states and baseline packed into ONE
+    output array: over a tunneled runtime every device->host fetch is a
+    separate O(10 ms) round trip, so the warm interactive path reads the
+    whole decode ([states..., baseline]) in a single np.asarray."""
+    params, states, baseline, _ll, _it = hmm.unsupervised_fit_decode(
+        params0, X, n_iter=n_iter)
+    return params, jnp.concatenate([states,
+                                    baseline[None].astype(states.dtype)])
 
 
 class BurstDetector:
@@ -89,7 +102,7 @@ class BurstDetector:
                         transmat=jax.ShapeDtypeStruct((K, K), jnp.float32),
                         means=jax.ShapeDtypeStruct((K, D), jnp.float32),
                         covars=jax.ShapeDtypeStruct((K, D), jnp.float32))
-                    hmm.unsupervised_fit_decode.lower(
+                    _fused_detect_packed.lower(
                         p, X, n_iter=self.n_iter).compile()
                     _viterbi_jit.lower(p, X).compile()
             except Exception:       # warmup must never break detection
@@ -120,15 +133,14 @@ class BurstDetector:
                 params0 = hmm.init_params(X, self.n_states, seed=self.seed)
                 # fit + escape-route patch + baseline + Viterbi in ONE
                 # dispatch (dispatch latency dominates compute on remote
-                # runtimes), and the baseline comes back with that
-                # dispatch's outputs — fetching params.means for a host
-                # argmin would cost a second device->host round trip
-                # (measured ~80 ms over the tunnel)
-                self.params, states_d, b_d, _ll, _it = \
-                    hmm.unsupervised_fit_decode(params0, X,
-                                                n_iter=self.n_iter)
-                states = np.asarray(states_d)
-                baseline_state = int(b_d)             # PlotEngine.py:445
+                # runtimes) and ONE readback: states and the baseline
+                # state (PlotEngine.py:445) come back packed in a single
+                # array — separate fetches of states / baseline /
+                # params.means each cost their own device->host round trip
+                self.params, packed_d = _fused_detect_packed(
+                    params0, X, n_iter=self.n_iter)
+                packed = np.asarray(packed_d)
+                states, baseline_state = packed[:-1], int(packed[-1])
             else:
                 states = np.asarray(_viterbi_jit(self.params, X))
                 means = np.asarray(self.params.means)

@@ -204,19 +204,36 @@ def main() -> int:
         det = BurstDetector(device=device)
         det.warmup(T, 2, background=False)      # what plot time does
         det.unsupervised_detect(tax, feats)     # absorb one-time constants
-        det.reset()
-        t0 = time.time()
-        ev_out = det.unsupervised_detect(tax, feats)
-        return (time.time() - t0) * 1000, len(ev_out)
+        best, n = float("inf"), 0
+        for _ in range(3):                      # best-of-3: damp tunnel noise
+            det.reset()
+            t0 = time.time()
+            ev_out = det.unsupervised_detect(tax, feats)
+            best, n = min(best, (time.time() - t0) * 1000), len(ev_out)
+        return best, n
 
     dev_ms, n_ev = detect_ms("default")
     cpu_ms, _ = detect_ms("cpu")
+    # round-trip floor: a trivial jitted program + one 600-int32 fetch on
+    # the default backend — the irreducible cost any device detection pays
+    # regardless of compute
+    tiny = jax.jit(lambda v: v + 1)
+    xz = jnp.zeros(T, jnp.int32)
+    np.asarray(tiny(xz))
+    floors = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(tiny(xz))
+        floors.append((time.time() - t0) * 1000)
     S["interactive_detect_T600_warm"] = {
         "device_ms": round(dev_ms, 1), "cpu_ms": round(cpu_ms, 1),
         "device_vs_cpu": round(dev_ms / cpu_ms, 2), "events": n_ev,
-        "note": "unrefined detect (fit+patch+viterbi) after plot-time "
-                "warmup precompiled the shape; detector AUTO mode picks "
-                "cpu for small T, 'default' forces the accelerator path"}
+        "dispatch_floor_ms": round(min(floors), 1),
+        "note": "warm fit+patch+viterbi with states+baseline packed into "
+                "ONE readback; dispatch_floor_ms = a trivial jitted "
+                "program + 600-int32 fetch on the same backend — the "
+                "irreducible round-trip cost, which is why detector AUTO "
+                "mode picks cpu for small T"}
 
     # Long-form streaming STFT (BASELINE config 4 / BASELINE.md row 3:
     # 1 h @ 48 kHz on the reference's exact scipy-default path, measured
