@@ -389,6 +389,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("doctor", help="environment self-check: backend, "
                                       "native components, numerical sanity")
+    p.add_argument("--probe-link", action="store_true",
+                   help="also measure dispatch latency and device->host "
+                        "bandwidth (diagnoses remote/tunneled runtimes)")
 
     p = sub.add_parser("gui", help="launch the Qt GUI client (needs PyQt5)")
 
@@ -580,6 +583,36 @@ def main(argv: Optional[List[str]] = None) -> int:
         ok &= sane
         print(f"sanity:         1 kHz tone peaks at {peak:.1f} Hz "
               f"({'ok' if sane else 'FAIL'})")
+
+        if getattr(args, "probe_link", False):
+            # Production triage for remote/tunneled runtimes: the dispatch
+            # floor explains interactive latency (detector AUTO policy),
+            # the D2H rate explains export throughput (BENCH_REPORT's
+            # end_to_end_export is readback-bound on slow links).
+            import time as _time
+            tiny = jax.jit(lambda v: v + 1)
+            xz = jnp.zeros(600, jnp.int32)
+            np.asarray(tiny(xz))                       # warm compile+path
+            floors = []
+            for _ in range(5):
+                t0 = _time.time()
+                np.asarray(tiny(xz))
+                floors.append((_time.time() - t0) * 1000)
+            print(f"dispatch floor: {min(floors):.1f} ms "
+                  "(trivial program + 600-int32 readback, best of 5)")
+            base = jnp.zeros((8 << 20) // 4, jnp.float32)  # 8 MB
+            dbl = jax.jit(lambda v: v * 2)
+            np.asarray(dbl(base))                      # warm compile+path
+            rates = []
+            for _ in range(3):
+                fresh = dbl(base)      # a NEW device buffer each round —
+                # re-fetching one array reads its cached host copy
+                t0 = _time.time()
+                np.asarray(fresh)
+                rates.append(8.0 / (_time.time() - t0))
+            print(f"d2h bandwidth:  {max(rates):.1f} MB/s "
+                  "(8 MB f32 fetch, best of 3)")
+
         print("doctor:", "all good" if ok else "PROBLEMS FOUND")
         return 0 if ok else 1
 

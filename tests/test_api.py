@@ -384,6 +384,10 @@ def test_cli_doctor(capsys):
     assert main(["doctor"]) == 0
     out = capsys.readouterr().out
     assert "backend:" in out and "sanity:" in out and "all good" in out
+    # --probe-link: dispatch-latency + device->host bandwidth triage
+    assert main(["doctor", "--probe-link"]) == 0
+    out = capsys.readouterr().out
+    assert "dispatch floor:" in out and "d2h bandwidth:" in out
 
 
 def test_cli_export_specs_on_error_skip(tmp_path, capsys):
