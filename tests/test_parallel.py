@@ -555,3 +555,30 @@ def test_export_pipeline_pallas_palette(tmp_path):
     b = decode_png(str(tmp_path / "p" / "p0.png"))
     assert a.shape == b.shape
     assert (a != b).mean() < 5e-3
+
+
+def test_distributed_em_dots_are_highest_precision():
+    """Same guard as tests/test_hmm.py::test_em_dots_are_highest_precision
+    but for the sharded EM program: the TPU-default bf16 dot rounding
+    collapses EM through the covariance cancellation, so every dot in
+    em_step must carry explicit HIGHEST precision."""
+    def _dot_precisions(jaxpr):
+        out = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    out.extend(_dot_precisions(v.jaxpr))
+                elif hasattr(v, "eqns"):
+                    out.extend(_dot_precisions(v))
+        return out
+
+    rng = np.random.RandomState(0)
+    Xb = rng.randn(2, 50, 2).astype(np.float32)
+    p0 = hmm.init_params(Xb.reshape(-1, 2), 4, seed=42)
+    closed = jax.make_jaxpr(distributed_em.em_step)(p0, jnp.asarray(Xb))
+    precs = _dot_precisions(closed.jaxpr)
+    assert precs, "expected dot_general ops in the sharded EM program"
+    hp = jax.lax.Precision.HIGHEST
+    assert all(p == (hp, hp) for p in precs), precs
