@@ -9,13 +9,15 @@ from spectral_tpu.core.scale import normalize, normalize_batch
 def _ref_normalize(sxx, log_scale=False, global_max=None):
     """Direct float64 re-statement of PlotEngine.py:126-131."""
     base = np.max(sxx) if global_max is None or global_max <= 0 else global_max
-    norm = np.clip(sxx / (base + 1e-20), 0.0, 1.0)
-    if log_scale:
-        eps = 1e-12
-        db = 10.0 * np.log10(norm + eps)
-        db = np.nan_to_num(db)
-        mn, mx = np.min(db), np.max(db)
-        norm = (db - mn) / (mx - mn) if (mx - mn) > 1e-6 else np.zeros_like(db)
+    with np.errstate(invalid="ignore", divide="ignore"):  # inf/inf -> NaN
+        norm = np.clip(sxx / (base + 1e-20), 0.0, 1.0)
+        if log_scale:
+            eps = 1e-12
+            db = 10.0 * np.log10(norm + eps)
+            db = np.nan_to_num(db)
+            mn, mx = np.min(db), np.max(db)
+            norm = ((db - mn) / (mx - mn) if (mx - mn) > 1e-6
+                    else np.zeros_like(db))
     return norm
 
 
