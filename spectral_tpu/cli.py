@@ -350,6 +350,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--bands", action="store_true",
                    help="fold EEG band powers on device instead of "
                         "materializing the PSD (long-form analytics)")
+    p.add_argument("--channel", type=int, default=0,
+                   help="sweep/channel index for multi-channel files "
+                        "(default 0, the reference's channel heuristic)")
     _add_spec_args(p)
 
     p = sub.add_parser("export-specs",
@@ -470,7 +473,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             names = r.load_file(args.file)
         except FileNotFoundError:
             sys.exit(f"error: file not found: {args.file}")
-        sig, fs = r.get_signal(names[0])
+        if not 0 <= args.channel < len(names):
+            sys.exit(f"error: --channel {args.channel} out of range "
+                     f"(file has {len(names)} sweep(s))")
+        sig, fs = r.get_signal(names[args.channel])
         cfg = _make_config(args)
         hop = cfg.hop_
         chunk = max(cfg.nperseg, int(args.chunk_seconds * fs) // hop * hop)

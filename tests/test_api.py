@@ -342,6 +342,28 @@ def test_cli_stream_bands(tmp_path, capsys):
     assert bp["Theta (θ)"] > 0.5
 
 
+def test_cli_stream_channel_select(tmp_path, capsys):
+    """--channel picks a sweep of a multi-channel file; out-of-range is a
+    clear error (default 0 = the reference's channel heuristic)."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    rng = np.random.RandomState(0)
+    quiet = (0.05 * rng.randn(int(fs * 20))).astype(np.float32)
+    loud = _bursty(fs=fs, dur=20.0).astype(np.float32) * 0.5
+    wav_path = str(tmp_path / "stereo.wav")
+    write_wav(wav_path, np.stack([quiet, loud], axis=1), fs)
+
+    assert main(["stream", wav_path, "--bands", "--nperseg", "512",
+                 "--channel", "1", "--chunk-seconds", "5"]) == 0
+    out = capsys.readouterr().out
+    import json as _json
+    bp = _json.loads(out[:out.rindex("}") + 1])
+    assert bp["Theta (θ)"] > 0.5        # the bursty channel, not the quiet one
+
+    with pytest.raises(SystemExit):
+        main(["stream", wav_path, "--bands", "--channel", "2"])
+
+
 def test_stream_band_powers_matches_monolithic():
     from spectral_tpu.parallel.streaming import stream_band_powers
     from spectral_tpu.core.stft import power_spectrogram, freq_axis
