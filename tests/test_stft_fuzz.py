@@ -69,3 +69,32 @@ def test_fuzz_north_star_combos(trial):
     np.testing.assert_allclose(t, t_ref, atol=1e-9)
     err = np.max(np.abs(np.asarray(sxx) - sxx_ref)) / sxx_ref.max()
     assert err < 4e-5, (nperseg, hop, window, fs, n, use_matmul, err)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_pallas_gcd_framing(trial):
+    """Random (nperseg, hop) pairs — dividing, non-dividing (gcd framing),
+    and hop > nperseg — through the Pallas kernel (interpret mode on CPU)
+    vs the XLA matmul path. Catches framing/index bugs the fixed matrix in
+    test_stft_pallas.py could miss."""
+    from spectral_tpu.ops.stft_pallas import pallas_supported, stft_psd_pallas
+    r = np.random.RandomState(trial * 31 + 9)
+    g = int(2 ** r.randint(3, 8))              # gcd 8..128
+    nperseg = g * int(r.randint(2, 17))        # 2g..16g
+    if nperseg < 32:
+        nperseg = 32
+    hop = g * int(r.randint(1, 24))            # any multiple: S from 1 up,
+    fs = 16000.0                               # incl. hop > nperseg
+    cfg = SpecConfig.north_star(nperseg, hop)
+    if not pallas_supported(cfg):
+        pytest.skip(f"unsupported combo {nperseg}/{hop}")
+    n = int(nperseg * r.uniform(3.0, 9.0)) + int(r.randint(0, hop))
+    x = _signal(n, fs, int(r.randint(3)), trial + 200).astype(np.float32)
+
+    ref = np.asarray(stft_mod.power_spectrogram(jnp.asarray(x), fs, cfg,
+                                                use_matmul=True))
+    out = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
+    assert out.shape == ref.shape, (nperseg, hop, n)
+    if ref.size:
+        np.testing.assert_allclose(out, ref, rtol=1e-4,
+                                   atol=float(ref.max()) * 1e-6 + 1e-12)
