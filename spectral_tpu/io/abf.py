@@ -16,8 +16,12 @@ scale = fADCRange / lADCResolution / fInstrumentScaleFactor / fSignalGain /
 fADCProgrammableGain (/ fTelegraphAdditGain when telegraph is enabled) and
 offset = fInstrumentOffset - fSignalOffset.
 
-Scope: episodic/gap-free int16 and float32 data without compression. Files
-outside this subset raise ValueError with a clear message.
+Scope: episodic/gap-free int16 and float32 data without compression
+(enforced: compressed ABF2 and event-driven variable-length files raise
+ValueError). ABF1 channel order follows nADCSamplingSeq (the interleaved
+data is in sampling-sequence order; scaling arrays are indexed by physical
+channel), data starts nNumPointsIgnored samples into the data section, and
+telegraph gain applies from header version 1.6 on.
 """
 
 from __future__ import annotations
@@ -107,6 +111,14 @@ class AbfInfo:
 
         proto_block, _, _ = self._section(0)
         proto = _read_struct(buf, proto_block * BLOCK, _PROTOCOL_FIELDS)
+        if proto["bEnableFileCompression"]:
+            raise ValueError(
+                "compressed ABF2 files are out of scope — the data section "
+                "is not raw samples")
+        if proto["nOperationMode"] == 1:
+            raise ValueError(
+                "ABF2 event-driven variable-length files (nOperationMode=1) "
+                "are out of scope — sweeps are not uniform")
         self.sample_interval_us = proto["fADCSequenceInterval"]
         self.samples_per_episode = proto["lNumSamplesPerEpisode"]
         self.adc_range = proto["fADCRange"]
@@ -146,8 +158,15 @@ class AbfInfo:
         buf = self._buf
         self.version = 1
         u = lambda fmt, off: struct.unpack_from("<" + fmt, buf, off)[0]
+        file_version = u("f", 4)                       # fFileVersionNumber
+        op_mode = u("h", 8)                            # nOperationMode
+        if op_mode == 1:
+            raise ValueError(
+                "ABF1 event-driven variable-length files (nOperationMode=1) "
+                "are out of scope — sweeps are not uniform")
         self.n_sweeps = max(1, u("i", 16))            # lActualEpisodes
         acq_len = u("i", 10)                           # lActualAcqLength
+        points_ignored = u("h", 14)                    # nNumPointsIgnored
         self.n_channels = max(1, u("h", 120))          # nADCNumChannels
         self.sample_interval_us = u("f", 122) * self.n_channels
         self.samples_per_episode = u("i", 138)         # lNumSamplesPerEpisode
@@ -155,24 +174,37 @@ class AbfInfo:
         self.data_format = u("h", 100)                 # nDataFormat
         self.adc_range = u("f", 244)
         self.adc_resolution = u("i", 252)
+        # telegraph arrays exist from header version 1.65 on (pyabf/neo
+        # apply them whenever present); guard older, shorter headers
+        has_telegraph = file_version >= 1.6 and len(buf) >= 4576 + 64
         self.channel_scale, self.channel_offset = [], []
         for ch in range(self.n_channels):
-            inst_scale = u("f", 922 + 4 * ch)
-            inst_off = u("f", 986 + 4 * ch)
-            sig_gain = u("f", 1050 + 4 * ch)
-            sig_off = u("f", 1114 + 4 * ch)
-            prog_gain = u("f", 730 + 4 * ch)
+            # the interleaved data's channel order is the SAMPLING
+            # SEQUENCE (nADCSamplingSeq, int16[16] at 410); the scaling
+            # arrays below are indexed by PHYSICAL channel number
+            phys = u("h", 410 + 2 * ch)
+            inst_scale = u("f", 922 + 4 * phys)
+            inst_off = u("f", 986 + 4 * phys)
+            sig_gain = u("f", 1050 + 4 * phys)
+            sig_off = u("f", 1114 + 4 * phys)
+            prog_gain = u("f", 730 + 4 * phys)
             scale = 1.0
             for g in (inst_scale, sig_gain, prog_gain):
                 if g:
                     scale /= g
+            if has_telegraph and u("h", 4512 + 2 * phys):  # nTelegraphEnable
+                tele_gain = u("f", 4576 + 4 * phys)  # fTelegraphAdditGain
+                if tele_gain:
+                    scale /= tele_gain
             if self.adc_resolution:
                 scale *= self.adc_range / self.adc_resolution
             self.channel_scale.append(scale)
             self.channel_offset.append(inst_off - sig_off)
         dtype = "<i2" if self.data_format == 0 else "<f4"
-        self._data = np.frombuffer(buf, dtype, count=acq_len,
-                                   offset=data_ptr * BLOCK)
+        itemsize = 2 if self.data_format == 0 else 4
+        self._data = np.frombuffer(
+            buf, dtype, count=acq_len,
+            offset=data_ptr * BLOCK + points_ignored * itemsize)
         self.data_is_int = self.data_format == 0
 
     # -- public -------------------------------------------------------------
@@ -209,12 +241,15 @@ def load_abf(filepath: str, registry) -> List[str]:
     for i in range(abf.n_sweeps):
         ch0 = abf.sweep(i, 0)
         ch1 = abf.sweep(i, 1) if abf.n_channels > 1 else None
-        if ch0 is not None and np.any(np.abs(ch0) > 0):
+        if ch0.size and np.any(np.abs(ch0) > 0):
             raw = ch0
-        elif ch1 is not None and np.any(np.abs(ch1) > 0):
+        elif ch1 is not None and ch1.size and np.any(np.abs(ch1) > 0):
             raw = ch1
         else:
-            raw = ch0 if ch0 is not None else np.zeros(1, np.float32)
+            # SweepManager.py:52-56: an empty/no-data sweep registers a
+            # single zero sample (ch0.size can be 0 when the data section
+            # is empty — "is not None" could never take this branch)
+            raw = ch0 if ch0.size else np.zeros(1, np.float32)
         name = f"{base}_sweep{i}"
         registry.register(name, SweepEntry(
             filepath=filepath, sweep_idx=i, fs=fs, fs_raw=fs,
@@ -235,7 +270,7 @@ def write_abf2_fixture(filepath: str, sweeps: np.ndarray, fs: float,
     n_sweeps, n_samp = sweeps.shape
     adc_range, adc_res = 10.0, 2 ** 15
     peak = np.abs(sweeps).max() or 1.0
-    inst_scale = adc_range / (peak * 1.2) * (adc_res / adc_res)
+    inst_scale = adc_range / (peak * 1.2)
     # value = raw * adc_range/adc_res / inst_scale  =>  raw = value*inst_scale*adc_res/adc_range
     raw = np.round(sweeps * inst_scale * adc_res / adc_range)
     raw = np.clip(raw, -32768, 32767).astype("<i2")

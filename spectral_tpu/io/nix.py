@@ -66,26 +66,38 @@ def _collect_nix_segments(f) -> List[List[Tuple[str, np.ndarray, Optional[float]
     """Returns per-segment lists of (signal_name, data, fs) from NIX layout."""
     segments = []
     data_root = f.get("data")
-    if data_root is None:
+    # every container level is isinstance-checked: a generic HDF5 file may
+    # have a DATASET named 'data' (or datasets where NIX has groups), and
+    # iterating/`.get`ing a Dataset raises — such files must fall through
+    # to the generic collector instead of crashing the load
+    if not isinstance(data_root, h5py.Group):
         return segments
     for block_name in data_root:
         block = data_root[block_name]
+        if not isinstance(block, h5py.Group):
+            continue
         groups = block.get("groups")
         das = block.get("data_arrays")
-        if groups is None:
+        if not isinstance(groups, h5py.Group):
             continue
         for seg_name in groups:
             seg = groups[seg_name]
+            if not isinstance(seg, h5py.Group):
+                continue
             seg_das = seg.get("data_arrays")
             sigs = []
-            src = seg_das if seg_das is not None else das
-            if src is None:
+            src = seg_das if isinstance(seg_das, h5py.Group) else das
+            if not isinstance(src, h5py.Group):
                 continue
             for da_name in src:
                 da = src[da_name]
                 if not isinstance(da, h5py.Group) or "data" not in da:
                     continue
                 name = _to_str(da.attrs.get("name", da_name))
+                # reshape(-1) on purpose, INCLUDING 2-D (samples, channels)
+                # arrays: the reference does exactly
+                # `magnitude.copy().reshape(-1)` (SweepManager.py:135-136),
+                # so multi-channel AnalogSignals interleave identically here
                 arr = np.asarray(da["data"]).reshape(-1)
                 fs = _fs_from_nix_dims(da)
                 sigs.append((name, arr, fs))

@@ -77,6 +77,13 @@ class SweepRegistry:
             raise ValueError("npz file must contain 'raw' or 'processed'")
         src2 = np.atleast_2d(src)
         proc2 = np.atleast_2d(proc) if proc is not None else None
+        if (raw is not None and proc2 is not None
+                and proc2.shape[0] != src2.shape[0]):
+            # validate BEFORE registering anything: an IndexError mid-loop
+            # would leave the registry partially populated
+            raise ValueError(
+                f"npz 'raw' has {src2.shape[0]} sweep(s) but 'processed' "
+                f"has {proc2.shape[0]} — sweep counts must match")
         base = os.path.splitext(os.path.basename(filepath))[0]
         names = []
         for i in range(src2.shape[0]):

@@ -239,3 +239,159 @@ def test_nix_bytelevel_layout(tmp_path):
     assert fs1 == pytest.approx(2000.0)
     raw1, _ = reg.get_signal("hand.nix_sweep1", processed=False)
     np.testing.assert_array_equal(raw1, only1)
+
+
+def _abf1_bytes(raw, *, fs=5000.0, n_ch=1, sampling_seq=None,
+                points_ignored=0, file_version=0.0,
+                inst_scale=(0.25,), inst_off=(1.5,), signal_gain=(1.0,),
+                sig_off=(0.5,), prog_gain=(1.0,), telegraph=None,
+                op_mode=5, header_blocks=3):
+    """Hand-assembled ABF1 file at the published fixed offsets.
+
+    raw: int16 array of the FULL interleaved data section (after the
+    ignored points). sampling_seq maps interleave position -> physical
+    channel (nADCSamplingSeq, int16[16] at 410; default identity).
+    Scaling arrays are indexed by PHYSICAL channel. telegraph:
+    dict {phys: gain} -> sets nTelegraphEnable[phys] (4512) and
+    fTelegraphAdditGain[phys] (4576); requires file_version >= 1.6."""
+    raw = np.asarray(raw, "<i2")
+    data_block = header_blocks
+    buf = bytearray(data_block * BLOCK)
+    buf[0:4] = b"ABF "
+    struct.pack_into("<f", buf, 4, file_version)     # fFileVersionNumber
+    struct.pack_into("<h", buf, 8, op_mode)          # nOperationMode
+    struct.pack_into("<i", buf, 10, raw.size)        # lActualAcqLength
+    struct.pack_into("<h", buf, 14, points_ignored)  # nNumPointsIgnored
+    struct.pack_into("<i", buf, 16, 1)               # lActualEpisodes
+    struct.pack_into("<i", buf, 40, data_block)      # lDataSectionPtr
+    struct.pack_into("<h", buf, 100, 0)              # nDataFormat: int16
+    struct.pack_into("<h", buf, 120, n_ch)           # nADCNumChannels
+    struct.pack_into("<f", buf, 122, 1e6 / fs / n_ch)  # fADCSampleInterval
+    struct.pack_into("<i", buf, 138, raw.size // n_ch)
+    struct.pack_into("<f", buf, 244, 10.0)           # fADCRange
+    struct.pack_into("<i", buf, 252, 32768)          # lADCResolution
+    seq = sampling_seq if sampling_seq is not None else list(range(n_ch))
+    for pos, phys in enumerate(seq):
+        struct.pack_into("<h", buf, 410 + 2 * pos, phys)  # nADCSamplingSeq
+    n_phys = max(seq) + 1
+    for phys in range(n_phys):
+        struct.pack_into("<f", buf, 730 + 4 * phys,
+                         prog_gain[phys] if phys < len(prog_gain) else 0.0)
+        struct.pack_into("<f", buf, 922 + 4 * phys,
+                         inst_scale[phys] if phys < len(inst_scale) else 0.0)
+        struct.pack_into("<f", buf, 986 + 4 * phys,
+                         inst_off[phys] if phys < len(inst_off) else 0.0)
+        struct.pack_into("<f", buf, 1050 + 4 * phys,
+                         signal_gain[phys] if phys < len(signal_gain) else 0.0)
+        struct.pack_into("<f", buf, 1114 + 4 * phys,
+                         sig_off[phys] if phys < len(sig_off) else 0.0)
+    if telegraph:
+        for phys, gain in telegraph.items():
+            struct.pack_into("<h", buf, 4512 + 2 * phys, 1)
+            struct.pack_into("<f", buf, 4576 + 4 * phys, gain)
+    # data section: nNumPointsIgnored junk samples, THEN the real data
+    junk = np.full(points_ignored, 31000, "<i2")
+    return bytes(buf) + junk.tobytes() + raw.tobytes()
+
+
+def test_abf1_sampling_seq_maps_scaling_to_physical_channel(tmp_path):
+    """A file recording only PHYSICAL channel 1 (nADCSamplingSeq[0]=1):
+    the scaling arrays must be read at index 1, not interleave position 0
+    (whose unused slots here are zero -> silently wrong 10-100x scaling)."""
+    rng = np.random.RandomState(7)
+    raw = rng.randint(-5000, 5000, size=64).astype("<i2")
+    blob = _abf1_bytes(raw, n_ch=1, sampling_seq=[1],
+                       inst_scale=(0.0, 0.25), inst_off=(0.0, 1.5),
+                       signal_gain=(0.0, 2.0), sig_off=(0.0, 0.5),
+                       prog_gain=(0.0, 1.0))
+    p = tmp_path / "seq.abf"
+    p.write_bytes(blob)
+    abf = AbfInfo(str(p))
+    s = _expected_scale(0.25, 2.0, 1.0, None)
+    np.testing.assert_allclose(abf.sweep(0, 0), raw * s + 1.0,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_abf1_points_ignored_offsets_data_start(tmp_path):
+    """nNumPointsIgnored (int16 at 14) junk samples lead the data section;
+    reading from lDataSectionPtr*512 without the offset shifts every
+    sample (and de-interleaves channels wrongly)."""
+    rng = np.random.RandomState(8)
+    raw = rng.randint(-5000, 5000, size=48).astype("<i2")
+    blob = _abf1_bytes(raw, points_ignored=2)
+    p = tmp_path / "ignored.abf"
+    p.write_bytes(blob)
+    abf = AbfInfo(str(p))
+    s = _expected_scale(0.25, 1.0, 1.0, None)
+    got = abf.sweep(0, 0)
+    assert got.size == raw.size
+    np.testing.assert_allclose(got, raw * s + 1.0, rtol=1e-5, atol=1e-6)
+
+
+def test_abf1_telegraph_gain_applied_from_v16(tmp_path):
+    """nTelegraphEnable (4512) + fTelegraphAdditGain (4576) divide into the
+    scale for header version >= 1.6, like pyabf/neo."""
+    rng = np.random.RandomState(9)
+    raw = rng.randint(-5000, 5000, size=32).astype("<i2")
+    kw = dict(telegraph={0: 20.0}, header_blocks=10)
+    p = tmp_path / "tele.abf"
+    p.write_bytes(_abf1_bytes(raw, file_version=1.8, **kw))
+    abf = AbfInfo(str(p))
+    s = _expected_scale(0.25, 1.0, 1.0, 20.0)
+    np.testing.assert_allclose(abf.sweep(0, 0), raw * s + 1.0,
+                               rtol=1e-5, atol=1e-6)
+    # pre-1.6 headers have no telegraph arrays: same bytes, old version
+    p2 = tmp_path / "tele_old.abf"
+    p2.write_bytes(_abf1_bytes(raw, file_version=1.2, **kw))
+    s_old = _expected_scale(0.25, 1.0, 1.0, None)
+    np.testing.assert_allclose(AbfInfo(str(p2)).sweep(0, 0),
+                               raw * s_old + 1.0, rtol=1e-5, atol=1e-6)
+
+
+def test_abf_out_of_scope_files_raise(tmp_path):
+    raw = np.zeros(16, "<i2")
+    p = tmp_path / "varlen.abf"
+    p.write_bytes(_abf1_bytes(raw, op_mode=1))
+    with pytest.raises(ValueError, match="variable-length"):
+        AbfInfo(str(p))
+
+
+def test_generic_h5_toplevel_data_dataset_falls_through(tmp_path):
+    """A generic (non-NIX) HDF5 file with a top-level DATASET named 'data'
+    must reach the generic fallback, not crash the NIX walker."""
+    h5py = pytest.importorskip("h5py")
+    sig = np.sin(np.linspace(0, 5, 200)).astype(np.float32)
+
+    p = tmp_path / "plain_ds.h5"
+    with h5py.File(p, "w") as f:
+        d = f.create_dataset("data", data=sig)
+        d.attrs["fs"] = 1000.0
+    r = SweepRegistry()
+    names = load_nix_h5(str(p), r)
+    assert len(names) == 1
+    got, fs = r.get_signal(names[0])
+    assert fs == 1000.0
+    np.testing.assert_allclose(got, sig)
+
+    # 'data' as a group of PLAIN datasets (NIX expects groups-of-groups)
+    p2 = tmp_path / "plain_grp.h5"
+    with h5py.File(p2, "w") as f:
+        g = f.create_group("data")
+        d = g.create_dataset("raw0", data=sig)
+        d.attrs["fs"] = 500.0
+    r2 = SweepRegistry()
+    names2 = load_nix_h5(str(p2), r2)
+    assert len(names2) == 1
+    got2, fs2 = r2.get_signal(names2[0])
+    assert fs2 == 500.0
+    np.testing.assert_allclose(got2, sig)
+
+
+def test_npz_mismatched_sweep_counts_raise(tmp_path):
+    p = str(tmp_path / "bad.npz")
+    np.savez(p, raw=np.zeros((3, 10), np.float32),
+             processed=np.zeros((2, 10), np.float32), fs=100.0)
+    r = SweepRegistry()
+    with pytest.raises(ValueError, match="sweep counts must match"):
+        r.load_file(p)
+    assert not r.names()        # nothing partially registered
