@@ -30,16 +30,35 @@ def build(name: str, verbose: bool = False) -> bool:
     if os.path.exists(out) and all(
             os.path.getmtime(out) >= os.path.getmtime(s) for s in src_paths):
         return True
-    cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out]
+    # compile to a unique temp path and os.rename into place: concurrent
+    # lazy builds (e.g. several process-pool encode workers triggering
+    # their first encode at once) would otherwise interleave g++ writes to
+    # the same -o file, and the corrupt .so — newer than its sources —
+    # would pass the freshness check forever after
+    tmp = f"{out}.{os.getpid()}.tmp"
+    cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp]
            + src_paths + libs)
+    def _cleanup():
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
+        _cleanup()
         return False
     if res.returncode != 0:
         if verbose:
             sys.stderr.write(res.stderr)
+        _cleanup()
         return False
+    try:
+        os.rename(tmp, out)          # atomic within the directory
+    except OSError:
+        _cleanup()
+        return os.path.exists(out)   # a concurrent build won the race
     return True
 
 

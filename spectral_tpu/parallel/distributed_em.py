@@ -106,19 +106,24 @@ def fit_sharded(params0: hmm.HMMParams, Xb: Array, mesh: Mesh,
 
     ll = prev
     it = start_it
+    last_saved = start_it
     for it in range(start_it + 1, n_iter + 1):
         params, ll_arr = step(params, Xb)
         ll = float(ll_arr)
         if checkpoint_dir is not None and it % checkpoint_every == 0:
             from spectral_tpu.utils import checkpoint as ckpt
             ckpt.save_training_state(checkpoint_dir, params, it, ll)
+            last_saved = it
         # hmmlearn ConvergenceMonitor semantics: stop whenever the gain
         # drops below tol — INCLUDING a sharp log-likelihood decrease
         # (tested by test_fit_sharded_stops_on_ll_decrease)
         if ll - prev < tol and it > 1:
             break
         prev = ll
-    if checkpoint_dir is not None and it > start_it:
+    # final checkpoint — but not a duplicate of an in-loop save: orbax
+    # raises StepAlreadyExistsError for a step it already holds, which
+    # would crash a fit whose last iteration lands on checkpoint_every
+    if checkpoint_dir is not None and it > last_saved:
         from spectral_tpu.utils import checkpoint as ckpt
         ckpt.save_training_state(checkpoint_dir, params, it, ll)
     return params, ll, it

@@ -73,7 +73,16 @@ def _batched(it: Iterator[Tuple[str, np.ndarray]], batch: int, n: int
         dt = np.int16 if all(b.dtype == np.int16 for b in bufs) else np.float32
         pad = batch - len(bufs)
         out = bufs + [np.zeros(n, dt)] * pad
-        return names, np.stack([np.asarray(b, dt) for b in out])
+
+        def conv(b):
+            # mixed batch -> float32: int16 clips are RAW PCM and must be
+            # normalized here, since the device-side /32768 only applies
+            # when the whole staged batch is int16
+            if dt == np.float32 and b.dtype == np.int16:
+                return b.astype(np.float32) / 32768.0
+            return np.asarray(b, dt)
+
+        return names, np.stack([conv(b) for b in out])
 
     for name, x in it:
         x = np.asarray(x)
@@ -158,7 +167,12 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         from spectral_tpu.core.stft import num_frames
         from spectral_tpu.render.lut import get_lut
         palette_arr = get_lut(colormap)
-        n_frames = num_frames(clip_samples, cfg.nperseg, cfg.hop_)
+        # center=True pads nperseg//2 per side before framing
+        # (core.stft._prep_frames) — the unpack width must match the
+        # device image's time columns or palette PNGs silently truncate
+        n_pad = clip_samples + 2 * (cfg.nperseg // 2) if cfg.center \
+            else clip_samples
+        n_frames = num_frames(n_pad, cfg.nperseg, cfg.hop_)
 
     base = None
     if use_pallas:
@@ -213,6 +227,20 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     stage_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     producer_error: list = []
 
+    cancel = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that aborts when the consumer has cancelled —
+        a plain blocking put would wedge this thread forever (holding
+        `prefetch` batches of device memory) if the consumer dies."""
+        while not cancel.is_set():
+            try:
+                stage_q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for names, xb in _batched(iter(clips), batch, clip_samples):
@@ -222,11 +250,12 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                     else jax.device_put(xb, in_sharding)
                 packed = fn(xd)
                 stats.stage_s += time.time() - t0
-                stage_q.put((names, packed))
+                if not _put((names, packed)):
+                    return
         except BaseException as e:  # re-raised in the consumer
             producer_error.append(e)
         finally:
-            stage_q.put(None)
+            _put(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -284,8 +313,17 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         for f in futures:
             _resolve(f, stats, on_error)
     finally:
+        # unblock the producer before waiting on anything: on a consumer
+        # error it would otherwise sit in stage_q.put forever, pinning
+        # `prefetch` staged batches of device memory
+        cancel.set()
+        while True:
+            try:
+                stage_q.get_nowait()
+            except queue.Empty:
+                break
         pool.shutdown(wait=True)
-    t.join()
+        t.join(timeout=30.0)
     if producer_error:
         raise producer_error[0]
     stats.wall_s = time.time() - t_start

@@ -55,6 +55,12 @@ class StreamingSTFT:
         self._carry = jnp.zeros(self.c, jnp.float32)
 
         import dataclasses
+        if cfg.center:
+            raise ValueError(
+                "streaming drivers require center=False: the overlap carry "
+                "reproduces the uncentered (scipy) frame grid; centered "
+                "framing pads the WHOLE signal by nperseg//2, which has no "
+                "chunked equivalent — compute it monolithically instead")
         stream_cfg = dataclasses.replace(cfg, center=False, fmin=None,
                                          fmax=None)
 
@@ -123,6 +129,12 @@ class BlockStreamingSTFT:
         self._carry = jnp.zeros(self.c, jnp.float32)
 
         import dataclasses
+        if cfg.center:
+            raise ValueError(
+                "streaming drivers require center=False: the overlap carry "
+                "reproduces the uncentered (scipy) frame grid; centered "
+                "framing pads the WHOLE signal by nperseg//2, which has no "
+                "chunked equivalent — compute it monolithically instead")
         stream_cfg = dataclasses.replace(cfg, center=False, fmin=None,
                                          fmax=None)
         c = self.c
@@ -217,6 +229,12 @@ class ScanStreamer:
         fpb = block_size // h
         total_frames = self.total_frames
         n_blocks = self.n_blocks
+        if cfg.center:
+            raise ValueError(
+                "streaming drivers require center=False: the overlap carry "
+                "reproduces the uncentered (scipy) frame grid; centered "
+                "framing pads the WHOLE signal by nperseg//2, which has no "
+                "chunked equivalent — compute it monolithically instead")
         stream_cfg = dataclasses.replace(cfg, center=False, fmin=None,
                                          fmax=None)
         lead = (batch,) if batch else ()

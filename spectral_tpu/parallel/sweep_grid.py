@@ -28,7 +28,7 @@ Array = jax.Array
 
 def _shape_key(cfg: SpecConfig) -> Tuple:
     return (cfg.nperseg, cfg.hop_, cfg.nfft_, cfg.detrend, cfg.scaling,
-            cfg.center, cfg.onesided)
+            cfg.center, cfg.pad_mode, cfg.onesided)
 
 
 def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
@@ -48,7 +48,14 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
     results: List[Array] = [None] * len(configs)  # type: ignore
     for key, idxs in groups.items():
         nperseg, hop = key[0], key[1]
-        frames = frame_signal(x, nperseg, hop)  # shared per group
+        xg = x
+        if key[5]:   # center=True: same reflect pad as core._prep_frames —
+            # framing the raw signal would drop frames and shift centers
+            # vs power_spectrogram for the identical config
+            p = nperseg // 2
+            pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
+            xg = jnp.pad(x, pad, mode=key[6])
+        frames = frame_signal(xg, nperseg, hop)  # shared per group
         a_re = np.stack([dft_matrices(configs[i])[0] for i in idxs])
         a_im = np.stack([dft_matrices(configs[i])[1] for i in idxs])
         wts = np.stack([onesided_weights(configs[i], fs) for i in idxs])

@@ -47,15 +47,18 @@ def _normalize_array(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    """PNG chunk framing: length + tag + payload + CRC32(tag+payload)."""
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
 def encode_png_pure(arr: np.ndarray, compress_level: int = 6) -> bytes:
     """Stdlib-only PNG encoder (filter 0 scanlines + one zlib stream)."""
     arr = _normalize_array(arr)
     h, w, c = arr.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + tag + payload
-                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+    chunk = _chunk
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     # filter byte 0 per scanline
@@ -80,7 +83,9 @@ def encode_png(arr, path: Optional[str] = None, compress_level: int = 6
             import io
             from PIL import Image
             mode = {1: "L", 3: "RGB", 4: "RGBA"}[arr.shape[2]]
-            img = Image.fromarray(arr.squeeze() if mode == "L" else arr, mode)
+            # arr[..., 0], NOT squeeze(): squeeze also collapses an H==1
+            # or W==1 axis, breaking single-row/column grayscale images
+            img = Image.fromarray(arr[..., 0] if mode == "L" else arr, mode)
             buf = io.BytesIO()
             img.save(buf, format="PNG", compress_level=compress_level)
             data = buf.getvalue()
@@ -131,10 +136,7 @@ def _encode_png_palette_pure(indices: np.ndarray, palette: np.ndarray,
                              compress_level: int = 6) -> bytes:
     """Stdlib-only indexed-color PNG (IHDR color type 3 + PLTE + IDAT)."""
     h, w = indices.shape
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + tag + payload
-                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+    chunk = _chunk
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     raw = np.concatenate([np.zeros((h, 1), np.uint8), indices],

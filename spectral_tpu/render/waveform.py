@@ -49,7 +49,11 @@ def waveform_image(x: Array, height: int = 800, width: int = 2400,
     cmax = jnp.nanmax(cols, axis=-1)
 
     if y_limit is None:
-        ylim = jnp.nanmax(jnp.abs(xp), axis=-1, keepdims=True)  # (..., 1)
+        # per-signal max |x| over the FULL signal (as documented and as the
+        # reference's amplitude pass does, ExportManager.py:126-144) — NOT
+        # over the visible window, which would rescale truncated renders
+        ylim = jnp.nanmax(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                          keepdims=True)                        # (..., 1)
     else:
         ylim = jnp.asarray(y_limit, jnp.float32)
     ylim = jnp.maximum(ylim, 1e-30)

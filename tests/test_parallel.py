@@ -582,3 +582,79 @@ def test_distributed_em_dots_are_highest_precision():
     assert precs, "expected dot_general ops in the sharded EM program"
     hp = jax.lax.Precision.HIGHEST
     assert all(p == (hp, hp) for p in precs), precs
+
+
+def test_streaming_rejects_center_true():
+    """Streaming silently computed the UNCENTERED result for center=True
+    configs (wrong frame count and positions) — now an explicit error."""
+    cfg = SpecConfig(nperseg=256, hop=64, center=True)
+    with pytest.raises(ValueError, match="center=False"):
+        StreamingSTFT(1000.0, cfg, chunk_size=1024)
+    with pytest.raises(ValueError, match="center=False"):
+        BlockStreamingSTFT(1000.0, cfg, chunk_size=1024)
+
+
+def test_export_pipeline_mixed_dtype_batch_normalizes_int16(tmp_path):
+    """A batch mixing int16 (raw PCM) and float32 clips must normalize the
+    int16 clips by 1/32768 at staging: the device-side divide applies only
+    to all-int16 batches, so mixed batches used to ship raw PCM amplitudes
+    (2^15x too loud) for those clips."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    rng = np.random.RandomState(0)
+    n = 4096
+    xf = (rng.randn(n) * 0.1).astype(np.float32)
+    xi = np.round(np.clip(xf, -1, 1) * 32768).clip(-32768, 32767).astype(np.int16)
+    cfg = SpecConfig(nperseg=256, hop=64, log_scale=True)
+
+    # same underlying signal staged both ways in ONE mixed batch
+    mixed = [("as_float", xf), ("as_int16", xi)]
+    d1 = tmp_path / "mixed"
+    export_spectrograms(iter(mixed), 8000.0, cfg, str(d1),
+                        clip_samples=n, batch=2)
+
+    from spectral_tpu.render.png import decode_png
+    a = np.asarray(decode_png(str(d1 / "as_float.png")), np.int16)
+    b = np.asarray(decode_png(str(d1 / "as_int16.png")), np.int16)
+    # int16 quantization perturbs pixels near LUT-bin edges only slightly;
+    # the old bug produced a completely different (clipped) image
+    assert np.mean(np.abs(a - b) > 8) < 0.01
+
+
+def test_export_pipeline_palette_center_true_full_width(tmp_path):
+    """Palette unpack must use the CENTERED frame count: center=True pads
+    nperseg//2 per side, and the old unpack width silently chopped columns
+    off every palette PNG (rgb was unaffected)."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    rng = np.random.RandomState(1)
+    n = 2048
+    x = (rng.randn(n) * 0.3).astype(np.float32)
+    cfg = SpecConfig(nperseg=256, hop=64, center=True, log_scale=True)
+
+    d_pal = tmp_path / "pal"
+    d_rgb = tmp_path / "rgb"
+    export_spectrograms(iter([("c", x)]), 8000.0, cfg, str(d_pal),
+                        clip_samples=n, batch=1)
+    export_spectrograms(iter([("c", x)]), 8000.0, cfg, str(d_rgb),
+                        clip_samples=n, batch=1, pixel_format="rgb")
+
+    from spectral_tpu.render.png import decode_png
+    pal = np.asarray(decode_png(str(d_pal / "c.png")))
+    rgb = np.asarray(decode_png(str(d_rgb / "c.png")))
+    assert pal.shape[:2] == rgb.shape[:2]      # same (F, T) pixel grid
+    np.testing.assert_array_equal(pal[..., :3], rgb[..., :3])
+
+
+def test_fit_sharded_final_iteration_on_checkpoint_boundary(tmp_path):
+    """n_iter landing on a checkpoint_every multiple used to save the same
+    orbax step twice — StepAlreadyExistsError at the very end of an
+    otherwise-successful fit."""
+    mesh = make_mesh(axis_names=("data",))
+    rng = np.random.RandomState(0)
+    Xb = np.stack([np.concatenate([rng.randn(40, 2) * 0.1 - 3.0,
+                                   rng.randn(40, 2) * 0.1 + 1.0])
+                   for _ in range(8)]).astype(np.float32)
+    p0 = hmm.init_params(Xb.reshape(-1, 2), 2, seed=0)
+    params, ll, it = distributed_em.fit_sharded(
+        p0, jnp.asarray(Xb), mesh, n_iter=4, tol=-np.inf,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2)
+    assert it == 4                 # ran to the boundary without crashing

@@ -120,3 +120,24 @@ def test_batch_viterbi_detect_em_model_generalizes():
 def test_batch_detect_rejects_short():
     with pytest.raises(ValueError, match="Not enough data"):
         batch_unsupervised_detect(np.arange(2.0), np.zeros((2, 2, 2)))
+
+
+def test_sweep_grid_center_true_matches_power_spectrogram():
+    """center=True configs must reflect-pad exactly like core._prep_frames;
+    regression: the grid framed the RAW signal, dropping frames and
+    shifting centers vs power_spectrogram for the identical config."""
+    fs = 8000.0
+    x = jnp.asarray(np.random.RandomState(1).randn(8192).astype(np.float32))
+    configs = [
+        SpecConfig(nperseg=256, hop=64, window="hann", detrend="none",
+                   center=True),
+        SpecConfig(nperseg=256, hop=64, window="hamming", detrend="none",
+                   center=True),
+        SpecConfig(nperseg=256, hop=64, window="hann", detrend="none"),
+    ]
+    outs = sweep_grid(x, fs, configs)
+    for cfg, out in zip(configs, outs):
+        ref = np.asarray(power_spectrogram(x, fs, cfg, use_matmul=True))
+        assert out.shape == ref.shape, (cfg.center, out.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
+                                   atol=ref.max() * 1e-7)
