@@ -208,8 +208,13 @@ class AnalysisSession:
         """PlotEngine._plot_spectrogram compute portion (:110-131)."""
         # first device work: platform selection is final by now
         from spectral_tpu.utils.cache import enable_compilation_cache
+        from spectral_tpu.core.stft import effective_config
         enable_compilation_cache()
         cfg, fs = self.config, self.last_fs
+        # scipy shrinks nperseg to the signal length for short signals
+        # (one-frame spectrogram, like the reference GUI) instead of
+        # returning an empty one
+        cfg = effective_config(cfg, len(self.spec_data_source))
         x = jnp.asarray(self.spec_data_source)
         psd = power_spectrogram(x, fs, cfg)  # (T, F)
         f = freq_axis(cfg, fs)

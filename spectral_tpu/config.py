@@ -81,6 +81,10 @@ class SpecConfig:
             raise ValueError("kaiser window requires a beta parameter")
         if self.hop is not None and self.hop < 1:
             raise ValueError("hop must be >= 1")
+        if self.nfft is not None and self.nfft < self.nperseg:
+            # scipy raises the same way; without this, rfft(n=nfft) would
+            # silently CROP each windowed frame and return wrong PSDs
+            raise ValueError("nfft must be greater than or equal to nperseg")
 
     # ---- derived quantities ------------------------------------------------
 

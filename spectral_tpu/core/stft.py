@@ -79,8 +79,12 @@ def frame_signal(x: Array, nperseg: int, hop: int) -> Array:
         ]
         return jnp.concatenate(pieces, axis=-1)
 
-    # Fallback: explicit gather (rare: gcd == 1).
-    idx = (np.arange(nf)[:, None] * hop + np.arange(nperseg)[None, :])
+    # Fallback: explicit gather (rare: gcd == 1). Indices are built with
+    # traced iota, NOT a numpy constant: an (nf, nperseg) int array would
+    # embed in the program (~40 MB for a 2 M-sample signal at 1023/256)
+    # and long recordings would trip the remote-compile constant limit.
+    idx = (jnp.arange(nf, dtype=jnp.int32)[:, None] * hop
+           + jnp.arange(nperseg, dtype=jnp.int32)[None, :])
     return x[..., idx]
 
 
@@ -282,9 +286,7 @@ def stft(x: Array, cfg: SpecConfig, use_matmul: bool = False) -> Array:
     w = jnp.asarray(_window_f64(cfg), frames.dtype)
     if not use_matmul:
         fw = frames * w
-        if cfg.nfft_ > cfg.nperseg:
-            pad = [(0, 0)] * (fw.ndim - 1) + [(0, cfg.nfft_ - cfg.nperseg)]
-            fw = jnp.pad(fw, pad)
+        # n=cfg.nfft_ zero-pads each frame to nfft (scipy semantics)
         if cfg.onesided:
             return jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1)
         return jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)
@@ -326,7 +328,6 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
     if cfg.mode == "complex":
         raise ValueError("mode='complex' has no power spectrogram; "
                          "use stft() (or spectrogram(), which routes it)")
-    wts = jnp.asarray(onesided_weights(cfg, fs), jnp.float32)
     if use_matmul:
         xr, xi = _matmul_dft(x, cfg)
         p = xr * xr + xi * xi
@@ -337,10 +338,31 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
         X = jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1) if cfg.onesided \
             else jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)
         p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
+    # weights follow p's dtype (like the window constant above): an
+    # unconditional float32 cast silently capped float64 validation runs
+    # at ~2e-8 relative error
+    wts = jnp.asarray(onesided_weights(cfg, fs), p.dtype)
     if cfg.mode == "magnitude":
         # magnitude spectrogram uses sqrt of scale (scipy mode='magnitude')
         return jnp.sqrt(p) * jnp.sqrt(wts)
     return p * wts
+
+
+def effective_config(cfg: SpecConfig, n: int) -> SpecConfig:
+    """scipy's short-signal auto-shrink: nperseg greater than the signal
+    length shrinks to the length (with scipy's UserWarning text), and the
+    scipy-default hop/noverlap recompute from the shrunk nperseg — so a
+    signal shorter than nperseg yields ONE frame like the reference, not
+    an empty spectrogram. Scoped to scipy-compat semantics (hop=None,
+    center=False); generalized explicit-hop configs keep their static
+    shape and yield zero frames, as num_frames documents."""
+    if 0 < n < cfg.nperseg and cfg.hop is None and not cfg.center:
+        import dataclasses
+        import warnings
+        warnings.warn(f"nperseg = {cfg.nperseg} is greater than input "
+                      f"length  = {n}, using nperseg = {n}", UserWarning)
+        return dataclasses.replace(cfg, nperseg=n)
+    return cfg
 
 
 def spectrogram(x: Array, fs: float, cfg: SpecConfig,
@@ -353,6 +375,7 @@ def spectrogram(x: Array, fs: float, cfg: SpecConfig,
     normalization. f/t are host numpy (static given shapes); Sxx is a device
     array of shape (..., n_masked_freqs, nframes).
     """
+    cfg = effective_config(cfg, x.shape[-1])
     f = freq_axis(cfg, fs)
     t = time_axis(cfg, fs, x.shape[-1])
     if cfg.mode == "complex":

@@ -20,6 +20,16 @@ from spectral_tpu.models import hmm
 
 Event = Tuple[float, float]
 
+# persistent jit wrappers: a fresh jax.jit(lambda ...) per call would key
+# the jit cache on the new lambda object and RETRACE every invocation —
+# O(20 s-5 min) per call over a remote runtime (same rationale as
+# models/detector.py::_viterbi_jit)
+_fit_v = jax.jit(jax.vmap(
+    lambda p, x, n: hmm.fit(p, x, n_iter=n)[0], in_axes=(0, 0, None)),
+    static_argnums=2)
+_viterbi_v = jax.jit(jax.vmap(hmm.viterbi))
+_viterbi_shared = jax.jit(jax.vmap(hmm.viterbi, in_axes=(None, 0)))
+
 
 def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
                               n_states: int = 4, n_iter: int = 100,
@@ -38,8 +48,7 @@ def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
     inits = [hmm.init_params(feats[b], n_states, seed=seed) for b in range(B)]
     params0 = jax.tree.map(lambda *a: jnp.stack(a), *inits)
 
-    fitv = jax.jit(jax.vmap(lambda p, x: hmm.fit(p, x, n_iter=n_iter)[0]))
-    params = fitv(params0, jnp.asarray(feats))
+    params = _fit_v(params0, jnp.asarray(feats), n_iter)
 
     # per-clip escape patch (host: K x K is tiny) then batched Viterbi
     means = np.asarray(params.means)            # (B, K, D)
@@ -49,8 +58,7 @@ def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
                         for b in range(B)])
     params = params._replace(transmat=jnp.asarray(patched, jnp.float32))
 
-    vitv = jax.jit(jax.vmap(hmm.viterbi))
-    states = np.asarray(vitv(params, jnp.asarray(feats)))  # (B, T)
+    states = np.asarray(_viterbi_v(params, jnp.asarray(feats)))  # (B, T)
 
     out: List[List[Event]] = []
     for b in range(B):
@@ -71,8 +79,8 @@ def batch_viterbi_detect(params: hmm.HMMParams, t: np.ndarray,
     scan='baseline': the unsupervised semantics with baseline =
     argmin(mean log-power) — the robust choice for EM-fitted shared models.
     """
-    vitv = jax.jit(jax.vmap(lambda x: hmm.viterbi(params, x)))
-    states = np.asarray(vitv(jnp.asarray(feats, jnp.float32)))
+    states = np.asarray(_viterbi_shared(params,
+                                        jnp.asarray(feats, jnp.float32)))
     if scan == "label":
         return [ev.merge_overlapping_events(ev.label_scan(states[b], t))
                 for b in range(states.shape[0])]

@@ -96,7 +96,11 @@ def _lloyd_iter(X: np.ndarray, centers_old: np.ndarray,
                 weight[old] -= 1.0
 
     nz = weight > 0
-    centers_new[nz] /= weight[nz, None]
+    # sklearn's _average_centers multiplies by the RECIPROCAL
+    # (alpha = 1/weight; centers *= alpha), and x*(1/w) differs from x/w
+    # in the last ulp — enough to flip labels on near-duplicate data, so
+    # the asserted bit-for-bit parity requires the same form
+    centers_new[nz] *= (1.0 / weight[nz])[:, None]
     return labels, centers_new, weight
 
 
@@ -118,8 +122,15 @@ def _kmeans_single_lloyd(X: np.ndarray, centers_init: np.ndarray,
         labels_old = labels.copy()
     if not strict:
         labels, _, _ = _lloyd_iter(X, centers, update_centers=False)
-    inertia = float(((X - centers[labels]) ** 2).sum())
-    return labels, inertia, centers
+    # sklearn's _inertia_dense accumulates SEQUENTIALLY per sample (a C
+    # loop); numpy .sum() uses pairwise summation, and the 1-ulp
+    # difference flips the strict `inertia < best_inertia` run selection
+    # on ties — so accumulate per-sample sums sequentially here too
+    per_sample = ((X - centers[labels]) ** 2).sum(axis=1)
+    inertia = 0.0
+    for v in per_sample:
+        inertia += v
+    return labels, float(inertia), centers
 
 
 def _is_same_clustering(a: np.ndarray, b: np.ndarray, k: int) -> bool:

@@ -205,8 +205,8 @@ def apply_colormap_rgba(img: Array, alpha: Optional[Array] = None,
         a = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
     else:
         a = jnp.clip(alpha * 255.0, 0, 255).astype(jnp.uint8)
-        if flip_rows:
+        if a.ndim == rgb.ndim - 1:   # an (..., H, W) mask like img: add the
+            a = a[..., None]         # channel axis BEFORE the row flip (a
+        if flip_rows:                # 2-D mask has no axis -3 to flip yet)
             a = jnp.flip(a, axis=-3)
-        if a.shape[-1] != 1:
-            a = a[..., None]
     return jnp.concatenate([rgb, a], axis=-1)

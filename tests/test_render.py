@@ -246,3 +246,29 @@ def test_native_palette_encoder_if_buildable():
     pal = get_lut("hot")
     data = png_native.encode_palette(idx, pal, compress_level=1)
     np.testing.assert_array_equal(decode_png(data), pal[idx])
+
+
+def test_colormap_rgba_2d_alpha_with_flip():
+    """A 2-D (H, W) alpha mask must work with flip_rows=True (regression:
+    the flip ran before the channel axis existed and raised on axis -3)."""
+    from spectral_tpu.ops.colormap import apply_colormap_rgba
+    img = jnp.asarray(np.random.RandomState(0).rand(6, 5).astype(np.float32))
+    alpha = jnp.asarray((np.arange(6)[:, None] >= 3).astype(np.float32)
+                        * np.ones((6, 5), np.float32))
+    out_f = np.asarray(apply_colormap_rgba(img, alpha=alpha, flip_rows=True))
+    out_n = np.asarray(apply_colormap_rgba(img, alpha=alpha, flip_rows=False))
+    assert out_f.shape == out_n.shape == (6, 5, 4)
+    # the alpha plane flips with the rows
+    np.testing.assert_array_equal(out_f[..., 3], out_n[::-1, :, 3])
+    np.testing.assert_array_equal(out_f[..., :3], out_n[::-1, :, :3])
+
+
+def test_encode_png_single_row_grayscale(tmp_path):
+    """H==1 / W==1 grayscale images encode on every backend (regression:
+    the PIL fallback's squeeze() collapsed the spatial axis too)."""
+    from spectral_tpu.render.png import decode_png, encode_png
+    for shape in ((1, 7, 1), (7, 1, 1)):
+        arr = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
+        data = encode_png(arr)
+        back = np.asarray(decode_png(data))   # grayscale decodes as (H, W)
+        np.testing.assert_array_equal(back.reshape(shape), arr)

@@ -192,3 +192,48 @@ def test_frame_signal_gcd_and_gather_paths_agree():
 def test_short_signal_yields_zero_frames():
     x = jnp.zeros(100, jnp.float32)
     assert stft_mod.frame_signal(x, 256, 224).shape == (0, 256)
+
+
+def test_short_signal_shrinks_nperseg_like_scipy():
+    """scipy auto-shrinks nperseg to the signal length (UserWarning) and
+    returns ONE frame; regression: we returned an empty spectrogram, so
+    the reference GUI's short-signal plot had no analog."""
+    import warnings
+    fs = 1000.0
+    x = np.random.RandomState(0).randn(255).astype(np.float32)
+    cfg = SpecConfig.scipy_default(256)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f_ref, t_ref, s_ref = scipy.signal.spectrogram(
+            x.astype(np.float64), fs=fs, nperseg=256)
+    with pytest.warns(UserWarning, match="nperseg = 256 is greater"):
+        f, t, sxx = stft_mod.spectrogram(jnp.asarray(x), fs, cfg)
+    assert sxx.shape == s_ref.shape == (128, 1)
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
+    np.testing.assert_allclose(t, t_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sxx), s_ref,
+                               rtol=2e-5, atol=s_ref.max() * 1e-7)
+    # explicit-hop (generalized) configs keep their static shape: 0 frames
+    cfg_hop = SpecConfig(nperseg=256, hop=64)
+    assert stft_mod.spectrogram(jnp.asarray(x), fs, cfg_hop)[2].shape[-1] == 0
+
+
+def test_nfft_smaller_than_nperseg_rejected():
+    """scipy raises 'nfft must be greater than or equal to nperseg';
+    regression: rfft(n=nfft) silently CROPPED each windowed frame."""
+    with pytest.raises(ValueError, match="nfft must be greater"):
+        SpecConfig(nperseg=256, nfft=128)
+
+
+def test_gcd1_framing_embeds_no_index_constants():
+    """The gcd==1 gather fallback must build its indices with traced iota:
+    a numpy (nf, nperseg) constant embeds in the program (~40 MB at
+    1023/256 over 2M samples) and trips the remote-compile constant
+    limit on long recordings."""
+    import jax
+    closed = jax.make_jaxpr(
+        lambda v: stft_mod.frame_signal(v, 1023, 256))(
+            jnp.zeros(200000, jnp.float32))
+    const_bytes = sum(np.asarray(c).nbytes for c in closed.consts
+                      if hasattr(c, "nbytes") or isinstance(c, np.ndarray))
+    assert const_bytes < 1 << 16, const_bytes
