@@ -260,7 +260,12 @@ class AnalysisSession:
     def _features(self):
         if self.spec_data_source is None:
             raise ValueError("Please plot a spectrogram before detecting.")
-        cfg, fs = self.config, self.last_fs
+        from spectral_tpu.core.stft import effective_config
+        # the SAME shrunk config the plot used (scipy short-signal
+        # auto-shrink): detection must compute features on the frames the
+        # user sees, not zero frames from the unshrunk nperseg
+        cfg = effective_config(self.config, len(self.spec_data_source))
+        fs = self.last_fs
         psd = power_spectrogram(jnp.asarray(self.spec_data_source), fs, cfg)
         f = freq_axis(cfg, fs)
         t = time_axis(cfg, fs, len(self.spec_data_source))

@@ -327,15 +327,24 @@ def build_window():
                     draw_proc=self.chk_proc.isChecked(),
                     mode_raw=self.combo_raw.currentText(),
                     mode_proc=self.combo_proc.currentText())
-                # editing suspended during replot (GUI.py:433-447)
+                # editing suspended during replot (GUI.py:433-447);
+                # restored in finally so a plot error cannot leave the
+                # controller disarmed while the checkbox still shows checked
                 was_editing = self.controller.roi_editor.editing
                 self.controller.set_editing_enabled(False)
-                self.session.plot_sweeps(names, self._config(), view)
-                self.controller.set_editing_enabled(was_editing)
+                try:
+                    self.session.plot_sweeps(names, self._config(), view)
+                finally:
+                    self.controller.set_editing_enabled(was_editing)
                 self._redraw()
                 power = self.session.calculate_absolute_power()
-                self.status.setText(
-                    f"Plotted {len(names)} sweep(s); total power {power:.3g}")
+                if power is None:   # no signal source (e.g. both RAW and
+                    # PROC unchecked): plot_sweeps produced nothing
+                    self.status.setText("Nothing to plot "
+                                        "(no signal source selected)")
+                else:
+                    self.status.setText(f"Plotted {len(names)} sweep(s); "
+                                        f"total power {power:.3g}")
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Plot error", str(e))
 

@@ -88,10 +88,13 @@ class RoiEditorController:
         if not self.editing or x is None:
             return None
         if button == 3:                           # right click (:553-558)
+            prev = self.hover
             self.hover = self._hit(x)
             if self.hover is not None:
                 self.on_change()
                 return "menu"
+            if prev is not None:  # clearing the hover must also re-render,
+                self.on_change()  # or the old red highlight goes stale
             return None
         if button == 1:
             self.drag_origin = float(x)

@@ -15,8 +15,9 @@ from typing import List, Tuple
 import numpy as np
 
 
-def read_wav(filepath: str) -> Tuple[np.ndarray, float]:
-    """Read a WAV file -> (float32 array (n,) or (n, ch) in [-1, 1], fs)."""
+def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
+    """Shared RIFF/WAVE chunk walk -> (audio_fmt, n_ch, fs, bits, data).
+    Resolves WAVE_FORMAT_EXTENSIBLE to the wrapped format code."""
     with open(filepath, "rb") as fh:
         riff, _size, wave = struct.unpack("<4sI4s", fh.read(12))
         if riff != b"RIFF" or wave != b"WAVE":
@@ -37,11 +38,16 @@ def read_wav(filepath: str) -> Tuple[np.ndarray, float]:
                 data = payload
         if fmt is None or data is None:
             raise ValueError(f"{filepath}: missing fmt/data chunk")
-
     (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
         "<HHIIHH", fmt[:16])
     if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_fmt = struct.unpack("<H", fmt[24:26])[0]
+    return audio_fmt, n_ch, float(fs), bits, data
+
+
+def read_wav(filepath: str) -> Tuple[np.ndarray, float]:
+    """Read a WAV file -> (float32 array (n,) or (n, ch) in [-1, 1], fs)."""
+    audio_fmt, n_ch, fs, bits, data = _read_riff(filepath)
 
     if audio_fmt == 1:  # PCM
         if bits == 8:
@@ -80,30 +86,7 @@ def read_wav_int16(filepath: str) -> Tuple[np.ndarray, float]:
     Skips the float conversion so batch pipelines can ship half the bytes
     host->device and normalize on device (x / 32768, identical to
     read_wav's scaling). Raises ValueError for any other encoding."""
-    with open(filepath, "rb") as fh:
-        riff, _size, wave = struct.unpack("<4sI4s", fh.read(12))
-        if riff != b"RIFF" or wave != b"WAVE":
-            raise ValueError(f"{filepath}: not a RIFF/WAVE file")
-        fmt = None
-        data = None
-        while True:
-            hdr = fh.read(8)
-            if len(hdr) < 8:
-                break
-            tag, sz = struct.unpack("<4sI", hdr)
-            payload = fh.read(sz)
-            if sz % 2:
-                fh.read(1)
-            if tag == b"fmt ":
-                fmt = payload
-            elif tag == b"data":
-                data = payload
-        if fmt is None or data is None:
-            raise ValueError(f"{filepath}: missing fmt/data chunk")
-    (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
-        "<HHIIHH", fmt[:16])
-    if audio_fmt == 0xFFFE and len(fmt) >= 40:
-        audio_fmt = struct.unpack("<H", fmt[24:26])[0]
+    audio_fmt, n_ch, fs, bits, data = _read_riff(filepath)
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"{filepath}: not 16-bit PCM "
                          f"(fmt={audio_fmt}, bits={bits})")
