@@ -30,9 +30,15 @@ def _make_config(args) -> "SpecConfig":
     from spectral_tpu.config import SpecConfig
     precision = "fast" if getattr(args, "fast", False) else "accurate"
     if args.scipy_compat:
-        return SpecConfig.scipy_default(
+        cfg = SpecConfig.scipy_default(
             nperseg=args.nperseg, fmin=args.fmin, fmax=args.fmax,
             log_scale=args.log, precision=precision)
+        if getattr(args, "mels", 0):
+            # --mels composes with the scipy framing (every subcommand,
+            # not just export-specs)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, n_mels=args.mels)
+        return cfg
     return SpecConfig.north_star(
         n_fft=args.nperseg, hop=args.hop or args.nperseg // 4,
         window=args.window, fmin=args.fmin, fmax=args.fmax,
@@ -61,7 +67,7 @@ def _session_for(paths: List[str], args):
     return s, names
 
 
-def _add_spec_args(p):
+def _add_spec_args(p, combine: bool = True):
     p.add_argument("--nperseg", type=int, default=1024)
     p.add_argument("--hop", type=int, default=None,
                    help="frame hop (default nperseg//4; scipy mode ignores)")
@@ -74,8 +80,9 @@ def _add_spec_args(p):
     p.add_argument("--fast", action="store_true",
                    help="bf16 3-pass matmuls: ~36%% faster, ~5e-2 dB error "
                         "(display-only; default 'accurate' holds 1e-3 dB)")
-    p.add_argument("--combine", action="store_true",
-                   help="concatenate all sweeps (reference combine mode)")
+    if combine:  # meaningless for single-recording / clip-dataset commands
+        p.add_argument("--combine", action="store_true",
+                       help="concatenate all sweeps (reference combine mode)")
 
 
 def _detect_each(args) -> int:
@@ -118,6 +125,11 @@ def _detect_each(args) -> int:
                          a, b, ibi))
             prev_end = b
     if args.csv:
+        if not rows:
+            # consistent with the non---each path's export_events_csv:
+            # zero events is an error, not a header-only "success"
+            print("Error: No burst data to export.")
+            return 1
         import csv as _csv
         with open(args.csv, "w", newline="") as fh:
             w = _csv.writer(fh)
@@ -353,7 +365,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--channel", type=int, default=0,
                    help="sweep/channel index for multi-channel files "
                         "(default 0, the reference's channel heuristic)")
-    _add_spec_args(p)
+    _add_spec_args(p, combine=False)
 
     p = sub.add_parser("export-specs",
                        help="high-throughput dataset export: WAV clips -> "
@@ -375,7 +387,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--shard", action="store_true",
                    help="shard each batch over ALL local devices (one "
                         "'data' mesh axis; batch must divide evenly)")
-    _add_spec_args(p)
+    _add_spec_args(p, combine=False)
 
     p = sub.add_parser("info", help="list sweeps in files")
     p.add_argument("files", nargs="+")
@@ -402,7 +414,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=256)
 
     args = ap.parse_args(argv)
+    try:
+        return _dispatch(args)
+    except FileNotFoundError as e:
+        sys.exit(f"error: file not found: {getattr(e, 'filename', None) or e}")
+    except ValueError as e:
+        # domain errors (mixed sampling rates, bad --window, unsupported
+        # file types, ...) exit cleanly instead of dumping a traceback
+        sys.exit(f"error: {e}")
 
+
+def _dispatch(args) -> int:
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -418,15 +440,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"{n}: fs={e.fs:g} raw={nraw} processed={nproc}")
         return 0
 
+    def _status(msg: str) -> int:
+        """Print an exporter status string; the API swallows failures into
+        'Error ...' strings, which must NOT exit 0 from a CLI."""
+        print(msg)
+        return 1 if msg.startswith("Error") else 0
+
     if args.cmd == "render":
         s, _ = _session_for(args.files, args)
         if args.decorated:
             from spectral_tpu.render.figure import render_session_figure
-            render_session_figure(s, path=args.out, dpi=args.dpi)
+            render_session_figure(s, path=args.out, dpi=args.dpi,
+                                  colormap=args.cmap)
             print(f"Successfully exported decorated figure to {args.out}")
-        else:
-            print(s.export_png(args.out, colormap=args.cmap))
-        return 0
+            return 0
+        return _status(s.export_png(args.out, colormap=args.cmap))
 
     if args.cmd == "detect":
         if args.each:
@@ -436,11 +464,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         for a, b in events:
             print(f"{a:.4f}\t{b:.4f}")
         if args.csv:
-            print(s.export_csv(args.csv))
+            return _status(s.export_csv(args.csv))
         return 0
 
     if args.cmd == "learn":
-        s, _ = _session_for(args.files, args)
+        # parse the cheap string flags BEFORE loading files and compiling
+        # the spectrogram (a typo'd ROI used to error after minutes of
+        # device work over a tunneled chip)
         rois = []
         for spec in args.roi:
             try:
@@ -448,11 +478,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 rois.append((float(a), float(b)))
             except ValueError:
                 sys.exit(f"error: --roi expects start:end seconds, got {spec!r}")
+        s, _ = _session_for(args.files, args)
         events = s.learn_and_detect(rois)
         for a, b in events:
             print(f"{a:.4f}\t{b:.4f}")
         if args.csv:
-            print(s.export_csv(args.csv))
+            return _status(s.export_csv(args.csv))
         return 0
 
     if args.cmd == "bands":
@@ -479,7 +510,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         sig, fs = r.get_signal(names[args.channel])
         cfg = _make_config(args)
         hop = cfg.hop_
-        chunk = max(cfg.nperseg, int(args.chunk_seconds * fs) // hop * hop)
+        # chunk must be a multiple of hop AND >= nperseg; the floor is
+        # ceil(nperseg/hop)*hop — bare nperseg is NEVER a hop multiple in
+        # scipy-compat mode (hop = nperseg - nperseg//8)
+        chunk = max(-(-cfg.nperseg // hop) * hop,
+                    int(args.chunk_seconds * fs) // hop * hop)
         if args.bands:
             bp, total = stream_band_powers(np.asarray(sig, np.float32), fs,
                                            cfg, chunk)
@@ -502,22 +537,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             from spectral_tpu.ops.colormap import (apply_colormap_packed,
                                                    unpack_rgba)
             from spectral_tpu.render.png import encode_png
+            # --log is honored like everywhere else (it used to be
+            # silently forced on for the image output)
             img = normalize(jnp.swapaxes(jnp.asarray(psd), -1, -2),
-                            log_scale=True)
+                            log_scale=cfg.log_scale)
             packed = apply_colormap_packed(img, flip_rows=True)
             encode_png(unpack_rgba(np.asarray(packed)), path=args.out,
                        compress_level=4)
-            print(f"Wrote dB spectrogram image {img.shape} to {args.out}")
+            scale = "dB" if cfg.log_scale else "linear"
+            print(f"Wrote {scale} spectrogram image {img.shape} to {args.out}")
         return 0
 
     if args.cmd == "export-specs":
         from spectral_tpu.io.wav import read_wav
         from spectral_tpu.parallel.pipeline import (export_spectrograms,
                                                     wav_clip_source)
-        cfg = _make_config(args)
-        if cfg.n_mels is None and args.mels:
-            import dataclasses
-            cfg = dataclasses.replace(cfg, n_mels=args.mels)
+        cfg = _make_config(args)      # --mels handled for every mode there
         # fs from the first file; the pipeline is single-rate by design
         _x0, fs = read_wav(args.files[0])
         mesh = None
@@ -637,7 +672,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if spec is None or not (root / "bench.py").exists():
             sys.exit("bench.py not found next to the package (repo checkout "
                      "required for the bench subcommand)")
-        os.environ.setdefault("BENCH_BATCH", str(args.batch))
+        # the explicit flag beats any ambient BENCH_BATCH env var
+        os.environ["BENCH_BATCH"] = str(args.batch)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return mod.main()

@@ -79,7 +79,8 @@ class SessionFigureView:
 
     # ---- static layers -----------------------------------------------------
 
-    def rebuild(self, session, transparent: bool = False) -> None:
+    def rebuild(self, session, transparent: bool = False,
+                colormap: str = "jet") -> None:
         """Redraw the static layers from the session's plot state (the
         reference's plot_extra + _plot_spectrogram, PlotEngine.py:78-145).
         Overlay state is reset; call update_overlays afterwards."""
@@ -116,7 +117,7 @@ class SessionFigureView:
         if session.last_image is not None and session.last_t.size:
             f, t_ax = session.last_f, session.last_t
             self.mesh = ax_spec.pcolormesh(t_ax, f, session.last_image,
-                                           shading="auto", cmap="jet",
+                                           shading="auto", cmap=colormap,
                                            vmin=0.0, vmax=1.0, zorder=0)
             ax_spec.set_ylabel("Frequency (Hz)")
             ax_spec.set_xlabel("Time (s)")
@@ -208,7 +209,7 @@ class SessionFigureView:
 
 
 def render_session_figure(session, path: Optional[str] = None, dpi: int = 150,
-                          transparent: bool = False):
+                          transparent: bool = False, colormap: str = "jet"):
     """Render the session's current plot state to a decorated figure.
 
     Returns the matplotlib Figure; writes PNG to `path` if given. With
@@ -220,7 +221,7 @@ def render_session_figure(session, path: Optional[str] = None, dpi: int = 150,
     from matplotlib.figure import Figure
 
     view = SessionFigureView(Figure(constrained_layout=True, dpi=dpi))
-    view.rebuild(session, transparent=transparent)
+    view.rebuild(session, transparent=transparent, colormap=colormap)
     view.update_overlays(session.last_detected_events)
     if path is not None:
         view.fig.savefig(path, format="png", dpi=dpi,
