@@ -602,3 +602,45 @@ def test_cli_serve_render_batch(tmp_path):
     out = [json.loads(l) for l in stdout.getvalue().splitlines()]
     assert out[0]["ok"] and out[0]["written"] == 4
     assert sorted(os.listdir(out_dir)) == [f"clip{i}.png" for i in range(4)]
+
+
+def test_cli_error_paths_exit_nonzero(tmp_path, capsys):
+    """Failures must not exit 0: swallowed exporter 'Error ...' statuses
+    return 1, and domain errors exit via a clean message (no traceback)."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "sig.wav")
+    write_wav(wav_path, np.sin(np.linspace(0, 60, 6000)).astype(np.float32), fs)
+
+    # export failure -> printed status + exit code 1
+    bad_out = str(tmp_path / "no" / "such" / "dir" / "x.png")
+    assert main(["render", wav_path, "-o", bad_out]) == 1
+    assert "Error exporting PNG" in capsys.readouterr().out
+
+    # mixed sampling rates -> clean SystemExit, not a ValueError traceback
+    wav2 = str(tmp_path / "other.wav")
+    write_wav(wav2, np.zeros(4000, np.float32), 2000.0)
+    with pytest.raises(SystemExit) as ei:
+        main(["render", wav_path, wav2, "--combine",
+              "-o", str(tmp_path / "o.png")])
+    assert "Mixed sampling rates" in str(ei.value)
+
+    # unsupported file type in stream -> clean SystemExit
+    txt = tmp_path / "x.txt"
+    txt.write_text("nope")
+    with pytest.raises(SystemExit) as ei:
+        main(["stream", str(txt), "--bands"])
+    assert "Unsupported file type" in str(ei.value)
+
+
+def test_cli_stream_scipy_compat_small_chunk(tmp_path, capsys):
+    """The chunk floor must be hop-aligned: in scipy-compat mode nperseg
+    itself is never a multiple of hop, so the old max(nperseg, ...)
+    fallback crashed every stream whose requested chunk rounded to 0."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "s.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=10.0) * 0.5, fs)
+    assert main(["stream", wav_path, "--bands", "--scipy-compat",
+                 "--nperseg", "512", "--chunk-seconds", "0.1"]) == 0
+    assert "Total absolute power" in capsys.readouterr().out
