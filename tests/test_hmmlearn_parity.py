@@ -300,3 +300,33 @@ def test_roi_two_state_fit_matches_oracle():
         oracle.predict(feats))
     assert int(np.argmax(np.asarray(params.means)[:, 0])) == \
         int(np.argmax(oracle.means_[:, 0]))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_kmeans_bit_exact_on_adversarial_data(trial):
+    """Degenerate data classes where last-ulp arithmetic decides the
+    result: near-duplicate points (3+ states collapse onto one cluster;
+    x*(1/w) vs x/w flips labels) and collinear data (pairwise vs
+    sequential inertia summation flips the strict best-run selection).
+    Bit-exactness here is what makes the hmmlearn-parity chain hold on
+    degenerate recordings, not just well-separated ones."""
+    from sklearn.cluster import KMeans
+    rng = np.random.RandomState(trial * 11 + 3)
+    if trial % 2 == 0:
+        # near-duplicates: k exceeds the number of distinct points
+        base = rng.randn(4, 2)
+        X = np.repeat(base, 15, axis=0) + 1e-9 * rng.randn(60, 2)
+        k = 6
+    else:
+        # exactly collinear features
+        tcol = rng.randn(50, 1)
+        X = np.hstack([tcol, 2.0 * tcol])
+        k = 3
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # sklearn's duplicate-point warning
+        sk = KMeans(n_clusters=k, random_state=42, n_init=10).fit(X)
+    centers, labels, inertia = kmeans_fit(X, k, seed=42, n_init=10)
+    np.testing.assert_array_equal(centers, sk.cluster_centers_)
+    np.testing.assert_array_equal(labels, sk.labels_)
+
