@@ -25,6 +25,17 @@ Event = Tuple[float, float]
 _viterbi_jit = jax.jit(hmm.viterbi)
 
 
+@jax.jit
+def _viterbi_packed(params: hmm.HMMParams, X):
+    """Refined-model decode in one dispatch + ONE readback: states and the
+    baseline state (argmin mean log-power, PlotEngine.py:445) packed into
+    a single array — fetching params.means separately for a host argmin
+    costs its own device->host round trip on remote runtimes."""
+    states = hmm.viterbi(params, X)
+    baseline = jnp.argmin(params.means[:, 0])
+    return jnp.concatenate([states, baseline[None].astype(states.dtype)])
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter",))
 def _fused_detect_packed(params0: hmm.HMMParams, X, n_iter: int):
     """unsupervised_fit_decode with states and baseline packed into ONE
@@ -104,7 +115,7 @@ class BurstDetector:
                         covars=jax.ShapeDtypeStruct((K, D), jnp.float32))
                     _fused_detect_packed.lower(
                         p, X, n_iter=self.n_iter).compile()
-                    _viterbi_jit.lower(p, X).compile()
+                    _viterbi_packed.lower(p, X).compile()
             except Exception:       # warmup must never break detection
                 BurstDetector._warmed.discard(key)
 
@@ -142,9 +153,8 @@ class BurstDetector:
                 packed = np.asarray(packed_d)
                 states, baseline_state = packed[:-1], int(packed[-1])
             else:
-                states = np.asarray(_viterbi_jit(self.params, X))
-                means = np.asarray(self.params.means)
-                baseline_state = int(np.argmin(means[:, 0]))
+                packed = np.asarray(_viterbi_packed(self.params, X))
+                states, baseline_state = packed[:-1], int(packed[-1])
         events = ev.baseline_scan(states, t, baseline_state)
         return ev.merge_overlapping_events(events)
 
