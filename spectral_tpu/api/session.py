@@ -94,6 +94,10 @@ class AnalysisSession:
         self.spec_data_source: Optional[np.ndarray] = None
         self.signal_raw: Optional[np.ndarray] = None
         self.signal_proc: Optional[np.ndarray] = None
+        # plot-time PSD reuse for detection: (source identity, effective
+        # config, fs, full freq axis, frame times, device PSD) — see
+        # _compute_spectrogram / _features
+        self._psd_cache = None
 
     # ------------------------------------------------------------------
     # Loading
@@ -119,6 +123,7 @@ class AnalysisSession:
         self.spec_data_source = None
         self.signal_raw = None
         self.signal_proc = None
+        self._psd_cache = None
 
     def plot_sweeps(self, names: Sequence[str],
                     config: Optional[SpecConfig] = None,
@@ -149,6 +154,14 @@ class AnalysisSession:
         fs_set = set()
         for name in names:
             entry = self.registry.data[name]
+            # entry.fs for EVERY signal, including raw ones whose fs_raw
+            # differs: reference-faithful — GUI.plot_selected:393-414 uses
+            # definitive_fs = manager.data[name]['fs'] as the declared
+            # "source of truth" and discards the fs that get_signal returns
+            # (so the mixed-rate guard below also only sees entry.fs, like
+            # GUI.py:401/416-418). The batch exporter is the one reference
+            # path that honors fs_raw (ExportManager.py:159-164), mirrored
+            # in api/export.py.
             fs = entry.fs
             raw = entry.raw
             proc = entry.processed
@@ -219,6 +232,16 @@ class AnalysisSession:
         psd = power_spectrogram(x, fs, cfg)  # (T, F)
         f = freq_axis(cfg, fs)
         t = time_axis(cfg, fs, len(self.spec_data_source))
+        # Keep the pre-mask/pre-mel PSD device-resident for detection:
+        # _features needs exactly this array (the reference recomputes the
+        # spectrogram per detect, PlotEngine.py:232 — a redundant full STFT
+        # dispatch). Capped so a pathological plot cannot pin unbounded HBM;
+        # above the cap detection recomputes on device as before (cheaper
+        # than round-tripping a huge PSD through host memory).
+        if psd.size <= 64 * 1024 * 1024:
+            self._psd_cache = (self.spec_data_source, cfg, fs, f, t, psd)
+        else:
+            self._psd_cache = None
         if cfg.n_mels:
             from spectral_tpu.core.mel import (mel_filterbank, mel_to_hz,
                                                hz_to_mel)
@@ -266,9 +289,15 @@ class AnalysisSession:
         # user sees, not zero frames from the unshrunk nperseg
         cfg = effective_config(self.config, len(self.spec_data_source))
         fs = self.last_fs
-        psd = power_spectrogram(jnp.asarray(self.spec_data_source), fs, cfg)
-        f = freq_axis(cfg, fs)
-        t = time_axis(cfg, fs, len(self.spec_data_source))
+        cache = self._psd_cache
+        if (cache is not None and cache[0] is self.spec_data_source
+                and cache[1] == cfg and cache[2] == fs):
+            _, _, _, f, t, psd = cache  # plot-time PSD, still on device
+        else:
+            psd = power_spectrogram(jnp.asarray(self.spec_data_source), fs,
+                                    cfg)
+            f = freq_axis(cfg, fs)
+            t = time_axis(cfg, fs, len(self.spec_data_source))
         fmin = cfg.fmin if cfg.fmin is not None else 0.0
         fmax = cfg.fmax if cfg.fmax is not None else float(f[-1])
         feat = np.asarray(ev.features_from_psd(f, psd, fmin, fmax))

@@ -24,10 +24,19 @@ Event = Tuple[float, float]
 # the jit cache on the new lambda object and RETRACE every invocation —
 # O(20 s-5 min) per call over a remote runtime (same rationale as
 # models/detector.py::_viterbi_jit)
-_fit_v = jax.jit(jax.vmap(
-    lambda p, x, n: hmm.fit(p, x, n_iter=n)[0], in_axes=(0, 0, None)),
-    static_argnums=2)
-_viterbi_v = jax.jit(jax.vmap(hmm.viterbi))
+
+
+def _fused_one(p, x, n):
+    """Per-clip fit + escape-patch + baseline + Viterbi, states and baseline
+    packed into one (T+1,) array so the whole batch comes back to host in a
+    single readback (same packing as detector._fused_detect_packed)."""
+    _params, states, baseline, _ll, _it = hmm.unsupervised_fit_decode(
+        p, x, n_iter=n)
+    return jnp.concatenate([states, baseline[None].astype(states.dtype)])
+
+
+_fused_detect_v = jax.jit(jax.vmap(_fused_one, in_axes=(0, 0, None)),
+                          static_argnums=2)
 _viterbi_shared = jax.jit(jax.vmap(hmm.viterbi, in_axes=(None, 0)))
 
 
@@ -48,17 +57,15 @@ def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
     inits = [hmm.init_params(feats[b], n_states, seed=seed) for b in range(B)]
     params0 = jax.tree.map(lambda *a: jnp.stack(a), *inits)
 
-    params = _fit_v(params0, jnp.asarray(feats), n_iter)
-
-    # per-clip escape patch (host: K x K is tiny) then batched Viterbi
-    means = np.asarray(params.means)            # (B, K, D)
-    trans = np.asarray(params.transmat)
-    baselines = np.argmin(means[:, :, 0], axis=1)
-    patched = np.stack([hmm.patch_escape_routes(trans[b], int(baselines[b]))
-                        for b in range(B)])
-    params = params._replace(transmat=jnp.asarray(patched, jnp.float32))
-
-    states = np.asarray(_viterbi_v(params, jnp.asarray(feats)))  # (B, T)
+    # fit + escape patch + baseline + Viterbi fused into ONE device
+    # dispatch (vmapped unsupervised_fit_decode — the patch runs traced via
+    # patch_escape_routes_traced, identical arithmetic to the host loop it
+    # replaced) and ONE (B, T+1) readback: the two-dispatch form with a
+    # host-side patch in between paid an extra dispatch plus two extra
+    # device<->host transfers per batch, O(100 ms) each over a tunneled
+    # runtime
+    packed = np.asarray(_fused_detect_v(params0, jnp.asarray(feats), n_iter))
+    states, baselines = packed[:, :-1], packed[:, -1]
 
     out: List[List[Event]] = []
     for b in range(B):

@@ -187,8 +187,12 @@ class BurstDetector:
         self.is_model_refined = True  # PlotEngine.py:387
 
         with self._device_ctx(X.size):
-            states = np.asarray(_viterbi_jit(self.params, jnp.asarray(X)))
-        events = ev.label_scan(states, t)
+            # decode through the same packed program warmup() precompiled
+            # (the baseline element is unused here — label_scan semantics);
+            # a distinct jit entry would pay a fresh compile on the first
+            # Refine Model click, exactly the latency warmup exists to hide
+            packed = np.asarray(_viterbi_packed(self.params, jnp.asarray(X)))
+        events = ev.label_scan(packed[:-1], t)
         return ev.merge_overlapping_events(events)
 
     def _find_burst_in_roi(self, roi_features: np.ndarray, roi_t: np.ndarray

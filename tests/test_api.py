@@ -644,3 +644,38 @@ def test_cli_stream_scipy_compat_small_chunk(tmp_path, capsys):
     assert main(["stream", wav_path, "--bands", "--scipy-compat",
                  "--nperseg", "512", "--chunk-seconds", "0.1"]) == 0
     assert "Total absolute power" in capsys.readouterr().out
+
+
+def test_detection_reuses_plot_psd(monkeypatch):
+    """_features must reuse the plot-time device PSD instead of recomputing
+    the full STFT per detect call (a redundant O(100 ms) dispatch over a
+    tunneled runtime; the reference recomputes, PlotEngine.py:232)."""
+    import spectral_tpu.api.session as sess_mod
+    s = _session_with_sweeps()
+    cfg = SpecConfig.scipy_default(512, fmin=0.0, fmax=30.0)
+
+    calls = {"n": 0}
+    real = sess_mod.power_spectrogram
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sess_mod, "power_spectrogram", counting)
+    s.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+    assert calls["n"] == 1
+    ev1 = s.unsupervised_detect()
+    assert calls["n"] == 1  # cache hit: no second STFT dispatch
+
+    # and the cached-path events equal a recompute-path detection
+    s2 = _session_with_sweeps()
+    s2.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+    s2._psd_cache = None  # force the recompute branch
+    ev2 = s2.unsupervised_detect()
+    assert ev1 == ev2
+
+    # a config change after the plot invalidates the cache (recompute)
+    base = calls["n"]
+    s.config = SpecConfig.scipy_default(256, fmin=0.0, fmax=30.0)
+    s.unsupervised_detect()
+    assert calls["n"] == base + 1
