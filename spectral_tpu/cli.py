@@ -49,7 +49,14 @@ def _make_config(args) -> "SpecConfig":
 def _session_for(paths: List[str], args):
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import ViewSettings
-    s = AnalysisSession()
+    # warm_detection=False: these are one-shot commands. The background
+    # warmup thread only pays off when there is user think-time between
+    # plot and detect; here the process either detects immediately (the
+    # main thread compiles the same program itself) or never (render/
+    # bands), and exiting while a daemon thread is mid-TPU-compile
+    # crashes runtime teardown ("FATAL: exception not rethrown"), which
+    # can wedge a tunneled chip.
+    s = AnalysisSession(warm_detection=False)
     names = []
     for p in paths:
         try:
@@ -94,7 +101,7 @@ def _detect_each(args) -> int:
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import ViewSettings
     from spectral_tpu.io.registry import split_display_name
-    s = AnalysisSession()
+    s = AnalysisSession(warm_detection=False)  # one-shot (see _session_for)
     names = []
     for p in args.files:
         try:

@@ -72,13 +72,25 @@ class SpecConfig:
             raise ValueError(f"unsupported mode: {self.mode!r}")
         if self.nperseg < 1:
             raise ValueError("nperseg must be >= 1")
-        # validate the window name eagerly so bad configs fail at construction
+        if self.precision not in ("accurate", "fast"):
+            # a typo here must not silently select the bf16 display tier:
+            # stft.matmul_precision branches on == 'accurate'
+            raise ValueError(f"unsupported precision: {self.precision!r} "
+                             "(expected 'accurate' or 'fast')")
+        # validate the window eagerly so bad configs fail at construction.
+        # One source of truth: actually build a tiny window through the same
+        # code path the STFT uses — any spec get_window cannot construct
+        # (unknown name, missing kaiser beta, non-numeric param) raises its
+        # friendly error here instead of mid-compute.
         from spectral_tpu.core import windows as _w
-        name, param = _w.parse_window(self.window)
-        if name not in ("tukey", "kaiser") and name not in _w._SYM_BUILDERS:
-            raise ValueError(f"unknown window: {self.window!r}")
-        if name == "kaiser" and param is None:
-            raise ValueError("kaiser window requires a beta parameter")
+        _w.get_window(self.window, 8)
+        if self.n_mels is not None:
+            if self.n_mels < 1:
+                raise ValueError("n_mels must be >= 1")
+            if self.mel_fmin < 0:
+                raise ValueError("mel_fmin must be >= 0")
+            if self.mel_fmax is not None and self.mel_fmax <= self.mel_fmin:
+                raise ValueError("mel_fmax must be greater than mel_fmin")
         if self.hop is not None and self.hop < 1:
             raise ValueError("hop must be >= 1")
         if self.nfft is not None and self.nfft < self.nperseg:

@@ -168,8 +168,13 @@ def build_label_track(t: np.ndarray, bursts: Sequence[Event]) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def absolute_power(sxx) -> float:
-    """Total power = sum of the (masked) PSD (PlotEngine.py:686-690)."""
-    return float(jnp.sum(jnp.asarray(sxx)))
+    """Total power = sum of the (masked) PSD (PlotEngine.py:686-690).
+
+    Host numpy on purpose: the session passes its host-resident last_sxx,
+    and a jnp.sum here would upload the full PSD and compile a device
+    reduction per shape (minutes over a tunneled runtime) just to sum an
+    array already in host memory — same rule as band_powers below."""
+    return float(np.sum(np.asarray(sxx)))
 
 
 def band_powers(f: np.ndarray, sxx, bands: Optional[Dict[str, Tuple[float, float]]] = None

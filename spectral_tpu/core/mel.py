@@ -64,7 +64,16 @@ def mel_filterbank(n_mels: int, n_freqs: int, fs: float, fmin: float = 0.0,
     """
     if fmax is None:
         fmax = fs / 2.0
-    nfft = (n_freqs - 1) * 2
+    # a degenerate or out-of-range mel span would otherwise produce NaN
+    # (Slaney enorm = 2/0) or silently all-zero top filters (triangles
+    # entirely above Nyquist, where no FFT bins exist)
+    if fmin < 0:
+        raise ValueError("mel fmin must be >= 0")
+    if fmax <= fmin:
+        raise ValueError(f"mel fmax ({fmax}) must be greater than "
+                         f"fmin ({fmin})")
+    if fmax > fs / 2.0 + 1e-9:
+        raise ValueError(f"mel fmax ({fmax}) exceeds Nyquist ({fs / 2.0})")
     fft_freqs = np.linspace(0.0, fs / 2.0, n_freqs)
 
     mel_pts = np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2)

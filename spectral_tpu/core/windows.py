@@ -79,12 +79,6 @@ def _cosine_sum_sym(coeffs):
     return build
 
 
-def _kaiser_sym_factory(beta: float):
-    def build(M: int) -> np.ndarray:
-        return np.kaiser(M, beta)
-    return build
-
-
 _SYM_BUILDERS = {
     "boxcar": lambda M: np.ones(M, dtype=np.float64),
     "rect": lambda M: np.ones(M, dtype=np.float64),
@@ -108,7 +102,10 @@ def parse_window(window: WindowSpec):
     carries no parameter. 'tukey:0.25' style also accepted."""
     if isinstance(window, tuple):
         name, param = window
-        return str(name).lower(), float(param)
+        # a None param means "no parameter" (same as a bare name), so the
+        # parameterized branches can raise their friendly errors instead of
+        # float(None) blowing up with an opaque TypeError here
+        return str(name).lower(), (None if param is None else float(param))
     name = str(window).lower()
     if ":" in name:
         base, param = name.split(":", 1)

@@ -29,7 +29,19 @@ def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
             if len(hdr) < 8:
                 break
             tag, sz = struct.unpack("<4sI", hdr)
+            if tag == b"data" and sz in (0, 0xFFFFFFFF):
+                # streamed-WAV placeholder size (writer never seeked back,
+                # e.g. piped ffmpeg/sox output): the data chunk is last by
+                # construction, so the payload is the rest of the file
+                data = fh.read()
+                continue
             payload = fh.read(sz)
+            if len(payload) < sz:
+                # trusting the declared size would silently truncate (or
+                # surface later as an unrelated np.frombuffer shape error)
+                raise ValueError(
+                    f"{filepath}: truncated {tag.decode('ascii', 'replace')!s}"
+                    f" chunk (declared {sz} bytes, got {len(payload)})")
             if sz % 2:  # chunks are word-aligned
                 fh.read(1)
             if tag == b"fmt ":

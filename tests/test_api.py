@@ -679,3 +679,25 @@ def test_detection_reuses_plot_psd(monkeypatch):
     s.config = SpecConfig.scipy_default(256, fmin=0.0, fmax=30.0)
     s.unsupervised_detect()
     assert calls["n"] == base + 1
+
+
+def test_cli_oneshot_sessions_skip_detection_warmup(tmp_path, monkeypatch):
+    """One-shot CLI commands must not spawn the background detection-warmup
+    thread: it never helps (the process detects immediately or never) and
+    exiting mid-compile crashes runtime teardown on remote backends."""
+    import spectral_tpu.api.session as sess_mod
+    from spectral_tpu.cli import main
+    seen = []
+    real = sess_mod.AnalysisSession
+
+    class Recording(real):
+        def __init__(self, *a, **kw):
+            seen.append(kw.get("warm_detection", True))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(sess_mod, "AnalysisSession", Recording)
+    wav_path = str(tmp_path / "w.wav")
+    write_wav(wav_path, _bursty(fs=1000.0, dur=10.0) * 0.5, 1000.0)
+    assert main(["--cpu", "bands", wav_path]) == 0
+    assert main(["--cpu", "detect", wav_path, "--each"]) == 0
+    assert seen and all(w is False for w in seen)

@@ -108,3 +108,78 @@ def test_session_render_applies_mel():
     assert s.last_f.shape == (64,)          # mel center frequencies
     peak_f = s.last_f[np.argmax(res.sxx.sum(axis=1))]
     assert 1500.0 < peak_f < 2600.0         # tone lands near 2 kHz
+
+
+def test_config_precision_validated():
+    """A typo'd precision must not silently select the bf16 display tier
+    (stft.matmul_precision branches on == 'accurate')."""
+    with pytest.raises(ValueError, match="precision"):
+        SpecConfig(precision="highest")
+    SpecConfig(precision="fast")  # the two legal tiers construct fine
+    SpecConfig(precision="accurate")
+
+
+def test_config_window_validation_single_source():
+    """Config-time window validation goes through get_window itself: the
+    friendly kaiser error fires for tuple specs with a None param too."""
+    with pytest.raises(ValueError, match="beta"):
+        SpecConfig(window=("kaiser", None))
+    with pytest.raises(ValueError, match="beta"):
+        parse_window(("kaiser", None)) and get_window(("kaiser", None), 8)
+    with pytest.raises(ValueError, match="unknown window"):
+        SpecConfig(window="not_a_window")
+    SpecConfig(window=("kaiser", 14.0))
+
+
+def test_config_mel_range_validated():
+    with pytest.raises(ValueError, match="mel_fmax"):
+        SpecConfig(n_mels=8, mel_fmin=500.0, mel_fmax=500.0)
+    with pytest.raises(ValueError, match="mel_fmin"):
+        SpecConfig(n_mels=8, mel_fmin=-1.0)
+    with pytest.raises(ValueError, match="n_mels"):
+        SpecConfig(n_mels=0)
+
+
+def test_mel_filterbank_range_validated():
+    """Degenerate/out-of-range mel spans used to produce NaN (Slaney 2/0
+    enorm) or silently all-zero top filters above Nyquist."""
+    from spectral_tpu.core.mel import mel_filterbank
+    with pytest.raises(ValueError, match="greater than"):
+        mel_filterbank(8, 513, 16000.0, 500.0, 500.0)
+    with pytest.raises(ValueError, match="Nyquist"):
+        mel_filterbank(16, 513, 16000.0, 0.0, 20000.0)
+    fb = mel_filterbank(16, 513, 16000.0)  # defaults stay fine
+    assert np.isfinite(fb).all()
+    # every filter overlaps at least one FFT bin
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_wav_streamed_placeholder_and_truncated(tmp_path):
+    """Streamed WAVs with a zero data-size placeholder read to EOF; a
+    declared chunk size beyond EOF raises 'truncated' instead of silently
+    shortening the signal (or a cryptic np.frombuffer error)."""
+    from spectral_tpu.io.wav import read_wav, write_wav
+    fs = 1000.0
+    x = np.sin(np.arange(1000) * 0.1).astype(np.float32) * 0.5
+    p = tmp_path / "s.wav"
+    write_wav(str(p), x, fs)
+    good = p.read_bytes()
+    ref, _ = read_wav(str(p))
+
+    # patch the data chunk size (offset 40 for our canonical writer) to 0:
+    # streaming-writer placeholder -> payload is the rest of the file
+    streamed = bytearray(good)
+    assert streamed[36:40] == b"data"
+    streamed[40:44] = (0).to_bytes(4, "little")
+    ps = tmp_path / "streamed.wav"
+    ps.write_bytes(bytes(streamed))
+    xs, fss = read_wav(str(ps))
+    assert fss == fs and np.array_equal(xs, ref)
+
+    # declared data size larger than the remaining bytes -> clean error
+    trunc = bytearray(good)
+    trunc[40:44] = (len(good)).to_bytes(4, "little")
+    pt = tmp_path / "trunc.wav"
+    pt.write_bytes(bytes(trunc))
+    with pytest.raises(ValueError, match="truncated"):
+        read_wav(str(pt))
