@@ -100,6 +100,10 @@ def main() -> int:
     #     ~5e-2 dB display-only claim.
     max_db_err = err_8192 = err_fast = None
     try:
+        # scipy here is the ACCURACY ORACLE the driver artifact is defined
+        # against — the same role it plays in tests. The "scipy is a
+        # test/bench oracle only" rule (CLAUDE.md) bars it from the
+        # spectral_tpu package, not from this driver script.
         from scipy.signal import spectrogram as sp_spec
 
         def db_image_err(dev_img, x64, **sp_kw):

@@ -20,15 +20,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.config import SpecConfig
-from spectral_tpu.core.stft import (dft_matrices, frame_signal,
-                                    onesided_weights)
+from spectral_tpu.core.stft import (dft_matrices, dft_matrices_device,
+                                    frame_signal, onesided_weights,
+                                    use_device_dft)
 
 Array = jax.Array
 
 
 def _shape_key(cfg: SpecConfig) -> Tuple:
+    # precision is part of the key: the group's matmuls run at ONE tier, so
+    # mixing 'accurate' and 'fast' configs in a group would silently compute
+    # some of them at the wrong tier (bf16 3-pass breaks the 1e-3 dB
+    # contract for an 'accurate' config)
     return (cfg.nperseg, cfg.hop_, cfg.nfft_, cfg.detrend, cfg.scaling,
-            cfg.center, cfg.pad_mode, cfg.onesided)
+            cfg.center, cfg.pad_mode, cfg.onesided, cfg.precision)
 
 
 def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
@@ -43,6 +48,10 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
     for i, cfg in enumerate(configs):
         if cfg.nfft_ != cfg.nperseg:
             raise ValueError("sweep_grid requires nfft == nperseg")
+        if cfg.mode != "psd":
+            # the fused (re^2 + im^2) * weights form IS the PSD; magnitude/
+            # complex configs would silently get PSD values back
+            raise ValueError("sweep_grid supports mode='psd' configs only")
         groups[_shape_key(cfg)].append(i)
 
     results: List[Array] = [None] * len(configs)  # type: ignore
@@ -56,8 +65,21 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
             pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
             xg = jnp.pad(x, pad, mode=key[6])
         frames = frame_signal(xg, nperseg, hop)  # shared per group
-        a_re = np.stack([dft_matrices(configs[i])[0] for i in idxs])
-        a_im = np.stack([dft_matrices(configs[i])[1] for i in idxs])
+        if use_device_dft(configs[idxs[0]]):
+            # large nperseg: generate the folded DFT matrices ON DEVICE
+            # (same mechanism as power_spectrogram) — embedding them as
+            # program constants at e.g. nperseg=4096 would bake ~67 MB
+            # PER WINDOW into the jitted program and overflow remote
+            # compile request limits (CLAUDE.md, ~100 MB)
+            mats = [dft_matrices_device(configs[i], frames.dtype)
+                    for i in idxs]
+            a_re_d = jnp.stack([m[0] for m in mats])
+            a_im_d = jnp.stack([m[1] for m in mats])
+        else:
+            a_re_d = jnp.asarray(np.stack(
+                [dft_matrices(configs[i])[0] for i in idxs]), frames.dtype)
+            a_im_d = jnp.asarray(np.stack(
+                [dft_matrices(configs[i])[1] for i in idxs]), frames.dtype)
         wts = np.stack([onesided_weights(configs[i], fs) for i in idxs])
 
         from spectral_tpu.core.stft import matmul_precision
@@ -68,18 +90,20 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
             xi = jnp.matmul(frames, ai, precision=prec)
             return (xr * xr + xi * xi) * w
 
-        psds = jax.vmap(one)(jnp.asarray(a_re, frames.dtype),
-                             jnp.asarray(a_im, frames.dtype),
+        psds = jax.vmap(one)(a_re_d, a_im_d,
                              jnp.asarray(wts, frames.dtype)[:, None, :])
         for j, i in enumerate(idxs):
             results[i] = psds[j]
     return results
 
 
-def default_grid(n_ffts=(256, 512, 1024, 2048),
+def default_grid(n_ffts=(256, 1024, 2048, 4096),
                  windows=("hann", "hamming", ("tukey", 0.25), "blackman"),
                  hop_divisor: int = 4) -> List[SpecConfig]:
-    """The 16-combo north-star grid: n_fft x window, hop = n_fft / divisor."""
+    """The 16-combo north-star grid: n_fft x window, hop = n_fft / divisor.
+
+    Spans the full BASELINE.json config-3 range "n_fft in 256..4096" (the
+    4096 group runs with device-generated DFT matrices)."""
     out = []
     for n in n_ffts:
         for w in windows:

@@ -141,3 +141,36 @@ def test_sweep_grid_center_true_matches_power_spectrogram():
         assert out.shape == ref.shape, (cfg.center, out.shape, ref.shape)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
                                    atol=ref.max() * 1e-7)
+
+
+def test_sweep_grid_device_dft_and_mode_guard():
+    """Large-nperseg groups must use device-generated DFT matrices (not
+    tens of MB of program constants) and still match power_spectrogram;
+    non-PSD modes are rejected instead of silently returning PSD values."""
+    from spectral_tpu.core.stft import use_device_dft
+    fs = 16000.0
+    x = jnp.asarray(np.random.RandomState(2).randn(16384).astype(np.float32))
+    cfg = SpecConfig(nperseg=4096, hop=1024, window="hann", detrend="none")
+    assert use_device_dft(cfg)  # this config exercises the device path
+    out = sweep_grid(x, fs, [cfg])[0]
+    ref = np.asarray(power_spectrogram(x, fs, cfg, use_matmul=True))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                               atol=ref.max() * 1e-6)
+    with pytest.raises(ValueError, match="psd"):
+        sweep_grid(x, fs, [SpecConfig(nperseg=256, hop=64,
+                                      mode="magnitude", detrend="none")])
+
+
+def test_sweep_grid_precision_not_shared_across_group():
+    """'accurate' and 'fast' configs with identical shapes must not land in
+    one matmul group: each must compute at its own tier."""
+    fs = 8000.0
+    x = jnp.asarray(np.random.RandomState(3).randn(8192).astype(np.float32))
+    acc = SpecConfig(nperseg=512, hop=128, window="hann", detrend="none")
+    fast = SpecConfig(nperseg=512, hop=128, window="hann", detrend="none",
+                      precision="fast")
+    outs = sweep_grid(x, fs, [acc, fast])
+    ref_acc = np.asarray(power_spectrogram(x, fs, acc, use_matmul=True))
+    ref_fast = np.asarray(power_spectrogram(x, fs, fast, use_matmul=True))
+    np.testing.assert_array_equal(np.asarray(outs[0]), ref_acc)
+    np.testing.assert_array_equal(np.asarray(outs[1]), ref_fast)

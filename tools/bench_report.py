@@ -29,9 +29,13 @@ def _timer_amortized(per_batch_fn, xb, K=8, reps=2):
     import jax.numpy as jnp
 
     def many(x):
+        # checksum the WHOLE output (same rule as bench.py): reducing only
+        # a slice lets XLA slice-sink/DCE most of the stage under test —
+        # e.g. a [:8] checksum computes the colormap tail for 8 pixels
+        # instead of the full batch, under-measuring the pipeline rows
         return jnp.sum(jax.lax.map(
             lambda i: jnp.sum(per_batch_fn(
-                x * (1.0 + 0.05 * i.astype(jnp.float32))).ravel()[:8]),
+                x * (1.0 + 0.05 * i.astype(jnp.float32)))),
             jnp.arange(K)))
 
     p = jax.jit(many)
@@ -150,8 +154,10 @@ def main() -> int:
                 "error tier) — the headroom when scipy-contract accuracy "
                 "is not required"}
 
-    # PNG encode (host)
-    packed = np.asarray(jax.jit(full)(xb)[:4])
+    # PNG encode (host): a 4-clip program — jitting `full` over the whole
+    # 256-clip batch here would be a fresh compile plus 64x the device work
+    # just to keep 4 images
+    packed = np.asarray(jax.jit(full)(xb[:4]))
     rgba = unpack_rgba(packed)
     for lvl in (1, 4):
         t0 = time.time()
@@ -184,7 +190,8 @@ def main() -> int:
     # as ONE dispatch on the default backend — the dispatch-latency answer
     # to round 1's 147 ms device Viterbi
     pd = hmm.unsupervised_fit_decode(p0, jnp.asarray(feats), n_iter=100)
-    jax.block_until_ready(pd[1])
+    np.asarray(pd[1])   # warm barrier by READBACK: block_until_ready is
+    # not a reliable completion barrier over the tunnel (CLAUDE.md)
     t0 = time.time()
     pd = hmm.unsupervised_fit_decode(p0, jnp.asarray(feats), n_iter=100)
     _ = np.asarray(pd[1])
@@ -299,8 +306,9 @@ def main() -> int:
     S["sweep_grid_16combo_10s"] = {
         "ms_per_grid": round(dt * 1000, 2),
         "combos": len(grid),
-        "note": "16 (n_fft in 256..2048 x window) PSDs of one 10 s clip, "
-                "one dispatch"}
+        "note": "16 (n_fft in 256..4096 x window) PSDs of one 10 s clip, "
+                "one dispatch (4096 group uses device-generated DFT "
+                "matrices)"}
 
     # Mel batch export (BASELINE config 2): 64 clips -> 128-bin log-mel
     # spectrograms -> PNG files on disk through the overlapped pipeline.
