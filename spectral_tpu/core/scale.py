@@ -108,9 +108,8 @@ def display_images(psd_tf: Array, log_scale: bool = False,
     global_max workflow (one base across the batch; dB min-max rescale stays
     per-image as each reference figure rescales its own range). Under pjit
     with a sharded batch the shared max becomes an ICI all-reduce."""
-    img_src = jnp.swapaxes(psd_tf, -1, -2)
-    gm = jnp.max(img_src) if share_max else None
-    return jax.vmap(lambda s: normalize(s, log_scale, gm))(img_src)
+    return normalize_batch(jnp.swapaxes(psd_tf, -1, -2), log_scale,
+                           share_max)
 
 
 def normalize_batch(sxx_batch: Array, log_scale: bool = False,

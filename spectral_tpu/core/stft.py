@@ -249,7 +249,11 @@ def matmul_precision(cfg: SpecConfig):
     try:
         return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
     except AttributeError:  # pragma: no cover - older jax
-        return jax.lax.Precision.DEFAULT
+        # degrade to the ACCURATE tier, not Precision.DEFAULT: the default
+        # single-pass bf16 dot loses the spectrum entirely (17 dB error per
+        # the measurements above) — slower-but-correct is the only safe
+        # fallback when the 3-pass algorithm is unavailable
+        return jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
@@ -282,15 +286,17 @@ def stft(x: Array, cfg: SpecConfig, use_matmul: bool = False) -> Array:
 
     use_matmul selects the MXU real-DFT path (requires nfft == nperseg).
     """
-    frames = _prep_frames(x, cfg)
-    w = jnp.asarray(_window_f64(cfg), frames.dtype)
     if not use_matmul:
+        frames = _prep_frames(x, cfg)
+        w = jnp.asarray(_window_f64(cfg), frames.dtype)
         fw = frames * w
         # n=cfg.nfft_ zero-pads each frame to nfft (scipy semantics)
         if cfg.onesided:
             return jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1)
         return jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)
 
+    # the matmul path frames internally (window + detrend are folded into
+    # the DFT matrices) — framing here too would double the framing work
     xr, xi = _matmul_dft(x, cfg)
     return jax.lax.complex(xr, xi)
 

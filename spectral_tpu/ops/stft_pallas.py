@@ -57,12 +57,14 @@ technique.
 Above nperseg 4096 the Mosaic pipeline's double-buffered A tiles exceed
 VMEM, so the kernel switches to manual DMA: A stays in HBM and one
 single-buffered scratch tile reloads only on frequency-tile changes —
-the full GUI range 32..8192 (GUI.py:87-90) is supported. The DFT matrices
+the GUI range up to 8192 (GUI.py:87-90) is covered. The DFT matrices
 are generated on device above 8 MB so multi-hundred-MB constants never
 embed in executables (core.stft.dft_matrices_device).
 
-Constraints: nfft == nperseg and nperseg <= 8192 (the full GUI range,
-GUI.py:87-90); the jnp path covers zero-padded nfft and exotic modes.
+Constraints (see pallas_supported): nfft == nperseg, nperseg <= 8192,
+gcd(nperseg, hop) >= 8 (so nperseg=32 at the scipy hop 28 — g=4 — falls
+back to jnp), uncentered PSD mode without mel; the jnp path covers
+zero-padded nfft and the exotic modes.
 """
 
 from __future__ import annotations
@@ -186,13 +188,23 @@ def pallas_supported(cfg: SpecConfig) -> bool:
     range nperseg >= 64 always satisfies it, and the jnp path covers the
     rest), and a frame overlap that fits the VMEM frame-block budget
     (q_max <= _bf_vmem_cap: rules out tiny hops at huge nperseg, e.g.
-    8192/24, where the forced overlap block alone would blow VMEM)."""
+    8192/24, where the forced overlap block alone would blow VMEM).
+
+    Also requires the semantics the kernel actually implements — PSD mode,
+    no center padding, no mel stage: the kernel computes uncentered PSD
+    only, and every caller (parallel/pipeline.py gates its Pallas path on
+    THIS predicate) falls back to the XLA path for those configs instead
+    of silently getting wrong frame timing / |X|^2 instead of |X| / a
+    missing mel projection."""
     g, S, P = _gcd_dims(cfg)
     q_max = (P - 1) // S
     return (cfg.nfft_ == cfg.nperseg
             and cfg.nperseg <= MAX_NPERSEG_VMEM
             and g >= 8
-            and q_max <= _bf_vmem_cap(cfg))
+            and q_max <= _bf_vmem_cap(cfg)
+            and cfg.mode == "psd"
+            and not cfg.center
+            and cfg.n_mels is None)
 
 
 def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
@@ -221,8 +233,10 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
                          "combine with log10_out is unsupported")
     if not pallas_supported(cfg):
         raise ValueError(
-            "config unsupported by the pallas kernel (need nfft == nperseg "
-            f"and nperseg <= {MAX_NPERSEG_VMEM}); "
+            "config unsupported by the pallas kernel (requires: "
+            f"nfft == nperseg, nperseg <= {MAX_NPERSEG_VMEM}, "
+            "gcd(nperseg, hop) >= 8, the frame overlap within the VMEM "
+            "budget, mode='psd', center=False, no mel); "
             "use core.stft.power_spectrogram")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -440,7 +454,6 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
     The per-image PSD extrema reduce INSIDE the kernel (with_stats), so the
     display tail is one fused elementwise map (normalize_from_stats) into
     the colormap pack — no separate reduction pass re-reading the PSD."""
-    import jax as _jax
     from spectral_tpu.core.scale import normalize_from_stats
     from spectral_tpu.ops.colormap import apply_colormap_packed
 
@@ -448,7 +461,7 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
         psd, pmin, pmax = stft_psd_pallas(xb, fs, cfg, block_frames,
                                           interpret=interpret,
                                           with_stats=True)
-        img = _jax.vmap(
+        img = jax.vmap(
             lambda s, lo, hi: normalize_from_stats(s, lo, hi,
                                                    cfg.log_scale)
         )(jnp.swapaxes(psd, -1, -2), pmin, pmax)

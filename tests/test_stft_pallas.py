@@ -215,3 +215,28 @@ def test_pallas_freq_tiled_matches_jnp(nperseg, hop, n):
     out = np.asarray(stft_psd_pallas(jnp.asarray(x), fs, cfg))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=ref.max() * 1e-7)
+
+
+def test_pallas_supported_rejects_semantics_it_cannot_compute():
+    """The kernel computes uncentered PSD only: center/magnitude/mel
+    configs must be rejected so pipeline callers fall back to the XLA
+    path instead of silently getting wrong timing/values/shape."""
+    base = dict(nperseg=1024, hop=256, window="hann", detrend="none")
+    assert pallas_supported(SpecConfig(**base))
+    assert not pallas_supported(SpecConfig(**base, center=True))
+    assert not pallas_supported(SpecConfig(**base, mode="magnitude"))
+    assert not pallas_supported(SpecConfig(**base, n_mels=64))
+    with pytest.raises(ValueError, match="center"):
+        stft_psd_pallas(jnp.zeros(4096), 1000.0,
+                        SpecConfig(**base, center=True))
+
+
+def test_matmul_precision_fallback_is_accurate(monkeypatch):
+    """Without DotAlgorithmPreset (older jax), the 'fast' tier must
+    degrade to HIGHEST — the plain default bf16 dot loses the spectrum
+    (17 dB error)."""
+    import jax
+    from spectral_tpu.core.stft import matmul_precision
+    monkeypatch.delattr(jax.lax, "DotAlgorithmPreset")
+    assert (matmul_precision(SpecConfig(precision="fast"))
+            == jax.lax.Precision.HIGHEST)
