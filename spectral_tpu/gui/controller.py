@@ -66,8 +66,13 @@ class RoiEditorController:
     def set_editing_enabled(self, enabled: bool) -> None:
         """PlotEngine.set_editing_enabled (:480-495): disarming also cancels
         any in-flight drag and clears the hover highlight."""
+        was = self.editing
         self.editing = bool(enabled)
-        if not self.editing:
+        if was and not self.editing:
+            # only a real disarm notifies: disabling an already-disabled
+            # editor has nothing to cancel, and each notification is a full
+            # overlay reconcile + canvas draw (plot_selected calls this
+            # twice around every plot)
             self.drag_origin = None
             self.drag_span = None
             if self.hover is not None:

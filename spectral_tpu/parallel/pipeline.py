@@ -67,7 +67,7 @@ def _batched(it: Iterator[Tuple[str, np.ndarray]], batch: int, n: int
     """Batches preserve int16 inputs (16-bit PCM staged raw: half the
     host->device bytes; the device normalizes by 1/32768). A batch mixing
     dtypes falls back to float32."""
-    names, bufs = [], []
+    names, bufs, secs = [], [], []
 
     def flush():
         dt = np.int16 if all(b.dtype == np.int16 for b in bufs) else np.float32
@@ -82,19 +82,22 @@ def _batched(it: Iterator[Tuple[str, np.ndarray]], batch: int, n: int
                 return b.astype(np.float32) / 32768.0
             return np.asarray(b, dt)
 
-        return names, np.stack([conv(b) for b in out])
+        return names, secs, np.stack([conv(b) for b in out])
 
     for name, x in it:
         x = np.asarray(x)
         if x.dtype != np.int16:
             x = np.asarray(x, np.float32)
+        # real audio samples in this clip (zero-padding is not audio: the
+        # throughput stats must not count it)
+        secs.append(min(x.shape[0], n))
         if x.shape[0] < n:
             x = np.pad(x, (0, n - x.shape[0]))
         names.append(name)
         bufs.append(x[:n])
         if len(names) == batch:
             yield flush()
-            names, bufs = [], []
+            names, bufs, secs = [], [], []
     if names:
         yield flush()
 
@@ -224,7 +227,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
     stats = PipelineStats()
-    stage_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    if prefetch < 0:
+        raise ValueError("prefetch must be >= 0")
+    # maxsize=0 would be an UNBOUNDED python queue — the opposite of
+    # prefetch=0's intent; one slot is the minimum for the handoff
+    stage_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     producer_error: list = []
 
     cancel = threading.Event()
@@ -243,14 +250,14 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
 
     def producer():
         try:
-            for names, xb in _batched(iter(clips), batch, clip_samples):
+            for names, lens, xb in _batched(iter(clips), batch, clip_samples):
                 # async dispatch: upload + compute overlap with consumer
                 t0 = time.time()
                 xd = jnp.asarray(xb) if in_sharding is None \
                     else jax.device_put(xb, in_sharding)
                 packed = fn(xd)
                 stats.stage_s += time.time() - t0
-                if not _put((names, packed)):
+                if not _put((names, lens, packed)):
                     return
         except BaseException as e:  # re-raised in the consumer
             producer_error.append(e)
@@ -274,13 +281,19 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
             mp_context=_mp.get_context(method))
     else:
         pool = cf.ThreadPoolExecutor(max_workers=encode_workers)
+    # encode backpressure: pending futures pin views of their whole batch's
+    # unpacked host array, so without a bound a slow disk/encoder lets the
+    # device run ahead and RSS grows without limit ("Bounded queues keep
+    # memory flat" must include this stage). Two batches of lookahead keeps
+    # the encoders fed while the next readback is in flight.
+    max_pending = max(2 * batch, 4 * encode_workers)
     try:
         futures = []
         while True:
             item = stage_q.get()
             if item is None:
                 break
-            names, packed = item
+            names, lens, packed = item
             # blocks on this batch's device->host transfer only
             t0 = time.time()
             raw = np.asarray(packed)
@@ -305,11 +318,13 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                     futures.append(pool.submit(_timed_encode, host[i], path,
                                                compress_level))
                 stats.clips += 1
-                stats.seconds_audio += clip_samples / fs
+                stats.seconds_audio += lens[i] / fs
             for f in list(futures):
                 if f.done():
                     futures.remove(f)
                     _resolve(f, stats, on_error)
+            while len(futures) > max_pending:   # blocking backpressure
+                _resolve(futures.pop(0), stats, on_error)
         for f in futures:
             _resolve(f, stats, on_error)
     finally:

@@ -217,6 +217,13 @@ class ScanStreamer:
                  use_matmul: bool, fold, init, batch: int = 0):
         import dataclasses
         h = cfg.hop_
+        # same contract the chunked siblings enforce: a block size off the
+        # hop grid would silently produce a frame grid misaligned with the
+        # monolithic computation (blocks would jump by block_size % hop)
+        if block_size % h != 0:
+            raise ValueError(f"block_size must be a multiple of hop={h}")
+        if block_size < cfg.nperseg:
+            raise ValueError("block_size must be >= nperseg")
         c = carry_len(cfg)
         self.total_frames = num_frames(n, cfg.nperseg, h)
         self.skip = c // h
@@ -399,10 +406,20 @@ def iter_stream(chunks: Iterator[np.ndarray], fs: float, cfg: SpecConfig,
     s = StreamingSTFT(fs, cfg, chunk_size, use_matmul=use_matmul)
     h = cfg.hop_
     n_seen = 0
+    ended = False
     for chunk in chunks:
+        if ended:
+            # a short chunk's zero padding entered the carry; splicing more
+            # real samples after it would shift every subsequent frame's
+            # content against its reported absolute index with no way for
+            # the validity gate to notice — refuse instead of corrupting
+            raise ValueError(
+                "iter_stream received a chunk after a short (final) chunk; "
+                "short reads are only valid as the last chunk of a stream")
         chunk = np.asarray(chunk, np.float32)
         n_seen += chunk.shape[0]
         if chunk.shape[0] < chunk_size:
+            ended = True
             chunk = np.pad(chunk, (0, chunk_size - chunk.shape[0]))
         psd, valid, first_abs = s.process(chunk)
         abs_idx = first_abs + np.arange(s.frames_per_chunk)

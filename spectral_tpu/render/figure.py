@@ -114,7 +114,19 @@ class SessionFigureView:
                 leg = ax_signal.legend(loc="upper right", frameon=True)
                 leg.set_zorder(100)
 
-        if session.last_image is not None and session.last_t.size:
+        # the spectrogram pane is gated on the mode combos exactly like the
+        # reference (plot_extra:96-103: no Spectrogram/Both mode selected
+        # -> no source_candidate -> no spectrogram drawn), even though the
+        # headless session computes an image regardless for detection and
+        # export (session.py "headless default")
+        v = getattr(session, "view", None)
+        want_spec = v is None or (
+            (v.mode_proc in ("Spectrogram", "Both")
+             and session.signal_proc is not None)
+            or (v.mode_raw in ("Spectrogram", "Both")
+                and session.signal_raw is not None))
+        if want_spec and session.last_image is not None \
+                and session.last_t.size:
             f, t_ax = session.last_f, session.last_t
             self.mesh = ax_spec.pcolormesh(t_ax, f, session.last_image,
                                            shading="auto", cmap=colormap,

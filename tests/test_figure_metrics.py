@@ -70,3 +70,22 @@ def test_timed_and_logging(caplog):
 def test_trace_annotation_noop():
     with trace_annotation("x"):
         pass  # must never raise, with or without a profiler backend
+
+
+def test_figure_spectrogram_gated_on_mode_combos(tmp_path):
+    """The decorated figure draws the spectrogram pane only when a mode
+    combo requests it (reference plot_extra:96-103) — the session still
+    computes an image headlessly, but Signal/Signal must not display it."""
+    from spectral_tpu.render.figure import SessionFigureView
+    s = _session()
+    s.plot_sweeps(["rec_sweep0"],
+                  SpecConfig.scipy_default(512, fmin=0.0, fmax=100.0,
+                                           log_scale=True),
+                  ViewSettings())          # mode_raw = mode_proc = 'Signal'
+    assert s.last_image is not None        # headless compute still happened
+    view = SessionFigureView()
+    view.rebuild(s)
+    assert view.mesh is None               # but the figure shows no mesh
+    s.plot_sweeps(["rec_sweep0"], view=ViewSettings(mode_proc="Spectrogram"))
+    view.rebuild(s)
+    assert view.mesh is not None

@@ -232,3 +232,16 @@ def test_export_batch(tmp_path):
     assert "2" in msg
     files = sorted(os.listdir(tmp_path))
     assert files == ["synth_sweep0.png", "synth_sweep1.png"]
+
+
+def test_disable_editing_when_already_disabled_is_silent():
+    """plot_selected calls set_editing_enabled(False) around every plot;
+    a no-op disarm must not fire a full overlay reconcile + draw."""
+    s = _bursty_session(plot=False)
+    calls = []
+    c = RoiEditorController(s, on_change=lambda: calls.append(1))
+    c.set_editing_enabled(False)
+    assert calls == []
+    c.set_editing_enabled(True)
+    c.set_editing_enabled(False)           # real disarm still notifies
+    assert calls == [1]

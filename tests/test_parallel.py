@@ -658,3 +658,47 @@ def test_fit_sharded_final_iteration_on_checkpoint_boundary(tmp_path):
         p0, jnp.asarray(Xb), mesh, n_iter=4, tol=-np.inf,
         checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2)
     assert it == 4                 # ran to the boundary without crashing
+
+
+def test_export_pipeline_audio_seconds_and_prefetch_zero(tmp_path):
+    """seconds_audio must count real samples, not zero-padding; prefetch=0
+    must mean a bounded handoff, not python's unbounded Queue(0)."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    fs = 8000.0
+    rng = np.random.RandomState(0)
+    # 2 s clips exported at a 4 s static shape -> half padding
+    clips = [(f"c{i}", rng.randn(16000).astype(np.float32)) for i in range(3)]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    st = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "a"),
+                             clip_samples=32000, batch=2, prefetch=0)
+    assert st.pngs_written == 3
+    assert st.seconds_audio == pytest.approx(3 * 2.0)  # not 3 * 4.0
+    with pytest.raises(ValueError, match="prefetch"):
+        export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "b"),
+                            clip_samples=32000, batch=2, prefetch=-1)
+
+
+def test_scan_streamer_validates_block_size():
+    from spectral_tpu.parallel.streaming import ScanStreamer
+    cfg = SpecConfig.north_star(256, 64)
+    ident = lambda acc, psd, valid: (acc, jnp.zeros(()))  # noqa: E731
+    with pytest.raises(ValueError, match="multiple of hop"):
+        ScanStreamer(1000.0, cfg, 500, 4096, True, ident, jnp.zeros(()))
+    with pytest.raises(ValueError, match=">= nperseg"):
+        ScanStreamer(1000.0, cfg, 128, 4096, True, ident, jnp.zeros(()))
+
+
+def test_iter_stream_rejects_chunk_after_short_chunk():
+    """A mid-stream short read would splice padding into the carry and
+    silently shift every later frame; the generator must refuse."""
+    from spectral_tpu.parallel.streaming import iter_stream
+    cfg = SpecConfig.north_star(256, 64)
+    rng = np.random.RandomState(1)
+    chunks = [rng.randn(512).astype(np.float32),
+              rng.randn(100).astype(np.float32),   # short, NOT final
+              rng.randn(512).astype(np.float32)]
+    it = iter_stream(iter(chunks), 1000.0, cfg, 512)
+    next(it)
+    next(it)
+    with pytest.raises(ValueError, match="short"):
+        next(it)
