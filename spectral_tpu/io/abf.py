@@ -240,16 +240,20 @@ def load_abf(filepath: str, registry) -> List[str]:
     fs = abf.data_rate
     for i in range(abf.n_sweeps):
         ch0 = abf.sweep(i, 0)
-        ch1 = abf.sweep(i, 1) if abf.n_channels > 1 else None
         if ch0.size and np.any(np.abs(ch0) > 0):
             raw = ch0
-        elif ch1 is not None and ch1.size and np.any(np.abs(ch1) > 0):
-            raw = ch1
         else:
-            # SweepManager.py:52-56: an empty/no-data sweep registers a
-            # single zero sample (ch0.size can be 0 when the data section
-            # is empty — "is not None" could never take this branch)
-            raw = ch0 if ch0.size else np.zeros(1, np.float32)
+            # channel 1 is extracted LAZILY: the common case (non-zero
+            # channel 0) would otherwise pay a full strided copy + scale
+            # of the discarded channel for every sweep
+            ch1 = abf.sweep(i, 1) if abf.n_channels > 1 else None
+            if ch1 is not None and ch1.size and np.any(np.abs(ch1) > 0):
+                raw = ch1
+            else:
+                # SweepManager.py:52-56: an empty/no-data sweep registers a
+                # single zero sample (ch0.size can be 0 when the data
+                # section is empty — "is not None" could never take this)
+                raw = ch0 if ch0.size else np.zeros(1, np.float32)
         name = f"{base}_sweep{i}"
         registry.register(name, SweepEntry(
             filepath=filepath, sweep_idx=i, fs=fs, fs_raw=fs,

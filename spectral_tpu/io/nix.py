@@ -41,6 +41,20 @@ def _to_str(name) -> str:
 _TIME_UNIT_S = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "µs": 1e-6, "ns": 1e-9}
 
 
+def _natkey(name: str):
+    """Natural-sort key: digit runs compare numerically, so seg10 sorts
+    after seg9. h5py iterates members in LEXICOGRAPHIC name order, which
+    would load segment 10 as sweep 2 in any file with >= 10 segments —
+    silently registering data under the wrong display name."""
+    import re
+    s = _to_str(name)
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)]
+
+
+def _natsorted(container):
+    return sorted(container, key=_natkey)
+
+
 def _fs_from_nix_dims(sig_group) -> Optional[float]:
     """fs = 1 / (sampling_interval * unit_in_seconds) from dimension 1."""
     dims = sig_group.get("dimensions")
@@ -72,7 +86,7 @@ def _collect_nix_segments(f) -> List[List[Tuple[str, np.ndarray, Optional[float]
     # to the generic collector instead of crashing the load
     if not isinstance(data_root, h5py.Group):
         return segments
-    for block_name in data_root:
+    for block_name in _natsorted(data_root):
         block = data_root[block_name]
         if not isinstance(block, h5py.Group):
             continue
@@ -80,7 +94,7 @@ def _collect_nix_segments(f) -> List[List[Tuple[str, np.ndarray, Optional[float]
         das = block.get("data_arrays")
         if not isinstance(groups, h5py.Group):
             continue
-        for seg_name in groups:
+        for seg_name in _natsorted(groups):
             seg = groups[seg_name]
             if not isinstance(seg, h5py.Group):
                 continue
@@ -89,7 +103,7 @@ def _collect_nix_segments(f) -> List[List[Tuple[str, np.ndarray, Optional[float]
             src = seg_das if isinstance(seg_das, h5py.Group) else das
             if not isinstance(src, h5py.Group):
                 continue
-            for da_name in src:
+            for da_name in _natsorted(src):
                 da = src[da_name]
                 if not isinstance(da, h5py.Group) or "data" not in da:
                     continue
@@ -127,7 +141,7 @@ def _collect_generic_segments(f) -> List[List[Tuple[str, np.ndarray, Optional[fl
                  np.asarray(obj).reshape(-1), fs_of(obj)))
 
     f.visititems(visit)
-    return [by_parent[k] for k in sorted(by_parent)]
+    return [by_parent[k] for k in sorted(by_parent, key=_natkey)]
 
 
 def load_nix_h5(filepath: str, registry) -> List[str]:
@@ -142,7 +156,10 @@ def load_nix_h5(filepath: str, registry) -> List[str]:
 
     with h5py.File(filepath, "r") as f:
         segments = _collect_nix_segments(f) if "data" in f else []
-        if not segments:
+        # a NIX-shaped tree whose members are not {group with 'data'}
+        # yields segment lists of EMPTY lists — truthy, but containing no
+        # signals; the generic collector must still get its chance
+        if not any(segments):
             segments = _collect_generic_segments(f)
 
     for i, sigs in enumerate(segments):

@@ -77,6 +77,15 @@ class SweepRegistry:
             raise ValueError("npz file must contain 'raw' or 'processed'")
         src2 = np.atleast_2d(src)
         proc2 = np.atleast_2d(proc) if proc is not None else None
+        for label, a in (("raw", src2 if raw is not None else None),
+                         ("processed", proc2)):
+            if a is not None and a.ndim != 2:
+                # atleast_2d passes 3-D arrays through; a (sweeps, ch, n)
+                # array would register 2-D per-sweep signals that violate
+                # the 1-D contract and fail far away inside the STFT
+                raise ValueError(
+                    f"npz '{label}' must be 1-D or (sweeps, n); "
+                    f"got shape {a.shape}")
         if (raw is not None and proc2 is not None
                 and proc2.shape[0] != src2.shape[0]):
             # validate BEFORE registering anything: an IndexError mid-loop

@@ -120,7 +120,15 @@ class BurstDetector:
                 BurstDetector._warmed.discard(key)
 
         if background:
-            threading.Thread(target=_compile, daemon=True,
+            # non-daemon ON PURPOSE: the interpreter joins it at exit, so a
+            # script that plots and exits immediately waits for the compile
+            # to finish instead of killing the thread mid-XLA-compile —
+            # which aborts runtime teardown ("FATAL: exception not
+            # rethrown") and can wedge a tunneled chip. The wait is one
+            # (persistently cached) compile, and only programs that never
+            # detect pay it; pass AnalysisSession(warm_detection=False)
+            # to opt out entirely.
+            threading.Thread(target=_compile, daemon=False,
                              name="detector-warmup").start()
         else:
             _compile()

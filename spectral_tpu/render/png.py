@@ -109,6 +109,12 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
     palette = np.ascontiguousarray(np.asarray(palette), dtype=np.uint8)
     if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
         raise ValueError("expected (H, W) indices and (N, 3) palette")
+    if palette.shape[0] > 256:
+        # 8-bit PLTE caps at 256 entries (768 bytes): the pure-python
+        # fallback would silently write an invalid PNG and the native
+        # encoder only a bare "code -1"
+        raise ValueError(
+            f"palette has {palette.shape[0]} entries; PNG PLTE max is 256")
 
     native = _get_native()
     if native is not None and hasattr(native, "encode_palette"):

@@ -217,3 +217,56 @@ def test_npz_requires_fs(tmp_path):
     np.savez(p, raw=np.ones(10))
     with pytest.raises(ValueError, match="'fs'"):
         SweepRegistry().load_file(p)
+
+
+def test_nix_segments_natural_order(tmp_path):
+    """h5py iterates lexicographically, so seg10 used to load as sweep2:
+    with >= 10 segments every sweep past index 1 was silently registered
+    under the wrong display name."""
+    from spectral_tpu.io.nix import write_nix_fixture, load_nix_h5
+    from spectral_tpu.io.registry import SweepRegistry
+    p = str(tmp_path / "many.h5")
+    # segment i's signal is constant i
+    write_nix_fixture(p, [{"raw": np.full(100, float(i), np.float32)}
+                          for i in range(12)])
+    reg = SweepRegistry()
+    names = load_nix_h5(p, reg)
+    assert len(names) == 12
+    for i in range(12):
+        assert float(reg.data[f"many_sweep{i}"].raw[0]) == float(i)
+
+
+def test_nix_empty_segments_fall_through_to_generic(tmp_path):
+    """A NIX-shaped tree whose members are plain datasets yields empty
+    segment lists; the generic collector must still run."""
+    import h5py
+    from spectral_tpu.io.nix import load_nix_h5
+    from spectral_tpu.io.registry import SweepRegistry
+    p = str(tmp_path / "odd.h5")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("data/b0/groups/s0/data_arrays")
+        g.create_dataset("sig", data=np.arange(64, dtype=np.float32))
+        g["sig"].attrs["fs"] = 500.0
+    reg = SweepRegistry()
+    names = load_nix_h5(p, reg)
+    assert len(names) == 1
+    e = reg.data[names[0]]
+    assert e.fs == 500.0 and len(e.processed) == 64
+
+
+def test_npz_rejects_3d_arrays(tmp_path):
+    from spectral_tpu.io.registry import SweepRegistry
+    p = str(tmp_path / "bad.npz")
+    np.savez(p, raw=np.zeros((2, 3, 100), np.float32), fs=1000.0)
+    reg = SweepRegistry()
+    with pytest.raises(ValueError, match="1-D or"):
+        reg.load_file(p)
+    assert not reg.data  # nothing partially registered
+
+
+def test_png_palette_caps_at_256(tmp_path):
+    from spectral_tpu.render.png import encode_png_palette
+    idx = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_png_palette(idx, np.zeros((300, 3), np.uint8),
+                           str(tmp_path / "x.png"))
