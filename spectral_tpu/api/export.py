@@ -127,6 +127,7 @@ def export_batch_signals_png(out_dir: str, registry: SweepRegistry,
         max_amp = 1.0
 
     success = []
+    used_paths = set()
     for name in names:
         if name not in registry.data:
             continue
@@ -147,6 +148,14 @@ def export_batch_signals_png(out_dir: str, registry: SweepRegistry,
         packed = jax.lax.bitcast_convert_type(img, jnp.uint32)
         rgba = unpack_rgba(np.asarray(packed)).reshape(height, width, 4)
         safe = _SAFE_RE.sub("_", name)
+        # sanitization can collide distinct names ('a:b' and 'a_b') onto
+        # one path — a silent overwrite that would report N exported with
+        # N-1 files on disk; suffix until unique
+        k = 2
+        while safe in used_paths:
+            safe = f"{_SAFE_RE.sub('_', name)}_{k}"
+            k += 1
+        used_paths.add(safe)
         encode_png(rgba, path=str(Path(out_dir) / f"{safe}.png"),
                    compress_level=compress_level)
         success.append(name)

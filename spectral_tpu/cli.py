@@ -30,6 +30,12 @@ def _make_config(args) -> "SpecConfig":
     from spectral_tpu.config import SpecConfig
     precision = "fast" if getattr(args, "fast", False) else "accurate"
     if args.scipy_compat:
+        if getattr(args, "window", None):
+            # silently rendering Tukey while the user asked for hann would
+            # be worse than refusing
+            sys.exit("error: --scipy-compat fixes the window to "
+                     "tukey(0.25) (the reference's scipy default); "
+                     "drop --window or drop --scipy-compat")
         cfg = SpecConfig.scipy_default(
             nperseg=args.nperseg, fmin=args.fmin, fmax=args.fmax,
             log_scale=args.log, precision=precision)
@@ -41,7 +47,7 @@ def _make_config(args) -> "SpecConfig":
         return cfg
     return SpecConfig.north_star(
         n_fft=args.nperseg, hop=args.hop or args.nperseg // 4,
-        window=args.window, fmin=args.fmin, fmax=args.fmax,
+        window=args.window or "hann", fmin=args.fmin, fmax=args.fmax,
         log_scale=args.log, precision=precision,
         n_mels=args.mels if getattr(args, "mels", 0) else None)
 
@@ -68,6 +74,12 @@ def _session_for(paths: List[str], args):
     if not names:
         sys.exit("no sweeps loaded")
     sel = names if args.combine else names[:1]
+    if len(names) > 1 and not args.combine:
+        # the non-combine path analyzes the first sweep only (reference
+        # PlotEngine.py:203-206); say so instead of silently dropping data
+        print(f"note: {len(names)} sweeps loaded; analyzing only "
+              f"{sel[0]} (pass --combine to concatenate them)",
+              file=sys.stderr)
     s.plot_sweeps(sel, _make_config(args),
                   ViewSettings(combine=args.combine, mode_proc="Spectrogram",
                                mode_raw="Spectrogram"))
@@ -78,7 +90,9 @@ def _add_spec_args(p, combine: bool = True):
     p.add_argument("--nperseg", type=int, default=1024)
     p.add_argument("--hop", type=int, default=None,
                    help="frame hop (default nperseg//4; scipy mode ignores)")
-    p.add_argument("--window", default="hann")
+    p.add_argument("--window", default=None,
+                   help="window function (default hann; invalid with "
+                        "--scipy-compat, which fixes tukey 0.25)")
     p.add_argument("--scipy-compat", action="store_true",
                    help="reference-exact mode: Tukey(0.25), hop=nperseg-nperseg//8")
     p.add_argument("--fmin", type=float, default=None)
@@ -214,12 +228,12 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
         if cmd == "ping":
             return {"ok": True, "pong": True}
         if cmd == "render_batch":
-            from spectral_tpu.io.wav import read_wav
+            from spectral_tpu.io.wav import wav_info
             from spectral_tpu.parallel.pipeline import (export_spectrograms,
                                                         wav_clip_source)
             files = req["files"]
             cfg = SpecConfig(**req.get("config", {}))
-            _x0, fs = read_wav(files[0])
+            fs = wav_info(files[0])[2]   # header-only: no full decode
             clip_s = float(req.get("clip_seconds", 10.0))
             stats = export_spectrograms(
                 wav_clip_source(files), fs, cfg, req["out_dir"],
@@ -237,8 +251,14 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
                           ViewSettings(combine=bool(req.get("combine")),
                                        mode_proc="Spectrogram",
                                        mode_raw="Spectrogram"))
+            # the exporters swallow failures into "Error ..." status
+            # strings (reference ExportManager semantics); ok must reflect
+            # them — a client checking "ok" must not treat a failed export
+            # as success (same rule as the CLI's _status)
+            _ok = lambda m: not str(m).startswith("Error")  # noqa: E731
             if cmd == "render":
-                resp = {"ok": True, "message": s.export_png(req["out"])}
+                msg = s.export_png(req["out"])
+                resp = {"ok": _ok(msg), "message": msg}
             elif cmd == "detect":
                 resp = {"ok": True, "events": s.unsupervised_detect()}
             elif cmd == "learn":
@@ -249,6 +269,8 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
                         "total_power": s.calculate_absolute_power()}
             if req.get("csv"):
                 resp["csv"] = s.export_csv(req["csv"])
+                if not _ok(resp["csv"]):
+                    resp["ok"] = False
             return resp
         return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
 
@@ -281,10 +303,12 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
         if not line:
             continue
         try:
-            if len(line) > max_request_bytes:
+            nbytes = len(line.encode("utf-8", "surrogatepass"))
+            if nbytes > max_request_bytes:   # BYTES, as the name promises:
+                # len(str) undercounts non-ASCII payloads by up to 4x
                 raise ValueError(
                     f"request exceeds max_request_bytes "
-                    f"({len(line)} > {max_request_bytes})")
+                    f"({nbytes} > {max_request_bytes})")
             req = _json.loads(line)
             if req.get("cmd") == "shutdown":
                 stdout.write(_json.dumps({"ok": True, "bye": True}) + "\n")
@@ -514,7 +538,13 @@ def _dispatch(args) -> int:
         if not 0 <= args.channel < len(names):
             sys.exit(f"error: --channel {args.channel} out of range "
                      f"(file has {len(names)} sweep(s))")
-        sig, fs = r.get_signal(names[args.channel])
+        try:
+            # processed=True: processed-over-raw preference with raw
+            # fallback, like every plotting command (a processed-only npz
+            # used to crash here with a KeyError traceback)
+            sig, fs = r.get_signal(names[args.channel], processed=True)
+        except KeyError as e:
+            sys.exit(f"error: {e}")
         cfg = _make_config(args)
         hop = cfg.hop_
         # chunk must be a multiple of hop AND >= nperseg; the floor is
@@ -534,10 +564,18 @@ def _dispatch(args) -> int:
             sys.exit("error: -o/--out is required unless --bands is given")
         streamer = scan_spectrogram if args.scan else stream_spectrogram
         psd = streamer(np.asarray(sig, np.float32), fs, cfg, chunk)
+        # --fmin/--fmax are honored like in render (the streamers compute
+        # the full band; the mask is a display/output concern)
+        f_ax = freq_axis(cfg, fs)
+        psd_np = np.asarray(psd)                       # (T, F)
+        if cfg.fmin is not None or cfg.fmax is not None:
+            from spectral_tpu.core.stft import mask_band_rows
+            f_ax, sxx_m = mask_band_rows(f_ax, psd_np.T, cfg.fmin, cfg.fmax)
+            psd_np = np.ascontiguousarray(sxx_m.T)
         if args.out.endswith(".npz"):
-            np.savez(args.out, psd=np.asarray(psd), f=freq_axis(cfg, fs),
+            np.savez(args.out, psd=psd_np, f=f_ax,
                      t=time_axis(cfg, fs, len(sig)), fs=fs)
-            print(f"Wrote PSD {psd.shape} to {args.out}")
+            print(f"Wrote PSD {psd_np.shape} to {args.out}")
         else:
             import jax.numpy as jnp
             from spectral_tpu.core.scale import normalize
@@ -546,7 +584,7 @@ def _dispatch(args) -> int:
             from spectral_tpu.render.png import encode_png
             # --log is honored like everywhere else (it used to be
             # silently forced on for the image output)
-            img = normalize(jnp.swapaxes(jnp.asarray(psd), -1, -2),
+            img = normalize(jnp.asarray(psd_np.T),
                             log_scale=cfg.log_scale)
             packed = apply_colormap_packed(img, flip_rows=True)
             encode_png(unpack_rgba(np.asarray(packed)), path=args.out,
@@ -556,12 +594,14 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "export-specs":
-        from spectral_tpu.io.wav import read_wav
+        from spectral_tpu.io.wav import wav_info
         from spectral_tpu.parallel.pipeline import (export_spectrograms,
                                                     wav_clip_source)
         cfg = _make_config(args)      # --mels handled for every mode there
-        # fs from the first file; the pipeline is single-rate by design
-        _x0, fs = read_wav(args.files[0])
+        # fs from the first file's HEADER (the pipeline is single-rate by
+        # design; decoding the whole first clip for one field doubled its
+        # IO — wav_clip_source decodes it again anyway)
+        fs = wav_info(args.files[0])[2]
         mesh = None
         if args.shard:
             from spectral_tpu.parallel.mesh import make_mesh

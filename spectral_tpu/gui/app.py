@@ -287,8 +287,8 @@ def build_window():
             last = self.settings.value("lastDir", "", str)
             paths, _ = QtWidgets.QFileDialog.getOpenFileNames(
                 self, "Add Files", last,
-                "All (*.abf *.h5 *.wav *.npz);;ABF (*.abf);;HDF5 (*.h5);;"
-                "WAV (*.wav);;NPZ (*.npz)")
+                "All (*.abf *.h5 *.nix *.wav *.npz);;ABF (*.abf);;"
+                "HDF5/NIX (*.h5 *.nix);;WAV (*.wav);;NPZ (*.npz)")
             for p in paths:
                 self.settings.setValue("lastDir", os.path.dirname(p))
                 try:

@@ -57,6 +57,35 @@ def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
     return audio_fmt, n_ch, float(fs), bits, data
 
 
+def wav_info(filepath: str) -> Tuple[int, int, float, int]:
+    """Header-only parse -> (audio_fmt, n_channels, fs, bits).
+
+    Seeks past chunk payloads instead of reading them: callers that only
+    need the sample rate (e.g. the export pipeline sizing clip_samples)
+    must not decode a whole recording for one header field."""
+    with open(filepath, "rb") as fh:
+        riff, _size, wave = struct.unpack("<4sI4s", fh.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"{filepath}: not a RIFF/WAVE file")
+        fmt = None
+        while fmt is None:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                break
+            tag, sz = struct.unpack("<4sI", hdr)
+            if tag == b"fmt ":
+                fmt = fh.read(sz)
+            else:
+                fh.seek(sz + (sz % 2), os.SEEK_CUR)
+        if fmt is None:
+            raise ValueError(f"{filepath}: missing fmt chunk")
+    (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        audio_fmt = struct.unpack("<H", fmt[24:26])[0]
+    return audio_fmt, n_ch, float(fs), bits
+
+
 def read_wav(filepath: str) -> Tuple[np.ndarray, float]:
     """Read a WAV file -> (float32 array (n,) or (n, ch) in [-1, 1], fs)."""
     audio_fmt, n_ch, fs, bits, data = _read_riff(filepath)

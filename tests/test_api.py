@@ -701,3 +701,93 @@ def test_cli_oneshot_sessions_skip_detection_warmup(tmp_path, monkeypatch):
     assert main(["--cpu", "bands", wav_path]) == 0
     assert main(["--cpu", "detect", wav_path, "--each"]) == 0
     assert seen and all(w is False for w in seen)
+
+
+def test_cli_stream_processed_only_npz(tmp_path, capsys):
+    """A processed-only npz used to crash stream with a KeyError traceback;
+    it must stream the processed signal like every plotting command."""
+    from spectral_tpu.cli import main
+    p = str(tmp_path / "proc.npz")
+    np.savez(p, processed=_bursty(fs=1000.0, dur=10.0), fs=1000.0)
+    assert main(["--cpu", "stream", p, "--bands"]) == 0
+    assert "Total absolute power" in capsys.readouterr().out
+
+
+def test_cli_stream_honors_band_mask(tmp_path, capsys):
+    """--fmin/--fmax must shape the npz/image outputs like they do render."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "s.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=10.0) * 0.5, fs)
+    out = str(tmp_path / "psd.npz")
+    assert main(["--cpu", "stream", wav_path, "-o", out,
+                 "--nperseg", "256", "--fmin", "0", "--fmax", "30"]) == 0
+    z = np.load(out)
+    assert z["f"].max() <= 30.0
+    assert z["psd"].shape[1] == z["f"].shape[0]
+
+
+def test_cli_scipy_compat_rejects_window(tmp_path, capsys):
+    from spectral_tpu.cli import main
+    wav_path = str(tmp_path / "s.wav")
+    write_wav(wav_path, _bursty(fs=1000.0, dur=5.0) * 0.5, 1000.0)
+    with pytest.raises(SystemExit) as ei:
+        main(["--cpu", "render", wav_path, "-o", str(tmp_path / "o.png"),
+              "--scipy-compat", "--window", "hann"])
+    assert "tukey" in str(ei.value)
+
+
+def test_cli_multifile_notice_without_combine(tmp_path, capsys):
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    a, b = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(a, _bursty(fs=fs, dur=5.0) * 0.5, fs)
+    write_wav(b, _bursty(fs=fs, dur=5.0) * 0.5, fs)
+    assert main(["--cpu", "bands", a, b]) == 0
+    assert "analyzing only" in capsys.readouterr().err
+
+
+def test_wav_info_header_only(tmp_path):
+    from spectral_tpu.io.wav import wav_info
+    p = str(tmp_path / "w.wav")
+    write_wav(p, np.zeros(1000, np.float32), 44100.0)
+    fmt, ch, fs, bits = wav_info(p)
+    assert (fmt, ch, fs, bits) == (1, 1, 44100.0, 16)
+
+
+def test_serve_ok_false_on_export_error(tmp_path):
+    """serve must not report ok:true when the exporter returned an
+    'Error ...' status string."""
+    import io as _io
+    from spectral_tpu.cli import _serve
+    fs = 1000.0
+    wav_path = str(tmp_path / "s.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=10.0) * 0.5, fs)
+    req = {"cmd": "render", "files": [wav_path],
+           "out": str(tmp_path / "no_dir" / "deep" / "x.png"),
+           "config": {"nperseg": 256}}
+    import json as _json
+    stdin = _io.StringIO(_json.dumps(req) + "\n")
+    stdout = _io.StringIO()
+    _serve(stdin, stdout)
+    resp = _json.loads(stdout.getvalue().splitlines()[0])
+    assert resp["ok"] is False and "Error" in resp["message"]
+
+
+def test_batch_export_name_collision_dedupes(tmp_path):
+    """Two names that sanitize identically must not silently overwrite."""
+    import os as _os
+    from spectral_tpu.api.export import export_batch_signals_png
+    s = _session_with_sweeps(1)
+    x = np.ones(1000, np.float32)
+    s.registry.register("rec:1_sweep0", SweepEntry(
+        filepath="a", sweep_idx=0, fs=1000.0, fs_raw=1000.0, raw=x,
+        processed=None))
+    s.registry.register("rec_1_sweep0", SweepEntry(
+        filepath="b", sweep_idx=0, fs=1000.0, fs_raw=1000.0, raw=x * 0.5,
+        processed=None))
+    msg = export_batch_signals_png(str(tmp_path), s.registry,
+                                   ["rec:1_sweep0", "rec_1_sweep0"])
+    assert "Exported 2" in msg
+    pngs = [f for f in _os.listdir(str(tmp_path)) if f.endswith(".png")]
+    assert len(pngs) == 2
