@@ -42,12 +42,15 @@ nF x signal bytes instead of B x matrix bytes.
 
 Measured on v5e (ms/clip, 10 s @ 16 kHz): the kernel WINS the bare STFT
 stage at the headline nperseg=1024 (0.0736 pallas vs 0.0804 xla-matmul vs
-0.133 xla-fft) but LOSES the full display pipeline (0.0929 vs 0.0867,
-round 3) — XLA fuses the normalize/dB/colormap tail into its own matmul
-epilogue, while a pallas_call output must materialize to HBM first. The
-in-kernel min/max stats (with_stats) + the analytic dB-extrema tail
-(core.scale.normalize_from_stats) recovered 0.006 of the r2 gap (0.099 ->
-0.0929) but not the lead; recorded as a negative result. At tiled sizes
+0.133 xla-fft) but LOSES the full display pipeline (0.0933 vs 0.0898,
+re-measured back-to-back with whole-output checksums after the round-3
+timer was found to let XLA slice-sink the colormap tail; the honest
+ratio is 1.04, same conclusion as the original 0.0929-vs-0.0867) — XLA
+fuses the normalize/dB/colormap tail into its own matmul epilogue, while
+a pallas_call output must materialize to HBM first. The in-kernel
+min/max stats (with_stats) + the analytic dB-extrema tail
+(core.scale.normalize_from_stats) recovered part of the r2 gap but not
+the lead; recorded as a negative result. At tiled sizes
 the tile re-streaming and linearly growing DFT FLOPs hand even the bare
 stage to XLA's rFFT (4096: 0.35 pallas / 0.34 xla-matmul / 0.19 xla-fft;
 8192: 0.58 / 0.68 / 0.31). The production default is therefore the XLA
