@@ -316,10 +316,10 @@ def patch_escape_routes_traced(transmat: Array, baseline_state: Array) -> Array:
     idx = jnp.arange(k)
     onehot_b = (idx == baseline_state).astype(transmat.dtype)  # (k,)
     diag = jnp.diagonal(transmat)
-    # column b; HIGHEST so the TPU default's bf16 rounding cannot flip the
-    # 1e-5 threshold test below
-    tm_b = jnp.matmul(transmat, onehot_b,
-                      precision=jax.lax.Precision.HIGHEST)
+    # column b via a traced-index gather: exact by construction (the
+    # earlier one-hot matmul form needed a HIGHEST annotation so bf16
+    # rounding could not flip the 1e-5 threshold test below)
+    tm_b = jnp.take(transmat, baseline_state, axis=1)
     cond = (idx != baseline_state) & (tm_b < 1e-5) & (diag > 0.1)
     donation = jnp.where(cond, jnp.minimum(diag * 0.05, 0.05), 0.0)
     return (transmat - jnp.diag(donation)

@@ -62,6 +62,24 @@ def _kmeans_plusplus(X: np.ndarray, n_clusters: int,
     return centers
 
 
+def _row_sq_dists(diff: np.ndarray) -> np.ndarray:
+    """Row-wise squared distances in sklearn's _euclidean_dense_dense
+    accumulation ORDER, vectorized over rows: 4-wide feature blocks are
+    summed left-associatively and then added to the accumulator, the
+    remainder singly. numpy's .sum(axis=1) switches to 8-accumulator
+    unrolling at >= 8 features and diverges in the last ulp — enough to
+    flip the strict best-run selection on inertia ties."""
+    d = diff.shape[1]
+    sq = diff * diff
+    acc = np.zeros(diff.shape[0], dtype=diff.dtype)
+    n4 = (d // 4) * 4
+    for j in range(0, n4, 4):
+        acc += ((sq[:, j] + sq[:, j + 1]) + sq[:, j + 2]) + sq[:, j + 3]
+    for j in range(n4, d):
+        acc += sq[:, j]
+    return acc
+
+
 def _lloyd_iter(X: np.ndarray, centers_old: np.ndarray,
                 update_centers: bool = True):
     """One Lloyd iteration (lloyd_iter_chunked_dense semantics, weight=1).
@@ -84,7 +102,7 @@ def _lloyd_iter(X: np.ndarray, centers_old: np.ndarray,
     # into empty clusters (one point per empty cluster, farthest first)
     empty = np.where(weight == 0)[0]
     if empty.size:
-        distances = ((X - centers_old[labels]) ** 2).sum(axis=1)
+        distances = _row_sq_dists(X - centers_old[labels])
         if np.max(distances) > 0:
             far = np.argpartition(distances, -empty.size)[:-empty.size - 1:-1]
             for idx in range(empty.size):
@@ -112,7 +130,8 @@ def _kmeans_single_lloyd(X: np.ndarray, centers_init: np.ndarray,
     labels = labels_old
     for _ in range(max_iter):
         labels, centers_new, _w = _lloyd_iter(X, centers)
-        center_shift = np.sqrt(((centers_new - centers) ** 2).sum(axis=1))
+        # _center_shift: per-cluster _euclidean_dense_dense(squared=False)
+        center_shift = np.sqrt(_row_sq_dists(centers_new - centers))
         centers = centers_new
         if np.array_equal(labels, labels_old):
             strict = True
@@ -126,7 +145,7 @@ def _kmeans_single_lloyd(X: np.ndarray, centers_init: np.ndarray,
     # loop); numpy .sum() uses pairwise summation, and the 1-ulp
     # difference flips the strict `inertia < best_inertia` run selection
     # on ties — so accumulate per-sample sums sequentially here too
-    per_sample = ((X - centers[labels]) ** 2).sum(axis=1)
+    per_sample = _row_sq_dists(X - centers[labels])
     inertia = 0.0
     for v in per_sample:
         inertia += v
@@ -153,10 +172,14 @@ def kmeans_fit(X, n_clusters: int, seed: Optional[int] = 42,
     Returns (cluster_centers_, labels_, inertia_)."""
     X = np.ascontiguousarray(np.asarray(X, dtype=np.float64))
     rng = np.random.RandomState(seed)
+    # sklearn calls _tolerance(X, tol) in fit() BEFORE _fit centers the
+    # data (X -= X_mean), so the tolerance must come from the UNCENTERED
+    # variances — var(Xc) differs in the last ulps and can move the Lloyd
+    # loop's stopping iteration relative to the oracle
+    tol_abs = float(np.mean(np.var(X, axis=0)) * tol)
     x_mean = X.mean(axis=0)
     Xc = X - x_mean
     x_squared_norms = np.sum(Xc * Xc, axis=1)
-    tol_abs = float(np.mean(np.var(Xc, axis=0)) * tol)
 
     best_inertia, best_labels, best_centers = None, None, None
     for _ in range(n_init):

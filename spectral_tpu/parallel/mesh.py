@@ -31,7 +31,18 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     if n > len(devs):
         raise ValueError(f"mesh shape {shape} needs {n} devices, "
                          f"have {len(devs)}")
-    arr = np.array(devs[:n]).reshape(shape)
+    if n == len(devs):
+        # topology-aware placement on real hardware: mesh_utils arranges
+        # the grid so each mesh axis rides contiguous ICI links — a naive
+        # reshape can put non-adjacent chips on one axis and route
+        # collectives over slow links (results identical, throughput not)
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(shape, devices=devs)
+        except Exception:  # pragma: no cover - virtual/odd topologies
+            arr = np.array(devs).reshape(shape)
+    else:
+        arr = np.array(devs[:n]).reshape(shape)
     return Mesh(arr, tuple(axis_names))
 
 
@@ -39,7 +50,3 @@ def batch_sharding(mesh: Mesh, ndim: int, batch_axis: str = "data"
                    ) -> NamedSharding:
     """Shard the leading dimension over `batch_axis`, replicate the rest."""
     return NamedSharding(mesh, P(batch_axis, *([None] * (ndim - 1))))
-
-
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())

@@ -66,15 +66,24 @@ def get_lut(name: str = "jet", N: int = 256) -> np.ndarray:
     seg = _SEGMENTS[name]
     lut = np.stack([_channel_lut(seg[c], N) for c in ("red", "green", "blue")],
                    axis=1)
-    return (lut * 255).astype(np.uint8)
+    out = (lut * 255).astype(np.uint8)
+    # the lru_cache hands the SAME array to every caller: freeze it so an
+    # in-place mutation cannot silently corrupt every later palette
+    out.setflags(write=False)
+    return out
 
 
 @functools.lru_cache(maxsize=16)
 def get_lut_f32(name: str = "jet", N: int = 256) -> np.ndarray:
     """(N, 3) float32 LUT in [0, 1] (for blending paths)."""
+    if name not in _SEGMENTS:  # same friendly error as get_lut
+        raise ValueError(f"unknown colormap: {name!r}; have {sorted(_SEGMENTS)}")
     seg = _SEGMENTS[name]
-    return np.stack([_channel_lut(seg[c], N) for c in ("red", "green", "blue")],
-                    axis=1).astype(np.float32)
+    out = np.stack([_channel_lut(seg[c], N)
+                    for c in ("red", "green", "blue")],
+                   axis=1).astype(np.float32)
+    out.setflags(write=False)
+    return out
 
 
 def available_colormaps():

@@ -40,9 +40,14 @@ def waveform_image(x: Array, height: int = 800, width: int = 2400,
     vis = n_samples_visible if n_samples_visible is not None else n
     spc = max(1, -(-vis // width))          # samples per column (ceil)
     total = spc * width
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, max(0, total - n))]
+    # truncate at the REQUESTED window before padding: total rounds vis up
+    # to a column multiple, and slicing x[..., :total] would render up to
+    # spc-1 samples past the window edge into the final columns (the
+    # reference's xlim is a hard cut)
+    cut = min(vis, n)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, total - cut)]
     # pad with NaN so out-of-range columns produce empty spans
-    xp = jnp.pad(x[..., :total].astype(jnp.float32), pad,
+    xp = jnp.pad(x[..., :cut].astype(jnp.float32), pad,
                  constant_values=np.nan)
     cols = xp.reshape(x.shape[:-1] + (width, spc))
     cmin = jnp.nanmin(cols, axis=-1)                   # (..., W)

@@ -330,3 +330,20 @@ def test_kmeans_bit_exact_on_adversarial_data(trial):
     np.testing.assert_array_equal(centers, sk.cluster_centers_)
     np.testing.assert_array_equal(labels, sk.labels_)
 
+
+
+def test_kmeans_parity_wide_features():
+    """8+ features exercise sklearn's 4-wide distance accumulation (numpy's
+    .sum(axis=1) switches summation order at >= 8 features) and the
+    uncentered-tolerance call order."""
+    from sklearn.cluster import KMeans
+    from spectral_tpu.models.kmeans import kmeans_fit
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        X = np.round(rng.randn(200, 9) * 50.0 + 1000.0, 1)  # big mean: tol
+        # centering matters
+        centers, labels, inertia = kmeans_fit(X, 4, seed=seed)
+        sk = KMeans(n_clusters=4, random_state=seed, n_init=10).fit(X)
+        np.testing.assert_array_equal(centers, sk.cluster_centers_)
+        np.testing.assert_array_equal(labels, sk.labels_)
+        assert inertia == sk.inertia_

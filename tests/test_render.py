@@ -272,3 +272,29 @@ def test_encode_png_single_row_grayscale(tmp_path):
         data = encode_png(arr)
         back = np.asarray(decode_png(data))   # grayscale decodes as (H, W)
         np.testing.assert_array_equal(back.reshape(shape), arr)
+
+
+def test_lut_cache_is_immutable_and_f32_validates():
+    from spectral_tpu.render.lut import get_lut, get_lut_f32
+    lut = get_lut("jet")
+    assert not lut.flags.writeable        # shared cache must be frozen
+    with pytest.raises(ValueError):
+        lut[0, 0] = 7
+    with pytest.raises(ValueError, match="unknown colormap"):
+        get_lut_f32("plasma9000")
+    assert not get_lut_f32("jet").flags.writeable
+
+
+def test_waveform_window_is_hard_cut():
+    """Samples past n_samples_visible must not leak into the final columns
+    when width does not divide the window (the reference's xlim is hard)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spectral_tpu.render.waveform import waveform_image
+    x = np.zeros(2000, np.float32)
+    x[1005] = 1.0                      # just past the 1000-sample window
+    m = np.asarray(waveform_image(jnp.asarray(x), height=100, width=300,
+                                  y_limit=1.0, n_samples_visible=1000))
+    # the spike would light pixels near the top; a zero signal lights only
+    # the center line
+    assert not m[:40, :].any()
