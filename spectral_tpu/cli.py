@@ -572,6 +572,9 @@ def _dispatch(args) -> int:
             from spectral_tpu.core.stft import mask_band_rows
             f_ax, sxx_m = mask_band_rows(f_ax, psd_np.T, cfg.fmin, cfg.fmax)
             psd_np = np.ascontiguousarray(sxx_m.T)
+            if f_ax.size == 0:
+                sys.exit("error: the requested --fmin/--fmax band contains "
+                         "no frequency rows at this sampling rate")
         if args.out.endswith(".npz"):
             np.savez(args.out, psd=psd_np, f=f_ax,
                      t=time_axis(cfg, fs, len(sig)), fs=fs)

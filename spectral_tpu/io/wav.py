@@ -15,6 +15,36 @@ from typing import List, Tuple
 import numpy as np
 
 
+def _is_chunk_sequence(buf: bytes) -> bool:
+    """True when buf (possibly empty) parses as a clean RIFF chunk walk:
+    printable 4-byte tags, declared sizes that fit, nothing left over."""
+    off = 0
+    n = len(buf)
+    while off < n:
+        if off + 8 > n:
+            return False
+        tag = buf[off:off + 4]
+        if not all(0x20 <= b <= 0x7E for b in tag):
+            return False
+        sz = int.from_bytes(buf[off + 4:off + 8], "little")
+        off += 8 + sz + (sz % 2)
+        if off > n + 1:    # +1: final pad byte may be absent at EOF
+            return False
+    return True
+
+
+def _walk_chunks(buf: bytes):
+    """Yield (tag, payload) over a chunk sequence validated by
+    :func:`_is_chunk_sequence`."""
+    off = 0
+    n = len(buf)
+    while off + 8 <= n:
+        tag = buf[off:off + 4]
+        sz = int.from_bytes(buf[off + 4:off + 8], "little")
+        yield tag, buf[off + 8:off + 8 + sz]
+        off += 8 + sz + (sz % 2)
+
+
 def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
     """Shared RIFF/WAVE chunk walk -> (audio_fmt, n_ch, fs, bits, data).
     Resolves WAVE_FORMAT_EXTENSIBLE to the wrapped format code."""
@@ -30,10 +60,20 @@ def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
                 break
             tag, sz = struct.unpack("<4sI", hdr)
             if tag == b"data" and sz in (0, 0xFFFFFFFF):
-                # streamed-WAV placeholder size (writer never seeked back,
-                # e.g. piped ffmpeg/sox output): the data chunk is last by
-                # construction, so the payload is the rest of the file
-                data = fh.read()
+                rest = fh.read()
+                # sz is either a streamed-WAV placeholder (writer never
+                # seeked back, e.g. piped ffmpeg/sox: audio = rest of the
+                # file) or a LEGITIMATELY empty recording possibly followed
+                # by metadata chunks (LIST/INFO...). Disambiguate by
+                # whether the remaining bytes parse as a clean chunk walk —
+                # decoding metadata as PCM would fabricate garbage samples.
+                if sz == 0 and _is_chunk_sequence(rest):
+                    data = b""
+                    for t2, p2 in _walk_chunks(rest):
+                        if t2 == b"fmt " and fmt is None:
+                            fmt = p2
+                    break
+                data = rest
                 continue
             payload = fh.read(sz)
             if len(payload) < sz:

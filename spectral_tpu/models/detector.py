@@ -127,7 +127,10 @@ class BurstDetector:
             # rethrown") and can wedge a tunneled chip. The wait is one
             # (persistently cached) compile, and only programs that never
             # detect pay it; pass AnalysisSession(warm_detection=False)
-            # to opt out entirely.
+            # to opt out entirely. Known tradeoff: a long-lived client
+            # (e.g. the GUI) that exits RIGHT after its first plot blocks
+            # until that compile finishes; the CLI one-shots and the serve
+            # worker already construct sessions with warm_detection=False.
             threading.Thread(target=_compile, daemon=False,
                              name="detector-warmup").start()
         else:

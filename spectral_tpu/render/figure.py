@@ -80,10 +80,17 @@ class SessionFigureView:
     # ---- static layers -----------------------------------------------------
 
     def rebuild(self, session, transparent: bool = False,
-                colormap: str = "jet") -> None:
+                colormap: str = "jet",
+                show_spectrogram: Optional[bool] = None) -> None:
         """Redraw the static layers from the session's plot state (the
         reference's plot_extra + _plot_spectrogram, PlotEngine.py:78-145).
-        Overlay state is reset; call update_overlays afterwards."""
+        Overlay state is reset; call update_overlays afterwards.
+
+        show_spectrogram: None (default) follows the session's mode combos
+        exactly like the reference (Signal/Signal draws NO spectrogram
+        pane even though the headless session computed one); True/False
+        override — headless callers who want the computed image regardless
+        of view modes pass True."""
         fig = self.fig
         fig.clf()
         self._spans = []
@@ -120,11 +127,13 @@ class SessionFigureView:
         # headless session computes an image regardless for detection and
         # export (session.py "headless default")
         v = getattr(session, "view", None)
-        want_spec = v is None or (
-            (v.mode_proc in ("Spectrogram", "Both")
-             and session.signal_proc is not None)
-            or (v.mode_raw in ("Spectrogram", "Both")
-                and session.signal_raw is not None))
+        want_spec = show_spectrogram
+        if want_spec is None:
+            want_spec = v is None or (
+                (v.mode_proc in ("Spectrogram", "Both")
+                 and session.signal_proc is not None)
+                or (v.mode_raw in ("Spectrogram", "Both")
+                    and session.signal_raw is not None))
         if want_spec and session.last_image is not None \
                 and session.last_t.size:
             f, t_ax = session.last_f, session.last_t
@@ -221,19 +230,24 @@ class SessionFigureView:
 
 
 def render_session_figure(session, path: Optional[str] = None, dpi: int = 150,
-                          transparent: bool = False, colormap: str = "jet"):
+                          transparent: bool = False, colormap: str = "jet",
+                          show_spectrogram: Optional[bool] = None):
     """Render the session's current plot state to a decorated figure.
 
     Returns the matplotlib Figure; writes PNG to `path` if given. With
     transparent=True and legends stripped this mirrors the reference's
     export_to_png_transparent (ExportManager.py:92-111) at a sane dpi.
+    show_spectrogram: None follows the session's mode combos (reference
+    behavior — Signal/Signal modes show no spectrogram pane); pass True
+    to draw the computed image regardless.
     """
     import matplotlib
     matplotlib.use("Agg")
     from matplotlib.figure import Figure
 
     view = SessionFigureView(Figure(constrained_layout=True, dpi=dpi))
-    view.rebuild(session, transparent=transparent, colormap=colormap)
+    view.rebuild(session, transparent=transparent, colormap=colormap,
+                 show_spectrogram=show_spectrogram)
     view.update_overlays(session.last_detected_events)
     if path is not None:
         view.fig.savefig(path, format="png", dpi=dpi,

@@ -270,3 +270,21 @@ def test_png_palette_caps_at_256(tmp_path):
     with pytest.raises(ValueError, match="256"):
         encode_png_palette(idx, np.zeros((300, 3), np.uint8),
                            str(tmp_path / "x.png"))
+
+
+def test_wav_empty_data_chunk_with_trailing_metadata(tmp_path):
+    """A legitimately empty data chunk (sz=0) followed by metadata chunks
+    must yield an EMPTY signal, not the metadata decoded as PCM; a sz=0
+    placeholder followed by raw audio still reads to EOF."""
+    import struct
+    from spectral_tpu.io.wav import read_wav
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+    lst = b"LIST" + struct.pack("<I", 10) + b"INFOhello "
+    payload = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", 0)
+               + lst)
+    p = tmp_path / "empty_data.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE"
+                  + payload)
+    x, fs = read_wav(str(p))
+    assert fs == 1000.0 and x.size == 0
