@@ -123,6 +123,10 @@ def apply_colormap_packed(img: Array, name: str = "jet",
     TPU), 'gather' uses the LUT, 'auto' picks arith when verified.
     """
     n = 256
+    if method not in ("auto", "arith", "gather"):
+        # a typo'd method used to fall through to the gather path silently
+        raise ValueError(f"unknown colormap method: {method!r} "
+                         "(expected 'auto', 'arith' or 'gather')")
     idx = jnp.clip((img * n).astype(jnp.int32), 0, n - 1)
 
     coeffs = _hinge_coeffs(name, n) if method in ("auto", "arith") else None

@@ -145,7 +145,7 @@ def test_roi_ops_and_learn(tmp_path):
     events = s.learn_and_detect()
     assert s.detector.is_model_refined and len(events) >= 2
     s.delete_roi((8.0, 17.0))
-    assert s.rois == [(28.0, 40.0)] or len(s.rois) >= 1
+    assert s.rois == [(28.0, 40.0)]
 
 
 def test_state_persistence_roundtrip(tmp_path):

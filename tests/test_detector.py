@@ -55,9 +55,9 @@ def test_unsupervised_detect_finds_bursts():
     assert len(events) == 2, events
     for found, true in zip(events, bursts):
         assert _iou(found, true) > 0.7, (found, true)
-    # model persists: second call must not refit (refined via patching flow
-    # does not set is_model_refined, mirroring the reference) but must be
-    # deterministic
+    # the unsupervised flow does NOT set is_model_refined (mirroring the
+    # reference, PlotEngine.py:418-420), so a second call refits from the
+    # same seeded init — the observable contract is determinism
     events2 = det.unsupervised_detect(t, feat)
     assert events == events2
 

@@ -45,6 +45,11 @@ def test_render_transparent_strips_legend(tmp_path):
     pytest.importorskip("matplotlib")
     from spectral_tpu.render.figure import render_session_figure
     s = _session()
+    # positive control first: the default render HAS a legend (reference
+    # PlotEngine.py:90) — without this, deleting the legend() call entirely
+    # would keep the transparent assertion green vacuously
+    fig_default = render_session_figure(s, dpi=72)
+    assert fig_default.axes[0].get_legend() is not None
     fig = render_session_figure(s, dpi=72, transparent=True)
     assert fig.axes[0].get_legend() is None
 

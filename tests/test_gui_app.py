@@ -177,9 +177,11 @@ def test_exports_with_scripted_dialogs(win, tmp_path):
     qt_stub.QFileDialog.next_directory = out_dir
     win.export_batch()
     assert sorted(os.listdir(out_dir)) == ["s_sweep0.png"]
-    # settings remembered the export dir (GUI.py:512,523)
+    # settings remembered the export dir (GUI.py:512,523): the BATCH export
+    # ran last, so its directory must be the stored value — a disjunction
+    # would also accept the earlier export_png write and mask a regression
     s = qt_stub.QSettings._stores[("spectral_tpu", "SpectrogramGenerator")]
-    assert s["lastExportDir"] in (out_dir, os.path.dirname(png_path))
+    assert s["lastExportDir"] == out_dir
 
 
 def test_add_files_via_dialog(win, tmp_path):

@@ -1,6 +1,7 @@
 """Mel filterbank tests (north-star extension; no reference counterpart)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from spectral_tpu.core.mel import (hz_to_mel, mel_to_hz, mel_filterbank,
@@ -51,18 +52,19 @@ def test_mel_spectrogram_energy_mapping():
     mel = np.asarray(mel_spectrogram(psd, fs, 64))
     assert mel.shape == (psd.shape[0], 64)
 
-    fb = mel_filterbank(64, 513, fs)
-    fft_freqs = np.linspace(0, fs / 2, 513)
-    expected_m = np.argmax(fb[:, np.argmin(np.abs(fft_freqs - tone))])
-    assert np.argmax(mel.mean(axis=0)) == expected_m
+    # independent oracle: the mel center frequencies from the hz/mel grid
+    # formulas, NOT from mel_filterbank (which mel_spectrogram itself uses —
+    # a systematic filterbank error would cancel out of that comparison)
+    pts = np.linspace(hz_to_mel(0.0), hz_to_mel(fs / 2.0), 64 + 2)
+    centers_hz = mel_to_hz(pts[1:-1])
+    expected_m = int(np.argmin(np.abs(centers_hz - tone)))
+    assert abs(int(np.argmax(mel.mean(axis=0))) - expected_m) <= 1
 
 
 def test_matches_reference_oracle_if_available():
-    librosa = None
-    try:
-        import librosa  # noqa: F401
-    except Exception:
-        return  # librosa not in the image; host formulas already pinned above
+    # a silent `return` would report PASSED forever in an image without
+    # librosa; importorskip surfaces the truth as a SKIP
+    librosa = pytest.importorskip("librosa")
     fb_ref = librosa.filters.mel(sr=16000, n_fft=1024, n_mels=64)
     fb = mel_filterbank(64, 513, 16000.0)
     np.testing.assert_allclose(fb, fb_ref, atol=1e-8)

@@ -451,7 +451,9 @@ def test_export_pipeline_error_isolation(tmp_path):
              ("bad/clip", rng.randn(n).astype(np.float32)),
              ("ok1", rng.randn(n).astype(np.float32))]
     cfg = SpecConfig.north_star(256, 64, log_scale=True)
-    with pytest.raises(Exception):
+    # the intended failure is the encode of "bad/clip" into a missing
+    # subdirectory — a bare Exception would also absorb unrelated bugs
+    with pytest.raises((FileNotFoundError, OSError)):
         export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "a"),
                             clip_samples=n, batch=2)
     stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "b"),

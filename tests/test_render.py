@@ -199,6 +199,9 @@ def test_arith_colormap_rejects_unknown_method():
     img = jnp.zeros((2, 2), jnp.float32)
     # method='arith' on a verified map works; auto is default elsewhere
     apply_colormap_packed(img, "jet", method="arith")
+    # a typo'd method must raise, not silently fall through to 'gather'
+    with pytest.raises(ValueError, match="unknown colormap method"):
+        apply_colormap_packed(img, "jet", method="airth")
 
 
 # ---- indexed-color (palette) export path -----------------------------------

@@ -124,8 +124,11 @@ def test_config_window_validation_single_source():
     friendly kaiser error fires for tuple specs with a None param too."""
     with pytest.raises(ValueError, match="beta"):
         SpecConfig(window=("kaiser", None))
+    # separate blocks: `a and b` inside one raises-block short-circuits at
+    # the first raise and never exercises the second path
     with pytest.raises(ValueError, match="beta"):
-        parse_window(("kaiser", None)) and get_window(("kaiser", None), 8)
+        get_window(("kaiser", None), 8)
+    assert parse_window(("kaiser", None)) == ("kaiser", None)
     with pytest.raises(ValueError, match="unknown window"):
         SpecConfig(window="not_a_window")
     SpecConfig(window=("kaiser", 14.0))

@@ -57,9 +57,8 @@ def test_fuzz_north_star_combos(trial):
     x = _signal(n, fs, int(r.randint(3)), trial + 100)
     cfg = SpecConfig.north_star(nperseg, hop, window=window)
 
-    win_name = window if isinstance(window, str) else window
     f_ref, t_ref, sxx_ref = scipy.signal.spectrogram(
-        x, fs=fs, window=scipy.signal.get_window(win_name, nperseg,
+        x, fs=fs, window=scipy.signal.get_window(window, nperseg,
                                                  fftbins=True),
         nperseg=nperseg, noverlap=nperseg - hop, detrend=False,
         scaling="density", mode="psd")
@@ -67,6 +66,7 @@ def test_fuzz_north_star_combos(trial):
     f, t, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg,
                                      use_matmul=use_matmul)
     np.testing.assert_allclose(t, t_ref, atol=1e-9)
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
     err = np.max(np.abs(np.asarray(sxx) - sxx_ref)) / sxx_ref.max()
     assert err < 4e-5, (nperseg, hop, window, fs, n, use_matmul, err)
 
