@@ -87,12 +87,19 @@ class AbfInfo:
         with open(path, "rb") as fh:
             self._buf = fh.read()
         sig = self._buf[:4]
-        if sig == b"ABF2":
-            self._parse_abf2()
-        elif sig == b"ABF ":
-            self._parse_abf1()
-        else:
-            raise ValueError(f"{path}: not an ABF file (signature {sig!r})")
+        try:
+            if sig == b"ABF2":
+                self._parse_abf2()
+            elif sig == b"ABF ":
+                self._parse_abf1()
+            else:
+                raise ValueError(
+                    f"{path}: not an ABF file (signature {sig!r})")
+        except (struct.error, IndexError, OverflowError,
+                MemoryError) as e:
+            # a truncated/corrupted file must reject cleanly at the
+            # untrusted-input boundary, not leak parser internals
+            raise ValueError(f"{path}: malformed ABF file: {e}")
 
     # -- ABF2 ---------------------------------------------------------------
 

@@ -65,13 +65,26 @@ class SweepRegistry:
     def _load_npz(self, filepath: str) -> List[str]:
         """npz convenience format: arrays 'raw'/'processed' (1-D or
         (sweeps, n)), scalar 'fs' (and optional 'fs_raw')."""
-        z = np.load(filepath)
-        if "fs" not in z:
-            raise ValueError("npz file must contain an 'fs' scalar")
-        fs = float(np.asarray(z["fs"]).reshape(-1)[0])
-        fs_raw = float(np.asarray(z["fs_raw"]).reshape(-1)[0]) if "fs_raw" in z else fs
-        raw = z["raw"] if "raw" in z else None
-        proc = z["processed"] if "processed" in z else None
+        import struct
+        import zipfile
+        import zlib
+        try:
+            # materialize everything INSIDE the guard: the member arrays
+            # decompress lazily, so a CRC error can surface at z["raw"]
+            # rather than np.load — corruption must be a clean ValueError
+            # at the untrusted-input boundary either way
+            z = np.load(filepath)
+            if "fs" not in z:
+                raise ValueError("npz file must contain an 'fs' scalar")
+            fs = float(np.asarray(z["fs"]).reshape(-1)[0])
+            fs_raw = (float(np.asarray(z["fs_raw"]).reshape(-1)[0])
+                      if "fs_raw" in z else fs)
+            raw = z["raw"] if "raw" in z else None
+            proc = z["processed"] if "processed" in z else None
+        except (zipfile.BadZipFile, zipfile.LargeZipFile,
+                NotImplementedError,   # corrupted compression-method field
+                zlib.error, struct.error, OSError, EOFError) as e:
+            raise ValueError(f"{filepath}: not a readable npz: {e}")
         src = raw if raw is not None else proc
         if src is None:
             raise ValueError("npz file must contain 'raw' or 'processed'")

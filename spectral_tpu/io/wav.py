@@ -49,7 +49,10 @@ def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
     """Shared RIFF/WAVE chunk walk -> (audio_fmt, n_ch, fs, bits, data).
     Resolves WAVE_FORMAT_EXTENSIBLE to the wrapped format code."""
     with open(filepath, "rb") as fh:
-        riff, _size, wave = struct.unpack("<4sI4s", fh.read(12))
+        hdr12 = fh.read(12)
+        if len(hdr12) < 12:
+            raise ValueError(f"{filepath}: not a RIFF/WAVE file (too short)")
+        riff, _size, wave = struct.unpack("<4sI4s", hdr12)
         if riff != b"RIFF" or wave != b"WAVE":
             raise ValueError(f"{filepath}: not a RIFF/WAVE file")
         fmt = None
@@ -90,6 +93,8 @@ def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
                 data = payload
         if fmt is None or data is None:
             raise ValueError(f"{filepath}: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"{filepath}: fmt chunk too short ({len(fmt)} bytes)")
     (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
         "<HHIIHH", fmt[:16])
     if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
@@ -104,7 +109,10 @@ def wav_info(filepath: str) -> Tuple[int, int, float, int]:
     need the sample rate (e.g. the export pipeline sizing clip_samples)
     must not decode a whole recording for one header field."""
     with open(filepath, "rb") as fh:
-        riff, _size, wave = struct.unpack("<4sI4s", fh.read(12))
+        hdr12 = fh.read(12)
+        if len(hdr12) < 12:
+            raise ValueError(f"{filepath}: not a RIFF/WAVE file (too short)")
+        riff, _size, wave = struct.unpack("<4sI4s", hdr12)
         if riff != b"RIFF" or wave != b"WAVE":
             raise ValueError(f"{filepath}: not a RIFF/WAVE file")
         fmt = None
@@ -119,6 +127,8 @@ def wav_info(filepath: str) -> Tuple[int, int, float, int]:
                 fh.seek(sz + (sz % 2), os.SEEK_CUR)
         if fmt is None:
             raise ValueError(f"{filepath}: missing fmt chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"{filepath}: fmt chunk too short ({len(fmt)} bytes)")
     (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
         "<HHIIHH", fmt[:16])
     if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE

@@ -1,0 +1,98 @@
+"""Loader robustness fuzz: corrupted/truncated files must either load
+validly or raise ValueError — never crash with a foreign exception type
+(IndexError/struct.error/OverflowError...) or silently return garbage.
+
+The loaders are the framework's untrusted-input boundary (the reference
+delegates to pyabf/neo, which harden this for it; our pure-Python
+parsers must enforce it themselves)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from spectral_tpu.io.registry import SweepRegistry
+from spectral_tpu.io.wav import read_wav, write_wav, wav_info
+
+
+def _fuzz_load(loader, path, n_ok):
+    try:
+        loader(path)
+        n_ok[0] += 1
+    except ValueError:
+        pass  # the contract: clean rejection
+
+
+def test_wav_truncation_ladder(tmp_path):
+    """Every truncation length of a valid WAV either loads or raises
+    ValueError."""
+    p = tmp_path / "w.wav"
+    write_wav(str(p), np.sin(np.arange(400) * 0.1).astype(np.float32), 1000.0)
+    good = p.read_bytes()
+    n_ok = [0]
+    for cut in range(0, len(good), 7):
+        q = tmp_path / "cut.wav"
+        q.write_bytes(good[:cut])
+        _fuzz_load(read_wav, str(q), n_ok)
+        _fuzz_load(wav_info, str(q), n_ok)
+
+
+def test_wav_random_byte_corruption(tmp_path):
+    p = tmp_path / "w.wav"
+    write_wav(str(p), np.sin(np.arange(400) * 0.1).astype(np.float32), 1000.0)
+    good = bytearray(p.read_bytes())
+    rng = np.random.RandomState(0)
+    n_ok = [0]
+    for trial in range(300):
+        buf = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        q = tmp_path / "fz.wav"
+        q.write_bytes(bytes(buf))
+        _fuzz_load(read_wav, str(q), n_ok)
+    assert n_ok[0] > 0  # plenty of corruptions leave the file readable
+
+
+def test_abf_truncation_and_corruption(tmp_path):
+    from spectral_tpu.io import abf as abf_mod
+    # build a minimal valid ABF1 fixture via the test helper if present,
+    # else via the byte-level layout used in test_io_bytelevel
+    import tests.test_io_bytelevel as bl
+    maker = getattr(bl, "_abf1_bytes", None)
+    if maker is None:
+        pytest.skip("no ABF fixture builder exposed")
+    sig = (np.sin(np.arange(500) * 0.05) * 1000).astype(np.int16)
+    good = bytearray(maker(sig))
+    rng = np.random.RandomState(1)
+    n_ok = [0]
+    reg_loader = lambda path: abf_mod.load_abf(path, SweepRegistry())  # noqa
+    for cut in range(0, len(good), max(1, len(good) // 97)):
+        q = tmp_path / "cut.abf"
+        q.write_bytes(bytes(good[:cut]))
+        _fuzz_load(reg_loader, str(q), n_ok)
+    for trial in range(200):
+        buf = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        q = tmp_path / "fz.abf"
+        q.write_bytes(bytes(buf))
+        _fuzz_load(reg_loader, str(q), n_ok)
+    assert n_ok[0] > 0
+
+
+def test_npz_corruption(tmp_path):
+    p = tmp_path / "g.npz"
+    np.savez(str(p), raw=np.zeros(100, np.float32), fs=1000.0)
+    good = bytearray(p.read_bytes())
+    rng = np.random.RandomState(2)
+    for trial in range(100):
+        buf = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        q = tmp_path / "fz.npz"
+        q.write_bytes(bytes(buf))
+        reg = SweepRegistry()
+        try:
+            reg.load_file(str(q))
+        except ValueError:
+            pass
