@@ -154,13 +154,19 @@ def load_nix_h5(filepath: str, registry) -> List[str]:
     display_names: List[str] = []
     base = os.path.splitext(os.path.basename(filepath))[0]
 
-    with h5py.File(filepath, "r") as f:
-        segments = _collect_nix_segments(f) if "data" in f else []
-        # a NIX-shaped tree whose members are not {group with 'data'}
-        # yields segment lists of EMPTY lists — truthy, but containing no
-        # signals; the generic collector must still get its chance
-        if not any(segments):
-            segments = _collect_generic_segments(f)
+    try:
+        with h5py.File(filepath, "r") as f:
+            segments = _collect_nix_segments(f) if "data" in f else []
+            # a NIX-shaped tree whose members are not {group with 'data'}
+            # yields segment lists of EMPTY lists — truthy, but containing
+            # no signals; the generic collector must still get its chance
+            if not any(segments):
+                segments = _collect_generic_segments(f)
+    except (OSError, RuntimeError, KeyError) as e:
+        # h5py surfaces corruption as RuntimeError/KeyError/OSError
+        # internals; the loader contract is a clean ValueError at the
+        # untrusted-input boundary
+        raise ValueError(f"{filepath}: not a readable HDF5 file: {e}")
 
     for i, sigs in enumerate(segments):
         raw_sig = proc_sig = None

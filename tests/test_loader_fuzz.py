@@ -96,3 +96,22 @@ def test_npz_corruption(tmp_path):
             reg.load_file(str(q))
         except ValueError:
             pass
+
+
+def test_h5_corruption(tmp_path):
+    """h5py surfaces corruption as RuntimeError/KeyError internals; the
+    registry boundary must turn them into ValueError."""
+    from spectral_tpu.io.nix import write_nix_fixture
+    p = tmp_path / "g.h5"
+    write_nix_fixture(str(p), [{"raw": np.zeros(100, np.float32)}])
+    good = bytearray(p.read_bytes())
+    rng = np.random.RandomState(3)
+    n_ok = [0]
+    for trial in range(150):
+        buf = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        q = tmp_path / "fz.h5"
+        q.write_bytes(bytes(buf))
+        _fuzz_load(lambda path: SweepRegistry().load_file(path), str(q), n_ok)
+    assert n_ok[0] > 0
