@@ -68,6 +68,12 @@ def _display_map(sxx: Array, base_max: Array, ext_min: Array,
     rng = max_db - min_db
     db = db_of(sxx)
     rescaled = (db - min_db) / jnp.where(rng > 1e-6, rng, 1.0)
+    # The reference's numpy division lands the max pixel at exactly 1.0;
+    # XLA:TPU rewrites x/rng as x * (1/rng), whose double rounding can
+    # overshoot by 1 ulp (measured 1.0000001 on v5e). Clip to the
+    # reference's value range — an identity wherever the division is
+    # exact, so CPU parity tests are unaffected.
+    rescaled = jnp.clip(rescaled, 0.0, 1.0)
     return jnp.where(rng > 1e-6, rescaled, jnp.zeros_like(db))
 
 
