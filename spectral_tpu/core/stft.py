@@ -358,13 +358,19 @@ def _ct_dft(x: Array, cfg: SpecConfig, factors: Tuple[int, int]
     as the rFFT engine); accuracy is BETTER than dense (shorter dot
     chains: ~4e-7 relative vs scipy f64 vs dense's 1.6e-6 at 8192;
     display error ≤1e-3 dB at every CT size — inside the contract)."""
-    N1, N2 = factors
-    nfft = cfg.nfft_
-    prec = matmul_precision(cfg)
     frames = _prep_frames(x, cfg)                     # (..., T, N)
     w = jnp.asarray(_window_f64(cfg), frames.dtype)
-    fw = frames * w
-    c1, s1, ct, st, c2, s2 = _ct_matrices(nfft, N1, N2, cfg.onesided)
+    return ct_dft_frames(frames * w, cfg.nfft_, factors, cfg.onesided,
+                         cfg.n_freqs, matmul_precision(cfg))
+
+
+def ct_dft_frames(fw: Array, nfft: int, factors: Tuple[int, int],
+                  onesided: bool, n_freqs: int, prec) -> Tuple[Array, Array]:
+    """The factorized transform on already windowed/detrended frames
+    (..., T, nfft) — the sweep grid batches a window dimension over this
+    (parallel/sweep_grid.py), sharing one framing across the group."""
+    N1, N2 = factors
+    c1, s1, ct, st, c2, s2 = _ct_matrices(nfft, N1, N2, onesided)
     W1c, W1s = (jnp.asarray(c1, fw.dtype), jnp.asarray(s1, fw.dtype))
     TWc, TWs = (jnp.asarray(ct, fw.dtype), jnp.asarray(st, fw.dtype))
     W2c, W2s = (jnp.asarray(c2, fw.dtype), jnp.asarray(s2, fw.dtype))
@@ -382,8 +388,8 @@ def _ct_dft(x: Array, cfg: SpecConfig, factors: Tuple[int, int]
            + jnp.einsum("...sk,sm->...mk", Bim, W2c, precision=prec))
     # flat k = k1 + N1*k2; one-sided output slices to n_freqs
     K2 = Xre.shape[-2]
-    Xre = Xre.reshape(lead + (K2 * N1,))[..., :cfg.n_freqs]
-    Xim = Xim.reshape(lead + (K2 * N1,))[..., :cfg.n_freqs]
+    Xre = Xre.reshape(lead + (K2 * N1,))[..., :n_freqs]
+    Xim = Xim.reshape(lead + (K2 * N1,))[..., :n_freqs]
     return Xre, Xim
 
 

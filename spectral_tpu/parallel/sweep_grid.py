@@ -20,9 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.config import SpecConfig
-from spectral_tpu.core.stft import (dft_matrices, dft_matrices_device,
-                                    frame_signal, onesided_weights,
-                                    use_device_dft)
+from spectral_tpu.core.stft import (ct_dft_frames, ct_factors, dft_matrices,
+                                    dft_matrices_device, frame_signal,
+                                    onesided_weights, use_device_dft,
+                                    _window_f64)
 
 Array = jax.Array
 
@@ -65,6 +66,42 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
             pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
             xg = jnp.pad(x, pad, mode=key[6])
         frames = frame_signal(xg, nperseg, hop)  # shared per group
+        wts = np.stack([onesided_weights(configs[i], fs) for i in idxs])
+
+        from spectral_tpu.core.stft import matmul_precision
+        prec = matmul_precision(configs[idxs[0]])
+
+        fac = ct_factors(configs[idxs[0]])
+        if fac is not None:
+            # Large transforms: the factorized CT engine. The window no
+            # longer folds into a per-config matrix, so detrend applies to
+            # the shared frames once (the dense path folds it into the
+            # matrices) and the window dimension is a broadcast multiply —
+            # no per-window DFT matrices in HBM at all (the dense 4096
+            # pair is ~67 MB per window).
+            det = key[3]
+            if det == "constant":
+                frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+            elif det == "linear":
+                n = jnp.arange(nperseg, dtype=frames.dtype)
+                xc = n - (nperseg - 1) / 2.0
+                mean = jnp.mean(frames, axis=-1, keepdims=True)
+                slope = (jnp.sum(frames * xc, axis=-1, keepdims=True)
+                         / jnp.sum(xc * xc))
+                frames = frames - mean - slope * xc
+            W = len(idxs)
+            wins = np.stack([_window_f64(configs[i]) for i in idxs])
+            wb = jnp.asarray(wins, frames.dtype).reshape(
+                (W,) + (1,) * (frames.ndim - 1) + (nperseg,))
+            xr, xi = ct_dft_frames(wb * frames[None], nperseg, fac,
+                                   key[7], configs[idxs[0]].n_freqs, prec)
+            wtsb = jnp.asarray(wts, frames.dtype).reshape(
+                (W,) + (1,) * (frames.ndim - 1) + (wts.shape[-1],))
+            psds = (xr * xr + xi * xi) * wtsb
+            for j, i in enumerate(idxs):
+                results[i] = psds[j]
+            continue
+
         if use_device_dft(configs[idxs[0]]):
             # large nperseg: generate the folded DFT matrices ON DEVICE
             # (same mechanism as power_spectrogram) — embedding them as
@@ -80,10 +117,6 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
                 [dft_matrices(configs[i])[0] for i in idxs]), frames.dtype)
             a_im_d = jnp.asarray(np.stack(
                 [dft_matrices(configs[i])[1] for i in idxs]), frames.dtype)
-        wts = np.stack([onesided_weights(configs[i], fs) for i in idxs])
-
-        from spectral_tpu.core.stft import matmul_precision
-        prec = matmul_precision(configs[idxs[0]])
 
         def one(ar, ai, w):
             xr = jnp.matmul(frames, ar, precision=prec)

@@ -87,3 +87,24 @@ def test_ct_batched_leading_dims():
     _, _, batched = stft_mod.spectrogram(xb, fs, cfg, use_matmul=True)
     _, _, single = stft_mod.spectrogram(xb[1], fs, cfg, use_matmul=True)
     np.testing.assert_array_equal(np.asarray(batched[1]), np.asarray(single))
+
+
+@pytest.mark.parametrize("mode", ["complex", "magnitude"])
+def test_ct_nonpsd_modes_engine_parity(mode):
+    """stft()/power_spectrogram route complex and magnitude modes through
+    the same matmul engine; at CT sizes those must match the rFFT engine
+    (previously only tested at nperseg=256, below the CT threshold)."""
+    fs = 16000.0
+    x = jnp.asarray(np.random.RandomState(9).randn(8192).astype(np.float32))
+    cfg = dataclasses.replace(SpecConfig.scipy_default(2048), mode=mode)
+    assert stft_mod.ct_factors(cfg) is not None
+    if mode == "complex":
+        a = np.asarray(stft_mod.stft(x, cfg, use_matmul=True))
+        b = np.asarray(stft_mod.stft(x, cfg, use_matmul=False))
+    else:
+        a = np.asarray(stft_mod.power_spectrogram(x, fs, cfg,
+                                                  use_matmul=True))
+        b = np.asarray(stft_mod.power_spectrogram(x, fs, cfg,
+                                                  use_matmul=False))
+    scale = np.max(np.abs(b))
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-5 * scale)

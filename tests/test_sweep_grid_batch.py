@@ -174,3 +174,37 @@ def test_sweep_grid_precision_not_shared_across_group():
     ref_fast = np.asarray(power_spectrogram(x, fs, fast, use_matmul=True))
     np.testing.assert_array_equal(np.asarray(outs[0]), ref_acc)
     np.testing.assert_array_equal(np.asarray(outs[1]), ref_fast)
+
+
+def test_sweep_grid_ct_group_window_sweep():
+    """Large-transform groups route through the factorized CT engine with
+    the window as a broadcast dimension (no per-window DFT matrices); a
+    multi-window 2048 group must match per-config power_spectrogram —
+    which is itself scipy-golden-tested — for every detrend mode."""
+    from spectral_tpu.core.stft import ct_factors
+    fs = 16000.0
+    x = jnp.asarray(np.random.RandomState(5).randn(16384).astype(np.float32))
+    for det in ("none", "constant", "linear"):
+        grid = [SpecConfig(nperseg=2048, hop=512, window=w, detrend=det)
+                for w in ("hann", "hamming", ("tukey", 0.25))]
+        assert ct_factors(grid[0]) == (128, 16)
+        outs = sweep_grid(x, fs, grid)
+        for cfg, out in zip(grid, outs):
+            ref = np.asarray(power_spectrogram(x, fs, cfg, use_matmul=True))
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=0,
+                                       atol=ref.max() * 1e-6,
+                                       err_msg=f"detrend={det} w={cfg.window}")
+
+
+def test_sweep_grid_ct_group_scipy_oracle():
+    """One CT-group combo straight against scipy (not just our own engine):
+    guards against a shared bug in both CT call sites."""
+    import scipy.signal
+    fs = 16000.0
+    xh = np.random.RandomState(6).randn(16384)
+    cfg = SpecConfig(nperseg=2048, hop=512, window="hann", detrend="constant")
+    out = np.asarray(sweep_grid(jnp.asarray(xh, jnp.float32), fs, [cfg])[0])
+    f_ref, t_ref, ref = scipy.signal.spectrogram(
+        xh, fs=fs, nperseg=2048, noverlap=2048 - 512, window="hann",
+        scaling="density", mode="psd", detrend="constant")
+    np.testing.assert_allclose(out, ref.T, rtol=0, atol=ref.max() * 2e-5)

@@ -125,6 +125,26 @@ def main() -> int:
                    "single-core scipy (BASELINE.md row 1)")
     S["stft_scipy_default_1024"] = row
 
+    # Worst-case end of the GUI-legal nperseg range (GUI.py:87-90): at
+    # 8192 the dense window-folded matrix is ~0.5 ms/clip and the rFFT
+    # ~0.08; the factorized CT engine (core/stft.py::_ct_dft) holds the
+    # matmul path at rFFT speed with f32-best accuracy. Pallas caps at
+    # 4096 (VMEM), so only the two XLA engines run here.
+    cfg_8k = SpecConfig.scipy_default(8192)
+    row = {}
+    dt = _timer_amortized(
+        lambda x: power_spectrogram(x, fs, cfg_8k, use_matmul=True), xb)
+    row["xla_matmul_ct_ms_per_clip"] = round(dt * 1000 / B, 4)
+    row["xla_matmul_ct_audio_hours_per_min"] = ahpm(dt)
+    dt = _timer_amortized(
+        lambda x: power_spectrogram(x, fs, cfg_8k, use_matmul=False), xb)
+    row["xla_fft_ms_per_clip"] = round(dt * 1000 / B, 4)
+    row["xla_fft_audio_hours_per_min"] = ahpm(dt)
+    row["note"] = ("scipy-default at nperseg=8192 — the f32-accumulation "
+                   "worst case; matmul engine is the two-stage "
+                   "Cooley-Tukey factorization (128 x 64)")
+    S["stft_scipy_default_8192"] = row
+
     # full pipeline (arith colormap)
     def full(x):
         img = jax.vmap(lambda s: normalize(s, True, None))(
