@@ -284,7 +284,8 @@ def _prep_frames(x: Array, cfg: SpecConfig) -> Array:
 def stft(x: Array, cfg: SpecConfig, use_matmul: bool = False) -> Array:
     """Complex STFT: (..., n) -> (..., nframes, n_freqs), frame-major.
 
-    use_matmul selects the MXU real-DFT path (requires nfft == nperseg).
+    use_matmul selects the MXU real-DFT path (covers nfft >= nperseg,
+    including scipy's zero-padded transforms).
     """
     if not use_matmul:
         frames = _prep_frames(x, cfg)
@@ -312,10 +313,10 @@ CT_MIN_NFFT = 2048
 def ct_factors(cfg: SpecConfig) -> Optional[Tuple[int, int]]:
     """(N1, N2) for the Cooley-Tukey two-stage DFT, or None when the dense
     path should be used. N1 = 128 keeps stage 1's DFT matrix exactly one
-    MXU tile."""
+    MXU tile. nfft > nperseg (zero-padded transforms, scipy's nfft arg) is
+    handled by padding the windowed frames to nfft before the stages."""
     nfft = cfg.nfft_
-    if (cfg.nfft_ == cfg.nperseg and nfft % 128 == 0
-            and nfft >= CT_MIN_NFFT):
+    if nfft % 128 == 0 and nfft >= CT_MIN_NFFT:
         return 128, nfft // 128
     return None
 
@@ -358,9 +359,13 @@ def _ct_dft(x: Array, cfg: SpecConfig, factors: Tuple[int, int]
     as the rFFT engine); accuracy is BETTER than dense (shorter dot
     chains: ~4e-7 relative vs scipy f64 vs dense's 1.6e-6 at 8192;
     display error ≤1e-3 dB at every CT size — inside the contract)."""
-    frames = _prep_frames(x, cfg)                     # (..., T, N)
+    frames = _prep_frames(x, cfg)                     # (..., T, nperseg)
     w = jnp.asarray(_window_f64(cfg), frames.dtype)
-    return ct_dft_frames(frames * w, cfg.nfft_, factors, cfg.onesided,
+    fw = frames * w
+    if cfg.nfft_ > cfg.nperseg:  # scipy nfft zero-padding semantics
+        pad = [(0, 0)] * (fw.ndim - 1) + [(0, cfg.nfft_ - cfg.nperseg)]
+        fw = jnp.pad(fw, pad)
+    return ct_dft_frames(fw, cfg.nfft_, factors, cfg.onesided,
                          cfg.n_freqs, matmul_precision(cfg))
 
 
@@ -396,9 +401,12 @@ def ct_dft_frames(fw: Array, nfft: int, factors: Tuple[int, int],
 def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
     """Real-DFT via MXU matmuls: the dense window/detrend-folded form for
     small transforms, the two-stage factorized form (:func:`_ct_dft`)
-    above CT_MIN_NFFT. (..., n) -> (X_re, X_im), (..., nframes, n_freqs)."""
-    if cfg.nfft_ != cfg.nperseg:
-        raise ValueError("matmul DFT path requires nfft == nperseg")
+    above CT_MIN_NFFT. (..., n) -> (X_re, X_im), (..., nframes, n_freqs).
+
+    nfft > nperseg (scipy's zero-padded transform) is native to both
+    forms: the dense matrices are the first nperseg rows of the
+    nfft-transform (padded zeros contribute nothing), and the CT form
+    pads the windowed frames."""
     fac = ct_factors(cfg)
     if fac is not None:
         return _ct_dft(x, cfg, fac)

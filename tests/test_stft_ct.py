@@ -27,9 +27,9 @@ def test_ct_factors_gating():
     assert stft_mod.ct_factors(SpecConfig.scipy_default(2048)) == (128, 16)
     assert stft_mod.ct_factors(SpecConfig.scipy_default(4096)) == (128, 32)
     assert stft_mod.ct_factors(SpecConfig.scipy_default(8192)) == (128, 64)
-    # nfft != nperseg is the rFFT/zero-pad contract — dense path only
+    # nfft > nperseg (zero-padded transform): CT pads the windowed frames
     cfg = dataclasses.replace(SpecConfig.scipy_default(4096), nfft=8192)
-    assert stft_mod.ct_factors(cfg) is None
+    assert stft_mod.ct_factors(cfg) == (128, 64)
     # nfft not a multiple of 128 cannot tile stage 1
     odd = dataclasses.replace(SpecConfig.scipy_default(4096),
                               nperseg=4100, nfft=4100)
@@ -108,3 +108,28 @@ def test_ct_nonpsd_modes_engine_parity(mode):
                                                   use_matmul=False))
     scale = np.max(np.abs(b))
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("nperseg,nfft", [
+    (1000, 1024),   # dense path, zero-padded
+    (1024, 2048),   # CT path, zero-padded, nperseg below the CT floor
+    (3000, 4096),   # CT path, non-128-multiple window length
+])
+def test_matmul_zero_padded_nfft_scipy_parity(nperseg, nfft):
+    """scipy's nfft zero-padding through the matmul engine: the dense
+    matrices are the first nperseg rows of the nfft transform and the CT
+    form pads the windowed frames — both must match the scipy oracle
+    (previously the engine refused nfft != nperseg outright, which
+    crashed pipelines that default use_matmul=True)."""
+    fs = 1000.0
+    x = np.random.RandomState(4).randn(nfft * 5)
+    cfg = SpecConfig(nperseg=nperseg, nfft=nfft, hop=None)
+
+    _, _, ref = scipy.signal.spectrogram(
+        x, fs=fs, nperseg=nperseg, nfft=nfft,
+        scaling="density", mode="psd")
+    _, _, ours = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg,
+                                      use_matmul=True)
+    ours = np.asarray(ours)
+    assert ours.shape == ref.shape
+    assert np.max(np.abs(ours - ref)) / ref.max() < 2e-5
