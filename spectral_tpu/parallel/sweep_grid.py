@@ -47,8 +47,6 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
     """
     groups: Dict[Tuple, List[int]] = defaultdict(list)
     for i, cfg in enumerate(configs):
-        if cfg.nfft_ != cfg.nperseg:
-            raise ValueError("sweep_grid requires nfft == nperseg")
         if cfg.mode != "psd":
             # the fused (re^2 + im^2) * weights form IS the PSD; magnitude/
             # complex configs would silently get PSD values back
@@ -90,10 +88,15 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
                          / jnp.sum(xc * xc))
                 frames = frames - mean - slope * xc
             W = len(idxs)
+            nfft = key[2]
             wins = np.stack([_window_f64(configs[i]) for i in idxs])
             wb = jnp.asarray(wins, frames.dtype).reshape(
                 (W,) + (1,) * (frames.ndim - 1) + (nperseg,))
-            xr, xi = ct_dft_frames(wb * frames[None], nperseg, fac,
+            fw = wb * frames[None]
+            if nfft > nperseg:  # scipy nfft zero-padding semantics
+                fw = jnp.pad(fw, [(0, 0)] * (fw.ndim - 1)
+                             + [(0, nfft - nperseg)])
+            xr, xi = ct_dft_frames(fw, nfft, fac,
                                    key[7], configs[idxs[0]].n_freqs, prec)
             wtsb = jnp.asarray(wts, frames.dtype).reshape(
                 (W,) + (1,) * (frames.ndim - 1) + (wts.shape[-1],))

@@ -208,3 +208,25 @@ def test_sweep_grid_ct_group_scipy_oracle():
         xh, fs=fs, nperseg=2048, noverlap=2048 - 512, window="hann",
         scaling="density", mode="psd", detrend="constant")
     np.testing.assert_allclose(out, ref.T, rtol=0, atol=ref.max() * 2e-5)
+
+
+def test_sweep_grid_zero_padded_nfft():
+    """nfft > nperseg sweeps (scipy zero-padding) through both engines:
+    dense small groups and CT large groups must match per-config
+    power_spectrogram."""
+    fs = 8000.0
+    x = jnp.asarray(np.random.RandomState(8).randn(16384).astype(np.float32))
+    grid = [
+        SpecConfig(nperseg=250, nfft=512, hop=64, window="hann",
+                   detrend="none"),                       # dense, padded
+        SpecConfig(nperseg=250, nfft=512, hop=64, window="hamming",
+                   detrend="none"),
+        SpecConfig(nperseg=2000, nfft=2048, hop=512, window="hann",
+                   detrend="constant"),                   # CT, padded
+    ]
+    outs = sweep_grid(x, fs, grid)
+    for cfg, out in zip(grid, outs):
+        ref = np.asarray(power_spectrogram(x, fs, cfg, use_matmul=True))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=0,
+                                   atol=ref.max() * 1e-6,
+                                   err_msg=str(cfg.nperseg))
