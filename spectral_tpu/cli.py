@@ -44,12 +44,24 @@ def _make_config(args) -> "SpecConfig":
             # not just export-specs)
             import dataclasses
             cfg = dataclasses.replace(cfg, n_mels=args.mels)
-        return cfg
-    return SpecConfig.north_star(
+        return _with_nfft(cfg, args)
+    return _with_nfft(SpecConfig.north_star(
         n_fft=args.nperseg, hop=args.hop or args.nperseg // 4,
         window=args.window or "hann", fmin=args.fmin, fmax=args.fmax,
         log_scale=args.log, precision=precision,
-        n_mels=args.mels if getattr(args, "mels", 0) else None)
+        n_mels=args.mels if getattr(args, "mels", 0) else None), args)
+
+
+def _with_nfft(cfg, args):
+    """Apply --nfft (zero-padded transform length, scipy's nfft arg)."""
+    nfft = getattr(args, "nfft", None)
+    if not nfft:
+        return cfg
+    import dataclasses
+    try:
+        return dataclasses.replace(cfg, nfft=nfft)
+    except ValueError as e:   # nfft < nperseg
+        sys.exit(f"error: {e}")
 
 
 def _session_for(paths: List[str], args):
@@ -90,6 +102,9 @@ def _add_spec_args(p, combine: bool = True):
     p.add_argument("--nperseg", type=int, default=1024)
     p.add_argument("--hop", type=int, default=None,
                    help="frame hop (default nperseg//4; scipy mode ignores)")
+    p.add_argument("--nfft", type=int, default=None,
+                   help="zero-padded transform length (scipy's nfft; "
+                        "default nperseg, must be >= nperseg)")
     p.add_argument("--window", default=None,
                    help="window function (default hann; invalid with "
                         "--scipy-compat, which fixes tukey 0.25)")

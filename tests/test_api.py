@@ -737,6 +737,38 @@ def test_cli_scipy_compat_rejects_window(tmp_path, capsys):
     assert "tukey" in str(ei.value)
 
 
+def test_cli_nfft_flag(tmp_path, capsys):
+    """--nfft must reach the config (zero-padded transform, scipy's nfft)
+    on both the north-star and --scipy-compat paths, and reject
+    nfft < nperseg with a clean error (reference scipy raises the same)."""
+    from spectral_tpu.cli import main, _make_config
+    import argparse
+    wav_path = str(tmp_path / "s.wav")
+    write_wav(wav_path, _bursty(fs=1000.0, dur=5.0) * 0.5, 1000.0)
+
+    out_png = str(tmp_path / "o.png")
+    assert main(["--cpu", "render", wav_path, "-o", out_png,
+                 "--nperseg", "256", "--nfft", "512"]) == 0
+    assert os.path.exists(out_png)
+
+    # config plumbing: both branches of _make_config apply nfft
+    def _args(**kw):
+        ns = argparse.Namespace(
+            scipy_compat=False, nperseg=256, hop=None, window=None,
+            fmin=0.0, fmax=None, log=False, fast=False, mels=0, nfft=None)
+        for k, v in kw.items():
+            setattr(ns, k, v)
+        return ns
+    assert _make_config(_args(nfft=512)).nfft_ == 512
+    assert _make_config(_args(scipy_compat=True, nfft=1024)).nfft_ == 1024
+    assert _make_config(_args()).nfft_ == 256  # default: no padding
+
+    with pytest.raises(SystemExit) as ei:
+        main(["--cpu", "render", wav_path, "-o", out_png,
+              "--nperseg", "512", "--nfft", "256"])
+    assert "nfft" in str(ei.value)
+
+
 def test_cli_multifile_notice_without_combine(tmp_path, capsys):
     from spectral_tpu.cli import main
     fs = 1000.0
