@@ -314,11 +314,22 @@ def ct_factors(cfg: SpecConfig) -> Optional[Tuple[int, int]]:
     """(N1, N2) for the Cooley-Tukey two-stage DFT, or None when the dense
     path should be used. N1 = 128 keeps stage 1's DFT matrix exactly one
     MXU tile. nfft > nperseg (zero-padded transforms, scipy's nfft arg) is
-    handled by padding the windowed frames to nfft before the stages."""
+    handled by padding the windowed frames to nfft before the stages.
+
+    Zero-padding can pair a small nperseg with a large nfft; the dense
+    window-folded matrices are only (nperseg, n_freqs) there, so the
+    routing compares per-frame MAC counts — dense 2*nperseg*n_freqs vs
+    CT 2*nfft*N1 (stage 1) + 4*N2*K2*N1 (stage 2) — instead of assuming
+    CT wins at every large nfft (at nperseg=256/nfft=2048 the dense form
+    does ~12% fewer MACs; at nperseg=32 it does 9x fewer)."""
     nfft = cfg.nfft_
-    if nfft % 128 == 0 and nfft >= CT_MIN_NFFT:
-        return 128, nfft // 128
-    return None
+    if nfft % 128 != 0 or nfft < CT_MIN_NFFT:
+        return None
+    N1, N2 = 128, nfft // 128
+    K2 = N2 // 2 + 1 if cfg.onesided else N2
+    if 2 * cfg.nperseg * cfg.n_freqs <= 2 * nfft * N1 + 4 * N2 * K2 * N1:
+        return None
+    return N1, N2
 
 
 @functools.lru_cache(maxsize=16)

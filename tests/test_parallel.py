@@ -109,6 +109,7 @@ def test_fit_sharded_stops_on_ll_decrease(monkeypatch):
     (SpecConfig.north_star(1024, 256), 4096),
     (SpecConfig.scipy_default(1024), 8960),      # hop 896 (gcd path)
     (SpecConfig.north_star(256, 64), 1024),
+    (SpecConfig.north_star(512, 128, nfft=1024), 2048),  # zero-padded nfft
 ])
 def test_streaming_equals_monolithic(cfg, chunk):
     rng = np.random.RandomState(0)

@@ -133,3 +133,17 @@ def test_matmul_zero_padded_nfft_scipy_parity(nperseg, nfft):
     ours = np.asarray(ours)
     assert ours.shape == ref.shape
     assert np.max(np.abs(ours - ref)) / ref.max() < 2e-5
+
+
+def test_ct_factors_cost_gating_small_nperseg():
+    """A zero-padded transform with a SMALL nperseg must stay on the dense
+    path: the dense window-folded matrices are (nperseg, n_freqs), so at
+    e.g. nperseg=256/nfft=2048 they cost fewer MACs than the factorized
+    stages (and 9x fewer at nperseg=32)."""
+    for nperseg in (32, 64, 128, 256):
+        cfg = dataclasses.replace(SpecConfig.scipy_default(nperseg),
+                                  nfft=2048)
+        assert stft_mod.ct_factors(cfg) is None, nperseg
+    # from 512 up the factorization's FLOP cut wins again
+    cfg = dataclasses.replace(SpecConfig.scipy_default(512), nfft=2048)
+    assert stft_mod.ct_factors(cfg) == (128, 16)

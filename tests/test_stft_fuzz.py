@@ -98,3 +98,33 @@ def test_fuzz_pallas_gcd_framing(trial):
     if ref.size:
         np.testing.assert_allclose(out, ref, rtol=1e-4,
                                    atol=float(ref.max()) * 1e-6 + 1e-12)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_zero_padded_nfft(trial):
+    """Random zero-padded transforms (scipy's nfft > nperseg) through both
+    engines vs scipy. The nfft draw deliberately spans the routing space:
+    non-128-multiples (dense only), CT-sized nfft with small nperseg
+    (cost-gated back to dense), and genuine CT shapes."""
+    r = np.random.RandomState(trial * 17 + 3)
+    nperseg = int(r.randint(1, 33)) * 32              # 32..1024
+    nfft = nperseg + int(r.randint(1, 65)) * 32       # up to nperseg+2048
+    hop = max(1, nperseg // int(2 ** r.randint(1, 4)))
+    window = ["hann", "hamming", ("tukey", 0.25)][r.randint(3)]
+    fs = float(r.choice([1000.0, 16000.0]))
+    n = int(nperseg * r.uniform(4.0, 8.0))
+    x = _signal(n, fs, int(r.randint(3)), trial + 300)
+    cfg = SpecConfig.north_star(nperseg, hop, window=window, nfft=nfft)
+
+    f_ref, t_ref, sxx_ref = scipy.signal.spectrogram(
+        x, fs=fs, window=scipy.signal.get_window(window, nperseg,
+                                                 fftbins=True),
+        nperseg=nperseg, noverlap=nperseg - hop, nfft=nfft, detrend=False,
+        scaling="density", mode="psd")
+    use_matmul = bool(r.randint(2))
+    f, t, sxx = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs, cfg,
+                                     use_matmul=use_matmul)
+    np.testing.assert_allclose(t, t_ref, atol=1e-9)
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
+    err = np.max(np.abs(np.asarray(sxx) - sxx_ref)) / sxx_ref.max()
+    assert err < 4e-5, (nperseg, hop, nfft, window, fs, use_matmul, err)
