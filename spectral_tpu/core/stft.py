@@ -233,6 +233,27 @@ def use_device_dft(cfg: SpecConfig) -> bool:
     return 2 * 4 * cfg.nperseg * cfg.n_freqs > DEVICE_DFT_BYTES
 
 
+def default_use_matmul() -> bool:
+    """Backend-aware engine auto-routing for ``use_matmul=None``.
+
+    On TPU the MXU matmul engine (dense window-folded DFT below
+    CT_MIN_NFFT, two-stage Cooley-Tukey factorization at and above it)
+    measured faster than XLA's rFFT at EVERY size on v5e — 1024/256:
+    0.0693 vs 0.1259 ms/clip; scipy-default 1024: 0.0323 vs 0.0484;
+    scipy-default 8192 (CT): 0.0376 vs 0.0474 (BENCH_REPORT stft_* rows)
+    — so TPU routes to the matmul engine. Everywhere else (CPU/GPU) the
+    O(N log N) FFT wins by orders of magnitude over a dense O(N^2)
+    matmul, so non-TPU backends route to the FFT engine.
+
+    Resolved at trace time from the process default backend; pass an
+    explicit ``use_matmul=True/False`` to pin an engine.
+    """
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
 def matmul_precision(cfg: SpecConfig):
     """MXU precision for the DFT matmuls, measured on v5e (0.0811 / 0.0519 /
     0.0264 ms/clip at the headline config):
@@ -281,12 +302,16 @@ def _prep_frames(x: Array, cfg: SpecConfig) -> Array:
     return frames
 
 
-def stft(x: Array, cfg: SpecConfig, use_matmul: bool = False) -> Array:
+def stft(x: Array, cfg: SpecConfig,
+         use_matmul: Optional[bool] = None) -> Array:
     """Complex STFT: (..., n) -> (..., nframes, n_freqs), frame-major.
 
     use_matmul selects the MXU real-DFT path (covers nfft >= nperseg,
-    including scipy's zero-padded transforms).
+    including scipy's zero-padded transforms); None auto-routes per
+    backend (:func:`default_use_matmul`).
     """
+    if use_matmul is None:
+        use_matmul = default_use_matmul()
     if not use_matmul:
         frames = _prep_frames(x, cfg)
         w = jnp.asarray(_window_f64(cfg), frames.dtype)
@@ -439,15 +464,19 @@ def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
 
 
 def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
-                      use_matmul: bool = False) -> Array:
+                      use_matmul: Optional[bool] = None) -> Array:
     """PSD spectrogram, frame-major: (..., n) -> (..., nframes, n_freqs).
 
     Matches scipy.signal.spectrogram(..., scaling=cfg.scaling, mode='psd')
-    values (scipy returns freq-major (n_freqs, nframes); transpose to compare).
+    values (scipy returns freq-major (n_freqs, nframes); transpose to
+    compare). use_matmul=None auto-routes per backend
+    (:func:`default_use_matmul`).
     """
     if cfg.mode == "complex":
         raise ValueError("mode='complex' has no power spectrogram; "
                          "use stft() (or spectrogram(), which routes it)")
+    if use_matmul is None:
+        use_matmul = default_use_matmul()
     if use_matmul:
         xr, xi = _matmul_dft(x, cfg)
         p = xr * xr + xi * xi
@@ -486,7 +515,7 @@ def effective_config(cfg: SpecConfig, n: int) -> SpecConfig:
 
 
 def spectrogram(x: Array, fs: float, cfg: SpecConfig,
-                use_matmul: bool = False
+                use_matmul: Optional[bool] = None
                 ) -> Tuple[np.ndarray, np.ndarray, Array]:
     """Full reference-parity spectrogram: returns (f, t, Sxx) freq-major.
 

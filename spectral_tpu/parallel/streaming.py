@@ -40,7 +40,7 @@ class StreamingSTFT:
     receive (frames, valid_mask, first_abs_frame_index) per chunk."""
 
     def __init__(self, fs: float, cfg: SpecConfig, chunk_size: int,
-                 use_matmul: bool = False):
+                 use_matmul: Optional[bool] = None):
         h = cfg.hop_
         if chunk_size % h != 0:
             raise ValueError(f"chunk_size must be a multiple of hop={h}")
@@ -110,7 +110,8 @@ class BlockStreamingSTFT:
     """
 
     def __init__(self, fs: float, cfg: SpecConfig, chunk_size: int,
-                 chunks_per_block: int = 32, use_matmul: bool = True):
+                 chunks_per_block: int = 32,
+                 use_matmul: Optional[bool] = None):
         h = cfg.hop_
         if chunk_size % h != 0:
             raise ValueError(f"chunk_size must be a multiple of hop={h}")
@@ -169,7 +170,7 @@ class BlockStreamingSTFT:
 
 
 def stream_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
-                       use_matmul: bool = False,
+                       use_matmul: Optional[bool] = None,
                        chunks_per_block: Optional[int] = None) -> Array:
     """Host driver: stream a full signal through BlockStreamingSTFT and
     return the frame-major PSD, identical to power_spectrogram(x)
@@ -214,7 +215,7 @@ class ScanStreamer:
     __graft_entry__.dryrun_multichip)."""
 
     def __init__(self, fs: float, cfg: SpecConfig, block_size: int, n: int,
-                 use_matmul: bool, fold, init, batch: int = 0):
+                 use_matmul: Optional[bool], fold, init, batch: int = 0):
         import dataclasses
         h = cfg.hop_
         # same contract the chunked siblings enforce: a block size off the
@@ -295,7 +296,7 @@ class ScanStreamer:
 
 
 def scan_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
-                     use_matmul: bool = False,
+                     use_matmul: Optional[bool] = None,
                      chunks_per_block: int = 64) -> Array:
     """Fully device-resident streaming STFT: ONE dispatch for the whole
     signal, `lax.scan` over staged chunk blocks with the overlap carry
@@ -320,7 +321,8 @@ def scan_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
 
 
 def stream_fold(x, fs: float, cfg: SpecConfig, chunk_size: int, fold, init,
-                use_matmul: bool = False, chunks_per_block: int = 64):
+                use_matmul: Optional[bool] = None,
+                chunks_per_block: int = 64):
     """Device-resident streaming *reduction*: ONE dispatch, bounded HBM —
     the PSD is folded block-by-block into `acc` and never materialized.
 
@@ -343,7 +345,7 @@ def stream_fold(x, fs: float, cfg: SpecConfig, chunk_size: int, fold, init,
 
 
 def stream_band_powers(x, fs: float, cfg: SpecConfig, chunk_size: int,
-                       bands=None, use_matmul: bool = False,
+                       bands=None, use_matmul: Optional[bool] = None,
                        chunks_per_block: int = 64):
     """Long-form EEG band powers: ONE device dispatch over the whole
     recording, PSD folded into per-band sums on the fly.
@@ -396,7 +398,7 @@ def stream_band_powers(x, fs: float, cfg: SpecConfig, chunk_size: int,
 
 
 def iter_stream(chunks: Iterator[np.ndarray], fs: float, cfg: SpecConfig,
-                chunk_size: int, use_matmul: bool = False
+                chunk_size: int, use_matmul: Optional[bool] = None
                 ) -> Iterator[Tuple[np.ndarray, int]]:
     """Generator form for true streaming sources: yields (psd_block,
     first_abs_frame_index) with invalid slots already dropped — both the

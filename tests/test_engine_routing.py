@@ -1,0 +1,72 @@
+"""Backend-aware STFT engine auto-routing (core.stft.default_use_matmul).
+
+use_matmul=None must resolve to the MXU matmul/CT engine on TPU (measured
+faster at every size on v5e — BENCH_REPORT stft_* rows) and to the
+O(N log N) FFT engine on every other backend, and the resolved path must
+be bit-identical to the explicitly pinned engine.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core import stft as st
+
+
+@pytest.fixture
+def x():
+    rng = np.random.RandomState(7)
+    return rng.randn(4096).astype(np.float32)
+
+
+def test_default_use_matmul_backend_aware(monkeypatch):
+    # conftest pins the cpu platform
+    assert st.default_use_matmul() is False
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    assert st.default_use_matmul() is True
+
+
+def test_auto_routes_to_fft_on_cpu(x):
+    cfg = SpecConfig.north_star(256, 64)
+    auto = np.asarray(st.power_spectrogram(x, 1000.0, cfg))
+    fft = np.asarray(st.power_spectrogram(x, 1000.0, cfg, use_matmul=False))
+    assert np.array_equal(auto, fft)
+
+
+def test_auto_routes_to_matmul_under_tpu_backend(x, monkeypatch):
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    cfg = SpecConfig.north_star(256, 64)
+    auto = np.asarray(st.power_spectrogram(x, 1000.0, cfg))
+    mm = np.asarray(st.power_spectrogram(x, 1000.0, cfg, use_matmul=True))
+    assert np.array_equal(auto, mm)
+    # sanity: on this input the two engines differ in the low ulps, so
+    # array_equal above genuinely distinguishes the routes
+    fft = np.asarray(st.power_spectrogram(x, 1000.0, cfg, use_matmul=False))
+    assert not np.array_equal(mm, fft)
+    assert np.allclose(mm, fft, rtol=1e-4, atol=1e-9)
+
+
+def test_stft_and_spectrogram_accept_auto(x):
+    cfg = SpecConfig.scipy_default(512)
+    z_auto = np.asarray(st.stft(x, cfg))
+    z_fft = np.asarray(st.stft(x, cfg, use_matmul=False))
+    assert np.array_equal(z_auto, z_fft)
+    f, t, sxx = st.spectrogram(x, 1000.0, cfg)
+    f2, t2, sxx2 = st.spectrogram(x, 1000.0, cfg, use_matmul=False)
+    assert np.array_equal(np.asarray(sxx), np.asarray(sxx2))
+
+
+def test_streaming_defaults_auto_route(x, monkeypatch):
+    """The streaming drivers' use_matmul=None must follow the same routing
+    (the CLI stream command relies on this default)."""
+    from spectral_tpu.parallel.streaming import scan_spectrogram
+    cfg = SpecConfig.north_star(256, 64)
+    out_auto = np.asarray(scan_spectrogram(x, 1000.0, cfg, chunk_size=512))
+    mono = np.asarray(st.power_spectrogram(x, 1000.0, cfg, use_matmul=False))
+    np.testing.assert_allclose(out_auto, mono, rtol=1e-4, atol=1e-10)
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    out_tpu = np.asarray(scan_spectrogram(x, 1000.0, cfg, chunk_size=512))
+    mono_mm = np.asarray(st.power_spectrogram(x, 1000.0, cfg,
+                                              use_matmul=True))
+    np.testing.assert_allclose(out_tpu, mono_mm, rtol=1e-4, atol=1e-10)
