@@ -452,6 +452,17 @@ def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
             x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],
             mode=cfg.pad_mode),
         cfg.nperseg, cfg.hop_)
+    # NOTE (measured negative result, v5e chip, 2026-08-17): a "packed"
+    # variant — [A_re | A_im interior] as ONE GEMM with exactly nfft output
+    # lanes (the imag DC/Nyquist columns are identically zero), saving 20%
+    # of padded-lane MACs at nfft=1024 (50% at 256) — was built, tested and
+    # chip-timed. The bare packed GEMM ran only ~3% faster (the stage is
+    # framing/HBM/fusion-bound, not MXU-FLOP-bound at these shapes) and the
+    # full PSD was ~8-10% SLOWER (0.078-0.079 vs 0.072 ms/clip at the
+    # north-star 1024/256 shape): XLA fuses re^2+im^2 into the two-matmul
+    # epilogues, while the packed form's slice/pad arithmetic breaks that
+    # fusion and costs more than the MAC saving returns. The explicit pair
+    # stays.
     if use_device_dft(cfg):
         a_re_d, a_im_d = dft_matrices_device(cfg, raw.dtype)
     else:
