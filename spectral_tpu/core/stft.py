@@ -233,25 +233,35 @@ def use_device_dft(cfg: SpecConfig) -> bool:
     return 2 * 4 * cfg.nperseg * cfg.n_freqs > DEVICE_DFT_BYTES
 
 
-def default_use_matmul() -> bool:
-    """Backend-aware engine auto-routing for ``use_matmul=None``.
+def default_use_matmul(cfg: Optional[SpecConfig] = None) -> bool:
+    """Backend- and shape-aware engine auto-routing for ``use_matmul=None``.
 
     On TPU the MXU matmul engine (dense window-folded DFT below
     CT_MIN_NFFT, two-stage Cooley-Tukey factorization at and above it)
-    measured faster than XLA's rFFT at EVERY size on v5e — 1024/256:
-    0.0693 vs 0.1259 ms/clip; scipy-default 1024: 0.0323 vs 0.0484;
-    scipy-default 8192 (CT): 0.0376 vs 0.0474 (BENCH_REPORT stft_* rows)
-    — so TPU routes to the matmul engine. Everywhere else (CPU/GPU) the
-    O(N log N) FFT wins by orders of magnitude over a dense O(N^2)
-    matmul, so non-TPU backends route to the FFT engine.
+    measured faster than XLA's rFFT at nearly every size on v5e —
+    1024/256: 0.0693 vs 0.1259 ms/clip; scipy-default 1024: 0.0323 vs
+    0.0484; scipy-default 8192 (CT): 0.0376 vs 0.0474 (BENCH_REPORT
+    stft_* rows) — so TPU routes to the matmul engine, with ONE measured
+    exception: at nfft=128 every matmul variant (HIGHEST, bf16x3, even
+    1-pass bf16) lands ~0.034-0.056 ms/clip vs rFFT's 0.028-0.052 at
+    every hop tried (112/64/32; 1.06-2x), a shape-specific lowering
+    pathology — framing alone is 0.020 and the same matmul at nfft=192
+    adds only 0.003, so it is not compute- or precision-bound. nfft=128
+    therefore routes to the FFT engine. (nfft=256 is hop-dependent noise,
+    within +-25% both ways, and stays on the default matmul route; 64 and
+    32 favor matmul.) Everywhere else (CPU/GPU) the O(N log N) FFT wins
+    by orders of magnitude over a dense O(N^2) matmul, so non-TPU
+    backends route to the FFT engine.
 
     Resolved at trace time from the process default backend; pass an
     explicit ``use_matmul=True/False`` to pin an engine.
     """
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:  # pragma: no cover - backend init failure
         return False
+    return cfg is None or cfg.nfft_ != 128
 
 
 def matmul_precision(cfg: SpecConfig):
@@ -311,7 +321,7 @@ def stft(x: Array, cfg: SpecConfig,
     backend (:func:`default_use_matmul`).
     """
     if use_matmul is None:
-        use_matmul = default_use_matmul()
+        use_matmul = default_use_matmul(cfg)
     if not use_matmul:
         frames = _prep_frames(x, cfg)
         w = jnp.asarray(_window_f64(cfg), frames.dtype)
@@ -487,7 +497,7 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
         raise ValueError("mode='complex' has no power spectrogram; "
                          "use stft() (or spectrogram(), which routes it)")
     if use_matmul is None:
-        use_matmul = default_use_matmul()
+        use_matmul = default_use_matmul(cfg)
     if use_matmul:
         xr, xi = _matmul_dft(x, cfg)
         p = xr * xr + xi * xi

@@ -27,6 +27,28 @@ def test_default_use_matmul_backend_aware(monkeypatch):
     assert st.default_use_matmul() is True
 
 
+def test_nfft_128_routes_to_fft_on_tpu(monkeypatch):
+    """nfft=128 is the one measured size where the FFT engine beats every
+    matmul variant on v5e (see default_use_matmul's docstring) — the auto
+    route must pick FFT there, on exactly that size, including when 128 is
+    reached via zero-padding."""
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    assert st.default_use_matmul(SpecConfig.scipy_default(128)) is False
+    assert st.default_use_matmul(SpecConfig.north_star(128, 32)) is False
+    assert st.default_use_matmul(
+        SpecConfig(nperseg=100, nfft=128, hop=25)) is False
+    for cfg in (SpecConfig.scipy_default(64), SpecConfig.scipy_default(256),
+                SpecConfig.scipy_default(1024)):
+        assert st.default_use_matmul(cfg) is True
+    # the FFT route still computes the same answer
+    rng = np.random.RandomState(3)
+    x = rng.randn(4096).astype(np.float32)
+    cfg = SpecConfig.north_star(128, 32)
+    auto = np.asarray(st.power_spectrogram(x, 1000.0, cfg))
+    fft = np.asarray(st.power_spectrogram(x, 1000.0, cfg, use_matmul=False))
+    assert np.array_equal(auto, fft)
+
+
 def test_auto_routes_to_fft_on_cpu(x):
     cfg = SpecConfig.north_star(256, 64)
     auto = np.asarray(st.power_spectrogram(x, 1000.0, cfg))
