@@ -107,22 +107,13 @@ def normalize_from_stats(sxx: Array, own_min: Array, own_max: Array,
                         global_max, None)
 
 
-def display_images(psd_tf: Array, log_scale: bool = False,
-                   share_max: bool = False) -> Array:
-    """Frame-major PSD batch (B, T, F) -> normalized freq-major display
-    images (B, F, T). The shared-max variant reproduces the reference's
-    global_max workflow (one base across the batch; dB min-max rescale stays
-    per-image as each reference figure rescales its own range). Under pjit
-    with a sharded batch the shared max becomes an ICI all-reduce."""
-    return normalize_batch(jnp.swapaxes(psd_tf, -1, -2), log_scale,
-                           share_max)
-
-
 def normalize_batch(sxx_batch: Array, log_scale: bool = False,
                     share_max: bool = False) -> Array:
-    """Normalize a batch (B, F, T). share_max=True uses one max across the
-    batch (the reference's global_max workflow); the dB min-max rescale stays
-    per-image, as each reference figure rescales its own dB range."""
+    """Normalize a freq-major batch (B, F, T). share_max=True uses one max
+    across the batch — the reference's global_max workflow (one base across
+    the batch, PlotEngine.py:78,110,126); the dB min-max rescale stays
+    per-image, as each reference figure rescales its own dB range. Under
+    pjit with a sharded batch the shared max becomes an ICI all-reduce."""
     if share_max:
         gm = jnp.max(sxx_batch)
         return jax.vmap(lambda s: normalize(s, log_scale, gm))(sxx_batch)

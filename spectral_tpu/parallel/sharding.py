@@ -18,8 +18,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spectral_tpu.config import SpecConfig
-from spectral_tpu.core.scale import display_images
-from spectral_tpu.core.stft import power_spectrogram
+from spectral_tpu.core.scale import normalize_batch
+from spectral_tpu.core.stft import power_spectrogram_fm
 from spectral_tpu.core.mel import mel_filterbank
 from spectral_tpu.ops.colormap import apply_colormap_packed
 
@@ -38,15 +38,25 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
     n_mels = cfg.n_mels
 
     def fn(xb: Array):
-        psd = power_spectrogram(xb, fs, cfg, use_matmul=use_matmul)  # (B,T,F)
-        out = {"psd": psd}
+        # freq-major spine: the display/mel consumers want (B, F, T), and
+        # power_spectrogram_fm folds that transpose into the dense DFT
+        # contraction (chip: 0.0906 -> 0.0803 ms/clip on the headline
+        # pipeline). The frame-major "psd" output transposes back — a cost
+        # only paid when a caller actually consumes it (XLA DCEs it away
+        # under jit otherwise), exactly mirroring the old layout's cost
+        # when the image was consumed.
+        psd_fm = power_spectrogram_fm(xb, fs, cfg,
+                                      use_matmul=use_matmul)  # (B, F, T)
+        out = {"psd": jnp.swapaxes(psd_fm, -1, -2)}
         if n_mels:
-            fb = mel_filterbank(n_mels, psd.shape[-1], fs, cfg.mel_fmin,
+            fb = mel_filterbank(n_mels, psd_fm.shape[-2], fs, cfg.mel_fmin,
                                 cfg.mel_fmax, cfg.mel_htk)
-            out["mel"] = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype),
-                                    precision=jax.lax.Precision.HIGHEST)
-        base = out["mel"] if n_mels else psd
-        img = display_images(base, cfg.log_scale, share_max)
+            mel_fm = jnp.einsum("mf,...ft->...mt",
+                                jnp.asarray(fb, psd_fm.dtype), psd_fm,
+                                precision=jax.lax.Precision.HIGHEST)
+            out["mel"] = jnp.swapaxes(mel_fm, -1, -2)
+        base_fm = mel_fm if n_mels else psd_fm
+        img = normalize_batch(base_fm, cfg.log_scale, share_max)
         out["image"] = img
         if colormap:
             out["rgb_packed"] = apply_colormap_packed(img, colormap,

@@ -1,0 +1,123 @@
+"""Freq-major PSD spine (core.stft.power_spectrogram_fm).
+
+The display pipeline consumes (B, F, T); power_spectrogram_fm folds that
+transpose into the dense DFT contraction (no device relayout — chip:
+0.0906 -> 0.0803 ms/clip on the headline pipeline). These tests pin: exact
+equality with the transposed frame-major result on every route (dense,
+device-matrix dense, CT, FFT, magnitude, linear detrend, zero-padded),
+and that the batched pipeline's outputs are unchanged by the rewire.
+
+Equality note: on TPU the freq-major einsum produced BIT-identical packed
+images (chip-measured); on the CPU backend XLA canonicalizes the einsum
+to a differently-accumulated dot, so these tests assert tight float
+parity rather than bitwise equality.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.core import stft as st
+
+
+@pytest.fixture
+def x():
+    rng = np.random.RandomState(17)
+    return rng.randn(2, 16384).astype(np.float32)
+
+
+CASES = [
+    ("dense", SpecConfig.north_star(256, 64), True),
+    ("dense_scipy", SpecConfig.scipy_default(512), True),
+    ("dense_zero_padded", SpecConfig(nperseg=256, nfft=512, hop=64,
+                                     window="hann"), True),
+    ("dense_linear_detrend", SpecConfig(nperseg=256, hop=64, window="hann",
+                                        detrend="linear"), True),
+    ("dense_magnitude", SpecConfig(nperseg=256, hop=64, window="hann",
+                                   mode="magnitude"), True),
+    ("ct", SpecConfig.scipy_default(2048), True),
+    ("fft", SpecConfig.north_star(256, 64), False),
+]
+
+
+@pytest.mark.parametrize("name,cfg,um", CASES, ids=[c[0] for c in CASES])
+def test_fm_equals_transposed_frame_major(x, name, cfg, um):
+    fm = np.asarray(st.power_spectrogram_fm(x, 1000.0, cfg, use_matmul=um))
+    tf = np.asarray(st.power_spectrogram(x, 1000.0, cfg, use_matmul=um))
+    ref = tf.swapaxes(-1, -2)
+    assert fm.shape == ref.shape
+    np.testing.assert_allclose(fm, ref, rtol=2e-5, atol=1e-9 * ref.max())
+
+
+def test_fm_device_matrix_route(x):
+    """Above DEVICE_DFT_BYTES (device-generated matrices) the freq-major
+    einsum must still match the frame-major result exactly."""
+    cfg = SpecConfig(nperseg=1024, nfft=2496, hop=256, window="hann",
+                     detrend="none")
+    assert st.use_device_dft(cfg) and st.ct_factors(cfg) is None
+    fm = np.asarray(st.power_spectrogram_fm(x[0], 1000.0, cfg,
+                                            use_matmul=True))
+    tf = np.asarray(st.power_spectrogram(x[0], 1000.0, cfg,
+                                         use_matmul=True))
+    ref = tf.swapaxes(-1, -2)
+    # the device-built matrices go through f32 trig, so near-zero bins
+    # carry slightly more noise than the host-constant routes
+    np.testing.assert_allclose(fm, ref, rtol=2e-5, atol=1e-8 * ref.max())
+
+
+def test_fm_rejects_complex_mode(x):
+    cfg = SpecConfig(nperseg=256, hop=64, mode="complex")
+    with pytest.raises(ValueError):
+        st.power_spectrogram_fm(x, 1000.0, cfg)
+
+
+def test_pipeline_outputs_unchanged_by_fm_spine(x):
+    """batched_spectrogram_fn's psd/image/rgb_packed must equal the
+    reference composition (frame-major power_spectrogram + transpose +
+    normalize + colormap)."""
+    from spectral_tpu.core.scale import normalize
+    from spectral_tpu.ops.colormap import apply_colormap_packed
+    from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+    import jax
+
+    fs = 1000.0
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    out = jax.jit(batched_spectrogram_fn(fs, cfg, use_matmul=True,
+                                         colormap="jet"))(x)
+    psd_ref = np.asarray(st.power_spectrogram(x, fs, cfg, use_matmul=True))
+    np.testing.assert_allclose(np.asarray(out["psd"]), psd_ref, rtol=2e-5,
+                               atol=1e-9 * psd_ref.max())
+    img_ref = np.asarray(jax.vmap(
+        lambda s: normalize(s, True, None))(
+            jnp.swapaxes(jnp.asarray(psd_ref), -1, -2)))
+    np.testing.assert_allclose(np.asarray(out["image"]), img_ref, atol=1e-5)
+    packed_ref = np.asarray(apply_colormap_packed(jnp.asarray(img_ref),
+                                                  "jet", flip_rows=True))
+    # packed uint32 words quantize the image to 256 levels: identical to
+    # the reference composition except where a pixel sits within float
+    # noise of a bin edge
+    pr = np.asarray(out["rgb_packed"])
+    assert pr.shape == packed_ref.shape
+    assert (pr == packed_ref).mean() > 0.999
+
+
+def test_pipeline_mel_output_unchanged_by_fm_spine(x):
+    """The mel projection moved to a freq-major contraction — same values
+    within float tolerance of the frame-major psd @ fb.T form."""
+    from spectral_tpu.core.mel import mel_filterbank
+    from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+    import jax
+
+    fs = 1000.0
+    cfg = SpecConfig.north_star(256, 64, log_scale=True, n_mels=32)
+    out = jax.jit(batched_spectrogram_fn(fs, cfg, use_matmul=True,
+                                         colormap=None))(x)
+    psd = np.asarray(st.power_spectrogram(x, fs, cfg, use_matmul=True))
+    fb = mel_filterbank(32, psd.shape[-1], fs, cfg.mel_fmin, cfg.mel_fmax,
+                        cfg.mel_htk)
+    mel_ref = psd.astype(np.float64) @ fb.T
+    mel = np.asarray(out["mel"])
+    assert mel.shape == mel_ref.shape
+    np.testing.assert_allclose(mel, mel_ref, rtol=1e-5,
+                               atol=1e-7 * mel_ref.max())
