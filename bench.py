@@ -54,11 +54,16 @@ def main() -> int:
     # pallas_call's HBM output boundary cannot. The pipeline default is
     # XLA; BENCH_PALLAS=1 opts into the Pallas-STFT pipeline.
     use_pallas = os.environ.get("BENCH_PALLAS", "0") != "0"
-    fn_raw = batched_spectrogram_fn(fs, cfg, use_matmul=True, colormap="jet")
+    # flip_image folds the PNG row order into the DFT matrix columns —
+    # the production pipeline's kernel (no device-side flip pass)
+    img_flipped = True
+    fn_raw = batched_spectrogram_fn(fs, cfg, use_matmul=True, colormap="jet",
+                                    flip_image=True)
     if use_pallas:
         try:
             from spectral_tpu.ops.stft_pallas import pallas_pipeline_fn
             fn_raw = pallas_pipeline_fn(fs, cfg, colormap="jet")
+            img_flipped = False
         except Exception:
             use_pallas = False
 
@@ -117,8 +122,12 @@ def main() -> int:
                                * rng_db), 6)
 
         x0 = np.asarray(xb[0], np.float64)
+        # fn_raw's image is display-flipped on the XLA path (flip_image;
+        # bitwise the flip of the unflipped image) — unflip for the oracle
         dev_img = np.asarray(jax.jit(
             lambda x: fn_raw(x)["image"])(xb[:1]))[0]
+        if img_flipped:
+            dev_img = dev_img[::-1]
         max_db_err = db_image_err(dev_img, x0, window="hann", nperseg=1024,
                                   noverlap=1024 - 256, nfft=1024,
                                   detrend=False)

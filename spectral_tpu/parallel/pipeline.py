@@ -178,6 +178,7 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         n_frames = num_frames(n_pad, cfg.nperseg, cfg.hop_)
 
     base = None
+    img_flipped = False
     if use_pallas:
         try:
             from spectral_tpu.ops.stft_pallas import (pallas_pipeline_fn,
@@ -190,8 +191,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
             use_pallas = False
     if not use_pallas:
         from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+        # flip_image folds the PNG row order into the DFT matrix columns
+        # (no device-side flip pass; chip 0.0772 -> 0.0661 ms/clip)
+        img_flipped = True
         base = batched_spectrogram_fn(
-            fs, cfg, use_matmul=True,
+            fs, cfg, use_matmul=True, flip_image=True,
             colormap=None if palette_mode else colormap)
     def dev_in(x):
         # raw 16-bit PCM staged as int16: normalize on device (read_wav's
@@ -202,7 +206,7 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
 
     if palette_mode:
         core = lambda x: colormap_index_packed(            # noqa: E731
-            base(dev_in(x))["image"], flip_rows=True)
+            base(dev_in(x))["image"], flip_rows=not img_flipped)
     else:
         core = lambda x: base(dev_in(x))["rgb_packed"]     # noqa: E731
 

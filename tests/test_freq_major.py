@@ -102,6 +102,76 @@ def test_pipeline_outputs_unchanged_by_fm_spine(x):
     assert (pr == packed_ref).mean() > 0.999
 
 
+def test_batched_fn_flip_image_fold(x):
+    """flip_image=True folds the PNG row flip into the DFT matrix columns:
+    the image must be the row-flip of the unflipped image and rgb_packed
+    must match the flip_rows=True composition; psd stays unflipped."""
+    from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+    import jax
+
+    fs = 1000.0
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    out_f = jax.jit(batched_spectrogram_fn(fs, cfg, use_matmul=True,
+                                           colormap="jet",
+                                           flip_image=True))(x)
+    out_0 = jax.jit(batched_spectrogram_fn(fs, cfg, use_matmul=True,
+                                           colormap="jet"))(x)
+    np.testing.assert_allclose(np.asarray(out_f["image"]),
+                               np.asarray(out_0["image"])[:, ::-1, :],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_f["psd"]),
+                               np.asarray(out_0["psd"]), rtol=2e-5,
+                               atol=1e-9 * float(np.asarray(out_0["psd"]).max()))
+    pf, p0 = np.asarray(out_f["rgb_packed"]), np.asarray(out_0["rgb_packed"])
+    assert pf.shape == p0.shape
+    # identical up to LUT-bin-edge pixels within float noise of an edge
+    assert (pf == p0).mean() > 0.999
+
+
+def test_batched_fn_flip_image_mel(x):
+    """With mel rows the flip applies to the mel axis (no DFT fold); the
+    image is exactly the row-flip of the unflipped mel image."""
+    from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+    import jax
+
+    fs = 1000.0
+    cfg = SpecConfig.north_star(256, 64, log_scale=True, n_mels=24)
+    out_f = jax.jit(batched_spectrogram_fn(fs, cfg, use_matmul=True,
+                                           colormap=None,
+                                           flip_image=True))(x)
+    out_0 = jax.jit(batched_spectrogram_fn(fs, cfg, use_matmul=True,
+                                           colormap=None))(x)
+    np.testing.assert_array_equal(np.asarray(out_f["image"]),
+                                  np.asarray(out_0["image"])[:, ::-1, :])
+    np.testing.assert_array_equal(np.asarray(out_f["mel"]),
+                                  np.asarray(out_0["mel"]))
+
+
+def test_export_png_row_orientation(tmp_path):
+    """The exported PNG's row 0 must be the HIGHEST frequency (the
+    reference renders origin='lower' then saves display-flipped). A pure
+    low-frequency tone must land its energy in the BOTTOM rows. Guards the
+    flip_image fold: palette and rgba paths share the flip, so their
+    mutual-consistency test cannot catch a lost flip."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    from spectral_tpu.render.png import decode_png
+
+    fs = 8000.0
+    n = 8000
+    t = np.arange(n) / fs
+    tone = np.sin(2 * np.pi * 100.0 * t).astype(np.float32)  # bin ~3 of 129
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    export_spectrograms(iter([("tone", tone)]), fs, cfg, str(tmp_path),
+                        clip_samples=n, batch=1)
+    img = decode_png(str(tmp_path / "tone.png")).astype(np.int64)
+    # jet: energetic pixels are red-ish (high R), background deep blue
+    redness = (img[..., 0] - img[..., 2]).mean(axis=1)
+    h = redness.shape[0]
+    assert redness[-8:].mean() > redness[:8].mean() + 50, (
+        "low-frequency energy must appear in the bottom PNG rows")
+    assert int(np.argmax(redness)) > h - 10
+
+
 def test_pipeline_mel_output_unchanged_by_fm_spine(x):
     """The mel projection moved to a freq-major contraction — same values
     within float tolerance of the frame-major psd @ fb.T form."""
