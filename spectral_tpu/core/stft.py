@@ -291,6 +291,23 @@ def matmul_precision(cfg: SpecConfig):
 # Core spectrogram
 # ---------------------------------------------------------------------------
 
+def detrend_frames(frames: Array, detrend: str, nperseg: int) -> Array:
+    """Per-frame detrend on framed signals (..., nframes, nperseg): 'none',
+    'constant' (mean removal) or 'linear' (closed-form least-squares line
+    removal). Shared by the FFT/CT engines and the sweep grid's CT branch
+    (the dense engine folds detrend into its matrices instead)."""
+    if detrend == "constant":
+        return frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if detrend == "linear":
+        n = jnp.arange(nperseg, dtype=frames.dtype)
+        xc = n - (nperseg - 1) / 2.0
+        denom = jnp.sum(xc * xc)
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        slope = jnp.sum(frames * xc, axis=-1, keepdims=True) / denom
+        return frames - mean - slope * xc
+    return frames
+
+
 def _prep_frames(x: Array, cfg: SpecConfig) -> Array:
     """Pad (center mode), frame, detrend. Returns (..., nframes, nperseg)."""
     if cfg.center:
@@ -298,18 +315,7 @@ def _prep_frames(x: Array, cfg: SpecConfig) -> Array:
         pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
         x = jnp.pad(x, pad, mode=cfg.pad_mode)
     frames = frame_signal(x, cfg.nperseg, cfg.hop_)
-    if cfg.detrend == "constant":
-        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    elif cfg.detrend == "linear":
-        # closed-form per-frame least-squares line removal
-        N = cfg.nperseg
-        n = jnp.arange(N, dtype=frames.dtype)
-        xc = n - (N - 1) / 2.0
-        denom = jnp.sum(xc * xc)
-        mean = jnp.mean(frames, axis=-1, keepdims=True)
-        slope = jnp.sum(frames * xc, axis=-1, keepdims=True) / denom
-        frames = frames - mean - slope * xc
-    return frames
+    return detrend_frames(frames, cfg.detrend, cfg.nperseg)
 
 
 def stft(x: Array, cfg: SpecConfig,
@@ -535,14 +541,28 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
         X = jnp.fft.rfft(fw, n=cfg.nfft_, axis=-1) if cfg.onesided \
             else jnp.fft.fft(fw, n=cfg.nfft_, axis=-1)
         p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
-    # weights follow p's dtype (like the window constant above): an
-    # unconditional float32 cast silently capped float64 validation runs
-    # at ~2e-8 relative error
-    wts = jnp.asarray(onesided_weights(cfg, fs), p.dtype)
+    return _scale_psd(p, cfg, fs)
+
+
+def _scale_psd(p: Array, cfg: SpecConfig, fs: float, *,
+               freq_major: bool = False, flip_freqs: bool = False) -> Array:
+    """Apply the onesided/window scaling (and scipy's mode='magnitude'
+    sqrt-of-scale) to a raw |X|^2 spectrogram. freq_major=True broadcasts
+    the weights down a frequency axis at -2; flip_freqs pre-flips them to
+    match a display-flipped frequency axis.
+
+    Weights follow p's dtype (like the window constant): an unconditional
+    float32 cast silently capped float64 validation runs at ~2e-8
+    relative error."""
+    wts = onesided_weights(cfg, fs)
+    if flip_freqs:
+        wts = wts[::-1].copy()
+    w = jnp.asarray(wts, p.dtype)
+    if freq_major:
+        w = w[:, None]
     if cfg.mode == "magnitude":
-        # magnitude spectrogram uses sqrt of scale (scipy mode='magnitude')
-        return jnp.sqrt(p) * jnp.sqrt(wts)
-    return p * wts
+        return jnp.sqrt(p) * jnp.sqrt(w)
+    return p * w
 
 
 def power_spectrogram_fm(x: Array, fs: float, cfg: SpecConfig,
@@ -568,13 +588,8 @@ def power_spectrogram_fm(x: Array, fs: float, cfg: SpecConfig,
     if use_matmul and ct_factors(cfg) is None:
         xr, xi = _dense_dft(x, cfg, freq_major=True, flip_freqs=flip_freqs)
         p = xr * xr + xi * xi
-        wts = onesided_weights(cfg, fs)
-        if flip_freqs:
-            wts = wts[::-1].copy()
-        wtsd = jnp.asarray(wts, p.dtype)[:, None]
-        if cfg.mode == "magnitude":
-            return jnp.sqrt(p) * jnp.sqrt(wtsd)
-        return p * wtsd
+        return _scale_psd(p, cfg, fs, freq_major=True,
+                          flip_freqs=flip_freqs)
     p = jnp.swapaxes(
         power_spectrogram(x, fs, cfg, use_matmul=use_matmul), -1, -2)
     return jnp.flip(p, axis=-2) if flip_freqs else p

@@ -219,9 +219,13 @@ class AbfInfo:
     @property
     def data_rate(self) -> float:
         """Per-channel sampling rate in Hz (pyabf.dataRate semantics)."""
-        if not self.sample_interval_us:
-            raise ValueError("ABF file has zero sampling interval")
-        return 1e6 / self.sample_interval_us
+        si = self.sample_interval_us
+        # NaN is truthy and Inf divides to 0 Hz — corrupted float bytes in
+        # the interval field must fail here, not as NaN spectrograms later
+        if not si or not np.isfinite(si) or si < 0:
+            raise ValueError(
+                f"ABF file has invalid sampling interval: {si!r}")
+        return 1e6 / si
 
     def sweep(self, sweep_idx: int, channel: int = 0) -> np.ndarray:
         """Scaled float32 data for one sweep/channel."""

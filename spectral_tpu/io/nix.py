@@ -162,6 +162,10 @@ def load_nix_h5(filepath: str, registry) -> List[str]:
             # no signals; the generic collector must still get its chance
             if not any(segments):
                 segments = _collect_generic_segments(f)
+    except FileNotFoundError:
+        # a typo'd path is not corruption; keep the distinct type the
+        # .wav/.abf loaders raise for missing files
+        raise
     except (OSError, RuntimeError, KeyError) as e:
         # h5py surfaces corruption as RuntimeError/KeyError/OSError
         # internals; the loader contract is a clean ValueError at the

@@ -81,6 +81,10 @@ class SweepRegistry:
                       if "fs_raw" in z else fs)
             raw = z["raw"] if "raw" in z else None
             proc = z["processed"] if "processed" in z else None
+        except FileNotFoundError:
+            # a typo'd path is not corruption; keep the distinct type the
+            # .wav/.abf loaders raise for missing files
+            raise
         except (zipfile.BadZipFile, zipfile.LargeZipFile,
                 NotImplementedError,   # corrupted compression-method field
                 zlib.error, struct.error, OSError, EOFError) as e:

@@ -77,16 +77,8 @@ def sweep_grid(x: Array, fs: float, configs: Sequence[SpecConfig]
             # matrices) and the window dimension is a broadcast multiply —
             # no per-window DFT matrices in HBM at all (the dense 4096
             # pair is ~67 MB per window).
-            det = key[3]
-            if det == "constant":
-                frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-            elif det == "linear":
-                n = jnp.arange(nperseg, dtype=frames.dtype)
-                xc = n - (nperseg - 1) / 2.0
-                mean = jnp.mean(frames, axis=-1, keepdims=True)
-                slope = (jnp.sum(frames * xc, axis=-1, keepdims=True)
-                         / jnp.sum(xc * xc))
-                frames = frames - mean - slope * xc
+            from spectral_tpu.core.stft import detrend_frames
+            frames = detrend_frames(frames, key[3], nperseg)
             W = len(idxs)
             nfft = key[2]
             wins = np.stack([_window_f64(configs[i]) for i in idxs])

@@ -115,3 +115,36 @@ def test_h5_corruption(tmp_path):
         q.write_bytes(bytes(buf))
         _fuzz_load(lambda path: SweepRegistry().load_file(path), str(q), n_ok)
     assert n_ok[0] > 0
+
+
+def test_missing_file_raises_filenotfound_not_corruption(tmp_path):
+    """A typo'd path is not corruption: every loader raises
+    FileNotFoundError for a missing file, never the 'not readable'
+    ValueError (review finding: the OSError catch around np.load/h5py
+    used to swallow it)."""
+    reg = SweepRegistry()
+    for name in ("missing.npz", "missing.h5", "missing.nix",
+                 "missing.wav", "missing.abf"):
+        with pytest.raises(FileNotFoundError):
+            reg.load_file(str(tmp_path / name))
+
+
+def test_abf_nonfinite_sample_interval_rejected(tmp_path):
+    """NaN is truthy and Inf divides to 0 Hz: a corrupted interval field
+    must fail with a clean ValueError at load, not leak fs=NaN."""
+    import struct
+    import tests.test_io_bytelevel as bl
+    from spectral_tpu.io import abf as abf_mod
+    maker = getattr(bl, "_abf1_bytes", None)
+    if maker is None:
+        pytest.skip("no ABF fixture builder exposed")
+    sig = (np.sin(np.arange(500) * 0.05) * 1000).astype(np.int16)
+    good = bytearray(maker(sig))
+    # ABF1 sample interval lives at byte offset 122 (f4, per-channel us)
+    for bad in (float("nan"), float("inf"), -1.0):
+        buf = bytearray(good)
+        buf[122:126] = struct.pack("<f", bad)
+        q = tmp_path / "bad_si.abf"
+        q.write_bytes(bytes(buf))
+        with pytest.raises(ValueError):
+            abf_mod.load_abf(str(q), SweepRegistry())
