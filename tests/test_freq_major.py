@@ -66,6 +66,18 @@ def test_fm_device_matrix_route(x):
     np.testing.assert_allclose(fm, ref, rtol=2e-5, atol=1e-8 * ref.max())
 
 
+@pytest.mark.parametrize("name,cfg,um", CASES, ids=[c[0] for c in CASES])
+def test_fm_flip_freqs_reverses_rows(x, name, cfg, um):
+    """flip_freqs=True must equal the row-reversed unflipped result on
+    every route — the dense fold (matrix columns reversed) and the CT/FFT
+    fallback (jnp.flip) must agree with plain indexing."""
+    fm = np.asarray(st.power_spectrogram_fm(x, 1000.0, cfg, use_matmul=um))
+    fl = np.asarray(st.power_spectrogram_fm(x, 1000.0, cfg, use_matmul=um,
+                                            flip_freqs=True))
+    np.testing.assert_allclose(fl, fm[:, ::-1, :], rtol=2e-5,
+                               atol=1e-9 * fm.max())
+
+
 def test_fm_rejects_complex_mode(x):
     cfg = SpecConfig(nperseg=256, hop=64, mode="complex")
     with pytest.raises(ValueError):

@@ -128,3 +128,43 @@ def test_fuzz_zero_padded_nfft(trial):
     np.testing.assert_allclose(f, f_ref, atol=1e-9)
     err = np.max(np.abs(np.asarray(sxx) - sxx_ref)) / sxx_ref.max()
     assert err < 4e-5, (nperseg, hop, nfft, window, fs, use_matmul, err)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_freq_major_parity(trial):
+    """Random configs through power_spectrogram_fm (both flip senses, both
+    engines) vs the transposed frame-major result — covers the dense fold,
+    the CT/FFT transpose fallback, zero-padding, and detrend draws the
+    fixed CASES table in test_freq_major.py cannot."""
+    r = np.random.RandomState(trial * 23 + 11)
+    nperseg = int(r.randint(1, 65)) * 32              # 32..2048
+    nfft = nperseg if r.randint(2) else \
+        nperseg + int(r.randint(0, 33)) * 64
+    hop = max(1, nperseg // int(2 ** r.randint(1, 4)))
+    window = ["hann", "hamming", ("tukey", 0.25)][r.randint(3)]
+    detrend = ["none", "constant", "linear"][r.randint(3)]
+    mode = ["psd", "magnitude"][r.randint(2)]
+    fs = float(r.choice([1000.0, 16000.0]))
+    n = int(nperseg * r.uniform(3.0, 7.0))
+    x = _signal(n, fs, int(r.randint(3)), trial + 400).astype(np.float32)
+    cfg = SpecConfig(nperseg=nperseg, hop=hop, window=window, nfft=nfft,
+                     detrend=detrend, mode=mode)
+    use_matmul = bool(r.randint(2))
+    flip = bool(r.randint(2))
+
+    tf = np.asarray(stft_mod.power_spectrogram(
+        jnp.asarray(x), fs, cfg, use_matmul=use_matmul))
+    ref = tf.swapaxes(-1, -2)
+    if flip:
+        ref = ref[::-1]
+    fm = np.asarray(stft_mod.power_spectrogram_fm(
+        jnp.asarray(x), fs, cfg, use_matmul=use_matmul, flip_freqs=flip))
+    assert fm.shape == ref.shape, (nperseg, hop, nfft, use_matmul, flip)
+    # CPU XLA canonicalizes the freq-major einsum to a differently-
+    # accumulated dot than the frame-major matmul (see test_freq_major.py
+    # header; on TPU the two are bitwise equal) — near-zero bins carry
+    # ~1e-10-absolute noise that exceeds a bare 2e-5 rtol
+    np.testing.assert_allclose(
+        fm, ref, rtol=5e-5, atol=1e-7 * float(ref.max()) + 1e-30,
+        err_msg=str((nperseg, hop, nfft, window, detrend, mode,
+                     use_matmul, flip)))

@@ -145,27 +145,27 @@ def main() -> int:
                    "Cooley-Tukey factorization (128 x 64)")
     S["stft_scipy_default_8192"] = row
 
-    # full pipeline (arith colormap)
-    def full(x):
-        img = jax.vmap(lambda s: normalize(s, True, None))(
-            jnp.swapaxes(power_spectrogram(x, fs, cfg, use_matmul=True),
-                         -1, -2))
-        return apply_colormap_packed(img, "jet", flip_rows=True)
+    # full pipeline — the PRODUCTION kernel (freq-major spine, PNG row
+    # flip folded into the DFT matrix columns; parallel/sharding.py)
+    from spectral_tpu.parallel.sharding import batched_spectrogram_fn
+    cfg_disp = dataclasses.replace(cfg, log_scale=True)
+    _prod = batched_spectrogram_fn(fs, cfg_disp, use_matmul=True,
+                                   colormap="jet", flip_image=True)
+    full = lambda x: _prod(x)["rgb_packed"]                 # noqa: E731
     dt = _timer_amortized(full, xb)
     S["pipeline_full"] = {"ms_per_clip": round(dt * 1000 / B, 4),
-                          "audio_hours_per_min": ahpm(dt)}
+                          "audio_hours_per_min": ahpm(dt),
+                          "note": "production batched_spectrogram_fn "
+                                  "(flip_image fold), RGBA-packed output"}
 
     # same pipeline on the measured 'fast' precision tier (bf16 3-pass
     # DFT matmuls, ~5e-2 dB display-only error — core/stft.py
     # matmul_precision): the throughput headroom when the scipy contract
     # is not required
-    cfg_fast = dataclasses.replace(cfg, precision="fast")
-
-    def full_fast(x):
-        img = jax.vmap(lambda s: normalize(s, True, None))(
-            jnp.swapaxes(power_spectrogram(x, fs, cfg_fast,
-                                           use_matmul=True), -1, -2))
-        return apply_colormap_packed(img, "jet", flip_rows=True)
+    cfg_fast = dataclasses.replace(cfg, precision="fast", log_scale=True)
+    _prod_fast = batched_spectrogram_fn(fs, cfg_fast, use_matmul=True,
+                                        colormap="jet", flip_image=True)
+    full_fast = lambda x: _prod_fast(x)["rgb_packed"]       # noqa: E731
     dt = _timer_amortized(full_fast, xb)
     S["pipeline_full_fast_tier"] = {
         "ms_per_clip": round(dt * 1000 / B, 4),
