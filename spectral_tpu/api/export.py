@@ -12,7 +12,8 @@ on-device colormap/waveform paths:
   * Batch signal PNGs: two passes — shared symmetric y-limit from the global
     max amplitude (:126-144, :179), then one waveform image per item with
     processed-over-raw selection and fs choice (:159-164) and filename
-    sanitization (:181). The reference's fixed 0-300 s x-window is an option.
+    sanitization (:181). The reference's fixed 0-300 s x-window (:178) is
+    the default; pass window_seconds=None for the full signal.
 """
 
 from __future__ import annotations

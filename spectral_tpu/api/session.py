@@ -94,6 +94,12 @@ class AnalysisSession:
         self.spec_data_source: Optional[np.ndarray] = None
         self.signal_raw: Optional[np.ndarray] = None
         self.signal_proc: Optional[np.ndarray] = None
+        # the reference's last_raw_t[-1]: the combined signal's last sample
+        # time, set ONLY by the combine branch (PlotEngine.py:200, cleared
+        # :75) — it gates the stretch-x-to-signal-duration axis policy
+        # (plot_extra:91-92, _plot_spectrogram:139-143); non-combined plots
+        # clip x to the spectrogram's t[-1]
+        self.last_signal_t_end: Optional[float] = None
         # plot-time PSD reuse for detection: (source identity, effective
         # config, fs, full freq axis, frame times, device PSD) — see
         # _compute_spectrogram / _features
@@ -123,6 +129,7 @@ class AnalysisSession:
         self.spec_data_source = None
         self.signal_raw = None
         self.signal_proc = None
+        self.last_signal_t_end = None
         self._psd_cache = None
 
     def plot_sweeps(self, names: Sequence[str],
@@ -192,6 +199,8 @@ class AnalysisSession:
                     sig_proc_plot = final
                 else:
                     sig_raw_plot = final
+                if len(final) > 1:  # PlotEngine.py:200 (len(last_raw_t)>1)
+                    self.last_signal_t_end = (len(final) - 1) / fs0
         else:  # first sweep only (PlotEngine.py:203-206)
             name, raw, proc, fs = infos[0]
             sig_raw_plot = raw if v.draw_raw else None

@@ -23,6 +23,8 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
+
 MODES = ("Signal", "Spectrogram", "Both")   # GUI.py:38-66 combos
 
 
@@ -75,11 +77,18 @@ def build_window():
             self.tree.setContextMenuPolicy(QtCore.Qt.CustomContextMenu)
             self.tree.customContextMenuRequested.connect(
                 self.open_tree_context_menu)
+            # single-click on a sweep plots it alone: selection is reset to
+            # the clicked item and Combine is unchecked first (GUI.py:174,
+            # 359-372)
+            self.tree.itemClicked.connect(self.on_tree_item_clicked)
             panel.addWidget(self.tree, 2)
 
             btn_add = QtWidgets.QPushButton("Add Files")
             btn_add.clicked.connect(self.add_files)
             panel.addWidget(btn_add)
+            btn_remove = QtWidgets.QPushButton("Remove Selected")
+            btn_remove.clicked.connect(self.remove_selected)  # GUI.py:49,172
+            panel.addWidget(btn_remove)
             btn_comb = QtWidgets.QPushButton("Register Combined Sweep")
             btn_comb.clicked.connect(self.register_combined)
             panel.addWidget(btn_comb)
@@ -299,13 +308,19 @@ def build_window():
             self.status.setText(f"{self.tree.topLevelItemCount()} sweeps")
 
         def register_combined(self):
-            """Persistent combine into the registry (GUI.py:226-276)."""
+            """Persistent combine into the registry (GUI.py:226-276) —
+            both streams are combined regardless of the RAW/PROC
+            checkboxes, and the status reports the max amplitude across
+            them (:251-252, :275)."""
             names = self._selected_names()
             try:
-                new = self.controller.register_combined(
-                    names, use_processed=self.chk_proc.isChecked())
+                new = self.controller.register_combined(names)
                 self._add_tree_item(new)
-                self.status.setText(f"Registered {new}")
+                entry = self.session.registry.data[new]
+                amplitude = max(float(np.max(np.abs(entry.raw))),
+                                float(np.max(np.abs(entry.processed))))
+                self.status.setText(f"Registered {new} "
+                                    f"(max amplitude: {amplitude:.2f})")
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Combine error", str(e))
 
@@ -384,6 +399,16 @@ def build_window():
                 self.status.setText(f"{len(events)} bursts after refinement")
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Refine error", str(e))
+
+        def on_tree_item_clicked(self, item, column=0):
+            """GUI.py:359-372: a click plots that single sweep — previous
+            selection cleared, the clicked item selected, and 'Combine all
+            sweeps' unchecked for clarity before delegating to
+            plot_selected."""
+            self.tree.clearSelection()
+            item.setSelected(True)
+            self.chk_combine.setChecked(False)
+            self.plot_selected()
 
         def open_tree_context_menu(self, position):
             """GUI.py:485-494: Remove Selected / Select All / Clear All."""

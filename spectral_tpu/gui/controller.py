@@ -213,15 +213,14 @@ class WindowController:
 
     # ---- persistent combine (GUI.py:226-276) ---------------------------------
 
-    def register_combined(self, names: Sequence[str],
-                          use_processed: bool = True) -> str:
+    def register_combined(self, names: Sequence[str]) -> str:
         """Concatenate the named sweeps into a new persistent 'combineN'
-        registry entry (the reference writes straight into manager.data,
-        GUI.py:260-267)."""
+        registry entry holding BOTH combined streams (the reference writes
+        straight into manager.data, GUI.py:260-267; the <2-sweep guard is
+        :228-230)."""
         if len(names) < 2:
             raise ValueError("Select at least two sweeps to combine.")
-        return self.session.registry.register_combined(
-            list(names), use_processed=use_processed)
+        return self.session.registry.register_combined(list(names))
 
     # ---- batch export (GUI.py:577-586) ----------------------------------------
 

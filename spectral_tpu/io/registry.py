@@ -164,26 +164,32 @@ class SweepRegistry:
 
     # -- combined sweeps (GUI.py:226-276 registers "combine{n}" entries) ----
 
-    def register_combined(self, names: List[str], use_processed: bool = True
-                          ) -> str:
+    def register_combined(self, names: List[str]) -> str:
         """Concatenate the named sweeps and register the result as a new
-        'combineN' entry, mirroring the GUI's persistent-combine flow."""
-        sigs, fss = [], []
+        'combineN' entry, mirroring the GUI's persistent-combine flow
+        (GUI.on_add_combined_entry, GUI.py:226-276): BOTH streams are
+        combined — raw from get_signal(processed=False) and processed
+        from get_signal(processed=True), whose documented fallback fills
+        missing processed data with raw (:239-240) — the declared entry
+        fs is authoritative (:237; get_signal's returned fs is discarded),
+        mixed rates are rejected (:243-245), and the new entry carries
+        fs_raw = fs and sweep_idx = -1 (:260-267)."""
+        raws, procs, fss = [], [], []
         for n in names:
-            sig, fs = self.get_signal(n, processed=use_processed)
-            sigs.append(np.asarray(sig))
-            fss.append(fs)
+            sig_raw, _ = self.get_signal(n, processed=False)
+            sig_proc, _ = self.get_signal(n, processed=True)
+            raws.append(np.asarray(sig_raw))
+            procs.append(np.asarray(sig_proc))
+            fss.append(self.data[n].fs)
         if len(set(fss)) > 1:
             raise ValueError(f"Mixed sampling rates: {sorted(set(fss))}")
-        combined = np.concatenate(sigs)
         idx = 0
         while f"combine{idx}" in self.data:
             idx += 1
         name = f"combine{idx}"
         self.register(name, SweepEntry(
-            filepath="<combined>", sweep_idx=idx, fs=fss[0], fs_raw=fss[0],
-            raw=None if use_processed else combined,
-            processed=combined if use_processed else None))
+            filepath="<combined>", sweep_idx=-1, fs=fss[0], fs_raw=fss[0],
+            raw=np.concatenate(raws), processed=np.concatenate(procs)))
         return name
 
 

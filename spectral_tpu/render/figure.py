@@ -11,7 +11,9 @@ dependency of exactly this module.
 Reference styling reproduced: raw signal in blue / processed in black
 (:83-86), legend upper-right (:90), jet colormap with vmin=0/vmax=1 and a
 "Normalized Power" colorbar (:134-138), x-limit = max(signal, spectrogram)
-duration (:139-143), y-limit [fmin, f_max] (:144), burst spans in blue at
+duration for combined plots but the spectrogram's t[-1] for non-combined
+ones (:139-143 — last_raw_t is only set by the combine branch, :200),
+y-limit [fmin, f_max] (:144), burst spans in blue at
 alpha 0.5 on both axes (:658-659), hover highlight blue -> red recoloring the
 patch artists in place (:497-543), live drag preview as green alpha-0.3
 spans at zorder 5 (:615-620).
@@ -105,21 +107,26 @@ class SessionFigureView:
         ax_signal, ax_spec = self.ax_signal, self.ax_spec
 
         fs = session.last_fs
-        sig_dur = 0.0
         if session.signal_raw is not None and fs:
             t = np.arange(len(session.signal_raw)) / fs
             ax_signal.plot(t, session.signal_raw, color="blue", label="Raw")
-            sig_dur = max(sig_dur, t[-1] if len(t) else 0.0)
         if session.signal_proc is not None and fs:
             t = np.arange(len(session.signal_proc)) / fs
             ax_signal.plot(t, session.signal_proc, color="black",
                            label="Processed")
-            sig_dur = max(sig_dur, t[-1] if len(t) else 0.0)
+        # the stretch-x-to-signal-duration policy applies ONLY to combined
+        # plots: the reference's last_raw_t is set by the combine branch
+        # alone (PlotEngine.py:200), so plot_extra:91-92 / the
+        # max(t[-1], last_raw_t[-1]) at :139-143 are no-ops for
+        # non-combined plots, whose x-limit clips to the spectrogram's t[-1]
+        sig_dur = getattr(session, "last_signal_t_end", None)
         if ax_signal.has_data():
             ax_signal.set_ylabel("Amplitude")
             if not transparent:
                 leg = ax_signal.legend(loc="upper right", frameon=True)
                 leg.set_zorder(100)
+            if sig_dur is not None:  # plot_extra:91-92
+                ax_signal.set_xlim(0, sig_dur)
 
         # the spectrogram pane is gated on the mode combos exactly like the
         # reference (plot_extra:96-103: no Spectrogram/Both mode selected
@@ -145,7 +152,8 @@ class SessionFigureView:
             if not transparent:
                 fig.colorbar(self.mesh, ax=ax_spec, orientation="vertical",
                              label="Normalized Power")
-            max_time = max(t_ax[-1], sig_dur) if sig_dur else t_ax[-1]
+            max_time = max(t_ax[-1], sig_dur) if sig_dur is not None \
+                else t_ax[-1]
             ax_spec.set_xlim(0, max_time)
             fmin = session.config.fmin \
                 if session.config and session.config.fmin else 0.0

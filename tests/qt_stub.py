@@ -163,6 +163,11 @@ class QTreeWidget(_Widget):
         super().__init__()
         self._items = []
         self.customContextMenuRequested = _Signal()
+        self.itemClicked = _Signal()
+
+    def clearSelection(self):
+        for i in self._items:
+            i.setSelected(False)
 
     def setHeaderLabel(self, s):
         pass

@@ -94,3 +94,43 @@ def test_figure_spectrogram_gated_on_mode_combos(tmp_path):
     s.plot_sweeps(["rec_sweep0"], view=ViewSettings(mode_proc="Spectrogram"))
     view.rebuild(s)
     assert view.mesh is not None
+
+
+def test_xlim_policy_combine_vs_single():
+    """The stretch-x-to-signal-duration axis policy is combine-only: the
+    reference's last_raw_t is set by the combine branch alone
+    (PlotEngine.py:200), so non-combined plots clip x to the spectrogram's
+    t[-1] (:139-143) while combined plots pin (0, (n-1)/fs) on the signal
+    axis too (:91-92)."""
+    pytest.importorskip("matplotlib")
+    from spectral_tpu.render.figure import render_session_figure
+    s = AnalysisSession()
+    rng = np.random.RandomState(1)
+    x = rng.randn(20000).astype(np.float32)
+    for i in range(2):
+        s.registry.register(f"rec_sweep{i}", SweepEntry(
+            filepath="rec", sweep_idx=i, fs=1000.0, fs_raw=1000.0,
+            raw=x, processed=x * 0.5))
+    cfg = SpecConfig.scipy_default(512, log_scale=True)
+
+    # non-combined: x clips to the spectrogram's last frame center, which
+    # is strictly inside the 20 s signal
+    s.plot_sweeps(["rec_sweep0"], cfg, ViewSettings(mode_proc="Spectrogram"))
+    assert s.last_signal_t_end is None
+    fig = render_session_figure(s, dpi=72)
+    assert fig.axes[1].get_xlim()[1] == pytest.approx(s.last_t[-1])
+    assert s.last_t[-1] < 19.999  # the clip is observable
+
+    # combined: x stretches to the combined signal's last sample time
+    s.plot_sweeps(["rec_sweep0", "rec_sweep1"], cfg,
+                  ViewSettings(combine=True, mode_proc="Spectrogram"))
+    dur = (2 * 20000 - 1) / 1000.0
+    assert s.last_signal_t_end == pytest.approx(dur)
+    fig = render_session_figure(s, dpi=72)
+    assert fig.axes[1].get_xlim()[1] == pytest.approx(dur)
+
+    # combined with Signal-only modes: no spectrogram pane, but the signal
+    # axis still pins (0, dur) like plot_extra:91-92
+    s.plot_sweeps(["rec_sweep0", "rec_sweep1"], cfg, ViewSettings(combine=True))
+    fig = render_session_figure(s, dpi=72)
+    assert fig.axes[0].get_xlim() == pytest.approx((0.0, dur))

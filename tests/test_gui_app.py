@@ -321,3 +321,31 @@ def test_xdata_pixel_fallback(win):
     # outside any axes: ignored entirely
     press(qt_stub._Event(None, 1, inaxes=None, x=300.0))
     assert win.controller.roi_editor.drag_origin is None
+
+
+def test_tree_item_click_plots_single_and_unchecks_combine(win):
+    """GUI.py:359-372: clicking a tree row resets the selection to that
+    row, unchecks 'Combine all sweeps', and plots the single sweep."""
+    win.chk_raw.setChecked(True)
+    win.combo_raw.setCurrentText("Both")
+    win.spin_nperseg.setValue(512)
+    win.chk_combine.setChecked(True)
+    # both rows selected beforehand; click row 1
+    win.tree.selectAll()
+    item1 = win.tree.topLevelItem(1)
+    win.tree.itemClicked.emit(item1, 0)
+    assert win.chk_combine.isChecked() is False
+    assert win.tree.selectedItems() == [item1]
+    assert "Plotted 1 sweep(s)" in win.status.text()
+    # the plotted sweep is the clicked one (sweep1 is 30 s long)
+    assert len(win.session.signal_raw) == int(FS * 60) // 2
+
+
+def test_remove_selected_button(win):
+    """GUI.py:49,172,345-348: the Remove Selected button drops tree rows
+    (the registry keeps the data, like the reference's manager.data)."""
+    assert win.tree.topLevelItemCount() == 2
+    win.remove_selected()  # row 0 selected by the fixture
+    assert win.tree.topLevelItemCount() == 1
+    assert "s_sweep0" in win.session.registry.data  # data retained
+    assert "Removed selected items" in win.status.text()

@@ -212,14 +212,17 @@ def test_register_combined_and_validation():
     w = WindowController(s)
     with pytest.raises(ValueError, match="at least two"):
         w.register_combined(["synth_sweep0"])
-    name = w.register_combined(["synth_sweep0", "synth_sweep1"],
-                               use_processed=False)
+    name = w.register_combined(["synth_sweep0", "synth_sweep1"])
     assert name == "combine0"
     sig, fs = s.registry.get_signal(name, processed=False)
     assert fs == 1000.0
     n0 = len(s.registry.data["synth_sweep0"].raw)
     n1 = len(s.registry.data["synth_sweep1"].raw)
     assert len(sig) == n0 + n1
+    # the processed stream is also combined, filled by the raw fallback
+    # where a sweep has no processed data (GUI.py:239-240, 248-266)
+    sig_p, _ = s.registry.get_signal(name, processed=True)
+    assert len(sig_p) == n0 + n1
 
 
 def test_export_batch(tmp_path):

@@ -59,10 +59,15 @@ def test_register_combined():
                                   fs=100.0, fs_raw=100.0))
     r.register("a_sweep1", _entry(raw=np.ones(6), processed=np.ones(6) * 2,
                                   fs=100.0, fs_raw=100.0))
-    name = r.register_combined(["a_sweep0", "a_sweep1"], use_processed=True)
+    name = r.register_combined(["a_sweep0", "a_sweep1"])
     assert name == "combine0"
+    # BOTH streams are combined (GUI.py:248-266): raw holds the raw
+    # concatenation, processed the processed one
     sig, fs = r.get_signal(name, processed=True)
     assert len(sig) == 10 and fs == 100.0 and (sig == 2).all()
+    sig_raw, fs_raw = r.get_signal(name, processed=False)
+    assert len(sig_raw) == 10 and fs_raw == 100.0 and (sig_raw == 1).all()
+    assert r.data[name].sweep_idx == -1  # GUI.py:262
     # mixed rates rejected (GUI.py:416-418 semantics)
     r.register("b_sweep0", _entry(fs=200.0, fs_raw=200.0))
     with pytest.raises(ValueError, match="Mixed sampling rates"):
