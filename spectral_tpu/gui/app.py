@@ -110,7 +110,7 @@ def build_window():
             self.spin_fmin = QtWidgets.QDoubleSpinBox()
             self.spin_fmin.setRange(0.0, 5000.0)
             self.spin_fmax = QtWidgets.QDoubleSpinBox()
-            self.spin_fmax.setRange(0.0, 5000.0)
+            self.spin_fmax.setRange(1.0, 5000.0)  # GUI.py:99
             form.addRow(self.chk_raw, self.combo_raw)
             form.addRow(self.chk_proc, self.combo_proc)
             form.addRow(self.chk_combine, self.chk_log)
@@ -453,7 +453,16 @@ def build_window():
             self.status.setText("HMM model reset. Canvas cleared.")
 
         def band_powers(self):
-            """Band-power dialog (GUI.py:529-566)."""
+            """Band-power dialog (GUI.py:529-566), including the
+            log-scale refusal (:535-541) — the reference insists band
+            power reads the original linear spectrum."""
+            if self.chk_log.isChecked():
+                QtWidgets.QMessageBox.warning(
+                    self, "Band Power Disabled in Log Scale",
+                    "Please disable log scale before calculating band "
+                    "power.\n\nBand power must be calculated from the "
+                    "original (linear) spectrum.")
+                return
             try:
                 report = self.controller.band_powers_report()
             except Exception as e:

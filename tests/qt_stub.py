@@ -330,6 +330,10 @@ class QMessageBox:
     def information(parent, title, text):
         QMessageBox.calls.append(("information", title, text))
 
+    @staticmethod
+    def warning(parent, title, text):
+        QMessageBox.calls.append(("warning", title, text))
+
 
 class QInputDialog:
     next_text = ("", False)

@@ -349,3 +349,20 @@ def test_remove_selected_button(win):
     assert win.tree.topLevelItemCount() == 1
     assert "s_sweep0" in win.session.registry.data  # data retained
     assert "Removed selected items" in win.status.text()
+
+
+def test_band_powers_refused_in_log_scale(win):
+    """GUI.py:535-541: the band-power dialog refuses while Log Scale is
+    checked (band power must read the linear spectrum)."""
+    _plot(win)
+    win.chk_log.setChecked(True)
+    qt_stub.QMessageBox.calls.clear()
+    win.band_powers()
+    kinds = [c[0] for c in qt_stub.QMessageBox.calls]
+    assert "warning" in kinds
+    assert any("Log Scale" in str(c) for c in qt_stub.QMessageBox.calls)
+    win.chk_log.setChecked(False)
+    qt_stub.QMessageBox.calls.clear()
+    win.band_powers()
+    kinds = [c[0] for c in qt_stub.QMessageBox.calls]
+    assert "information" in kinds
