@@ -252,17 +252,14 @@ class AnalysisSession:
         else:
             self._psd_cache = None
         if cfg.n_mels:
-            from spectral_tpu.core.mel import (mel_filterbank, mel_to_hz,
-                                               hz_to_mel)
+            from spectral_tpu.core.mel import mel_filterbank, mel_centers
             fb = mel_filterbank(cfg.n_mels, psd.shape[-1], fs, cfg.mel_fmin,
                                 cfg.mel_fmax, cfg.mel_htk)
             psd = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype),
                              precision=jax.lax.Precision.HIGHEST)
             # frequency axis becomes the mel filters' center frequencies
-            mel_max = cfg.mel_fmax if cfg.mel_fmax is not None else fs / 2.0
-            pts = np.linspace(hz_to_mel(cfg.mel_fmin, cfg.mel_htk),
-                              hz_to_mel(mel_max, cfg.mel_htk), cfg.n_mels + 2)
-            f = mel_to_hz(pts[1:-1], cfg.mel_htk)
+            f = mel_centers(cfg.n_mels, fs, cfg.mel_fmin, cfg.mel_fmax,
+                            cfg.mel_htk)
         sxx = np.asarray(psd).T  # freq-major
         from spectral_tpu.core.stft import mask_band_rows
         if cfg.fmin is not None or cfg.fmax is not None:

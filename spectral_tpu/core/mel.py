@@ -53,6 +53,18 @@ def mel_to_hz(m, htk: bool = False):
     return freqs
 
 
+def mel_centers(n_mels: int, fs: float, fmin: float = 0.0,
+                fmax: Optional[float] = None, htk: bool = False
+                ) -> np.ndarray:
+    """Center frequencies (Hz) of the mel filters — the frequency axis a
+    mel spectrogram is plotted/masked against (api/session.py uses it as
+    last_f for mel plots)."""
+    mel_max = fmax if fmax is not None else fs / 2.0
+    pts = np.linspace(hz_to_mel(fmin, htk), hz_to_mel(mel_max, htk),
+                      n_mels + 2)
+    return mel_to_hz(pts[1:-1], htk)
+
+
 @functools.lru_cache(maxsize=32)
 def mel_filterbank(n_mels: int, n_freqs: int, fs: float, fmin: float = 0.0,
                    fmax: Optional[float] = None, htk: bool = False,

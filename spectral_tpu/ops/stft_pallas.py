@@ -194,11 +194,13 @@ def pallas_supported(cfg: SpecConfig) -> bool:
     8192/24, where the forced overlap block alone would blow VMEM).
 
     Also requires the semantics the kernel actually implements — PSD mode,
-    no center padding, no mel stage: the kernel computes uncentered PSD
-    only, and every caller (parallel/pipeline.py gates its Pallas path on
-    THIS predicate) falls back to the XLA path for those configs instead
-    of silently getting wrong frame timing / |X|^2 instead of |X| / a
-    missing mel projection."""
+    no center padding, no mel stage, no fmin/fmax band mask: the kernel
+    computes uncentered full-band PSD only, and every caller
+    (parallel/pipeline.py gates its Pallas path on THIS predicate) falls
+    back to the XLA path for those configs instead of silently getting
+    wrong frame timing / |X|^2 instead of |X| / a missing mel projection /
+    a full-band image where the reference masks rows before normalizing
+    (PlotEngine.py:114-127)."""
     g, S, P = _gcd_dims(cfg)
     q_max = (P - 1) // S
     return (cfg.nfft_ == cfg.nperseg
@@ -207,7 +209,9 @@ def pallas_supported(cfg: SpecConfig) -> bool:
             and q_max <= _bf_vmem_cap(cfg)
             and cfg.mode == "psd"
             and not cfg.center
-            and cfg.n_mels is None)
+            and cfg.n_mels is None
+            and cfg.fmin is None
+            and cfg.fmax is None)
 
 
 def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,

@@ -17,13 +17,36 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import numpy as np
+
 from spectral_tpu.config import SpecConfig
 from spectral_tpu.core.scale import normalize_batch
-from spectral_tpu.core.stft import power_spectrogram_fm
-from spectral_tpu.core.mel import mel_filterbank
+from spectral_tpu.core.stft import power_spectrogram_fm, freq_axis
+from spectral_tpu.core.mel import mel_filterbank, mel_centers
 from spectral_tpu.ops.colormap import apply_colormap_packed
 
 Array = jax.Array
+
+
+def _band_slice(f: np.ndarray, fmin: Optional[float], fmax: Optional[float]
+                ) -> Optional[tuple]:
+    """Static (lo, hi) row slice of the reference's frequency mask
+    (PlotEngine.py:114-115) on a monotone frequency axis; None = full
+    band. Raises on an empty band (the reference renders nothing there;
+    a dataset export should refuse instead of writing blank images)."""
+    if fmin is None and fmax is None:
+        return None
+    lo = fmin if fmin is not None else -np.inf
+    hi = fmax if fmax is not None else np.inf
+    idx = np.where((f >= lo) & (f <= hi))[0]
+    if idx.size == 0:
+        raise ValueError(
+            f"the requested band [{fmin}, {fmax}] Hz contains no "
+            f"frequency rows (axis spans {f[0]:.6g}..{f[-1]:.6g} Hz)")
+    if idx.size != int(idx[-1]) - int(idx[0]) + 1:
+        raise ValueError("band mask is non-contiguous on this frequency "
+                         "axis (two-sided spectra are not supported here)")
+    return int(idx[0]), int(idx[-1]) + 1
 
 
 def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
@@ -41,10 +64,27 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
     bit-identical packed words). "psd"/"mel" stay frame-major unflipped
     regardless.
 
+    cfg.fmin/fmax mask frequency rows BEFORE normalization, exactly like
+    the reference (PlotEngine.py:114-127: mask, then base = max over the
+    masked band) and like the render/stream paths; for mel configs the
+    mask applies to the mel-center axis (api/session semantics). The
+    masked rows are a static contiguous slice, so the flip fold still
+    applies. In mel mode the side output "psd" stays full-band (it is the
+    pre-mel spectrum, not the displayed one).
+
     Returns a plain jax-traceable function; wrap with jit/pjit via
     :func:`shard_pipeline` or call directly under vmap.
     """
     n_mels = cfg.n_mels
+    # static band-row slices (reference mask, PlotEngine.py:114-115)
+    if n_mels:
+        band = None
+        band_mel = _band_slice(
+            mel_centers(n_mels, fs, cfg.mel_fmin, cfg.mel_fmax,
+                        cfg.mel_htk), cfg.fmin, cfg.fmax)
+    else:
+        band = _band_slice(freq_axis(cfg, fs), cfg.fmin, cfg.fmax)
+        band_mel = None
 
     def fn(xb: Array):
         # freq-major spine: the display/mel consumers want (B, F, T), and
@@ -57,17 +97,28 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
         flip_dense = flip_image and not n_mels
         psd_fm = power_spectrogram_fm(xb, fs, cfg, use_matmul=use_matmul,
                                       flip_freqs=flip_dense)  # (B, F, T)
-        psd_unf = jnp.flip(psd_fm, -2) if flip_dense else psd_fm
-        out = {"psd": jnp.swapaxes(psd_unf, -1, -2)}
         if n_mels:
+            out = {"psd": jnp.swapaxes(psd_fm, -1, -2)}  # full-band pre-mel
             fb = mel_filterbank(n_mels, psd_fm.shape[-2], fs, cfg.mel_fmin,
                                 cfg.mel_fmax, cfg.mel_htk)
             mel_fm = jnp.einsum("mf,...ft->...mt",
                                 jnp.asarray(fb, psd_fm.dtype), psd_fm,
                                 precision=jax.lax.Precision.HIGHEST)
+            if band_mel is not None:
+                lo, hi = band_mel
+                mel_fm = mel_fm[..., lo:hi, :]
             out["mel"] = jnp.swapaxes(mel_fm, -1, -2)
             base_fm = jnp.flip(mel_fm, -2) if flip_image else mel_fm
         else:
+            if band is not None:
+                lo, hi = band
+                F = psd_fm.shape[-2]
+                # under the flip fold row i holds original row F-1-i, so
+                # the band [lo, hi) lives at flipped rows [F-hi, F-lo)
+                psd_fm = psd_fm[..., F - hi:F - lo, :] if flip_dense \
+                    else psd_fm[..., lo:hi, :]
+            psd_unf = jnp.flip(psd_fm, -2) if flip_dense else psd_fm
+            out = {"psd": jnp.swapaxes(psd_unf, -1, -2)}
             base_fm = psd_fm            # already flipped when flip_dense
         # normalize is flip-invariant per pixel (min/max are exact), so the
         # flipped image is bitwise the flip of the unflipped one

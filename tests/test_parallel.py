@@ -705,3 +705,67 @@ def test_iter_stream_rejects_chunk_after_short_chunk():
     next(it)
     with pytest.raises(ValueError, match="short"):
         next(it)
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_pipeline_band_mask_matches_reference_semantics(flip):
+    """cfg.fmin/fmax mask frequency rows BEFORE normalization, like the
+    reference (PlotEngine.py:114-127) and the render path: the pipeline
+    image equals mask-then-normalize on the full-band PSD, under both
+    flip senses (the flip fold makes the band a different static row
+    slice)."""
+    from spectral_tpu.core.scale import normalize
+    from spectral_tpu.core.stft import mask_band_rows, freq_axis
+    fs = 1000.0
+    cfg = SpecConfig.scipy_default(256, fmin=5.0, fmax=80.0, log_scale=True)
+    xb = np.random.RandomState(3).randn(4, 6000).astype(np.float32)
+
+    fn = batched_spectrogram_fn(fs, cfg, use_matmul=True, colormap="jet",
+                                flip_image=flip)
+    out = jax.jit(fn)(jnp.asarray(xb))
+
+    import dataclasses
+    cfg_full = dataclasses.replace(cfg, fmin=None, fmax=None)
+    psd_full = np.asarray(power_spectrogram(jnp.asarray(xb), fs, cfg_full))
+    f = freq_axis(cfg, fs)
+    imgs = []
+    for i in range(xb.shape[0]):
+        f_m, sxx_m = mask_band_rows(f, psd_full[i].T, cfg.fmin, cfg.fmax)
+        imgs.append(np.asarray(normalize(jnp.asarray(sxx_m), True, None)))
+    ref_img = np.stack(imgs)
+    assert (f_m >= 5.0).all() and (f_m <= 80.0).all()
+    assert len(f_m) < len(f)  # the mask actually removed rows
+    got = np.asarray(out["image"])
+    if flip:
+        got = got[:, ::-1]
+    assert got.shape == ref_img.shape
+    np.testing.assert_allclose(got, ref_img, rtol=2e-5, atol=1e-6)
+    # the masked "psd" output is the masked band, frame-major, unflipped
+    assert out["psd"].shape == (4, psd_full.shape[1], len(f_m))
+
+
+def test_pipeline_band_mask_mel_axis():
+    """With mel configured the band mask applies to the mel-center axis
+    (api/session semantics); the pre-mel "psd" side output stays
+    full-band."""
+    from spectral_tpu.core.mel import mel_centers
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128, n_mels=64, fmin=200.0,
+                                fmax=4000.0, log_scale=True)
+    xb = np.random.RandomState(4).randn(2, 8192).astype(np.float32)
+    fn = batched_spectrogram_fn(fs, cfg, use_matmul=True, colormap=None,
+                                flip_image=True)
+    out = jax.jit(fn)(jnp.asarray(xb))
+    fc = mel_centers(64, fs)
+    n_band = int(((fc >= 200.0) & (fc <= 4000.0)).sum())
+    T = num_frames(8192, 512, 128)
+    assert 0 < n_band < 64
+    assert out["mel"].shape == (2, T, n_band)
+    assert out["image"].shape == (2, n_band, T)
+    assert out["psd"].shape == (2, T, 257)  # pre-mel side output full-band
+
+
+def test_pipeline_band_mask_empty_band_raises():
+    with pytest.raises(ValueError, match="no frequency rows"):
+        batched_spectrogram_fn(
+            1000.0, SpecConfig.scipy_default(256, fmin=600.0, fmax=700.0))

@@ -226,6 +226,10 @@ def test_pallas_supported_rejects_semantics_it_cannot_compute():
     assert not pallas_supported(SpecConfig(**base, center=True))
     assert not pallas_supported(SpecConfig(**base, mode="magnitude"))
     assert not pallas_supported(SpecConfig(**base, n_mels=64))
+    # the kernel computes full-band PSD only; a band mask must route to
+    # the XLA pipeline, which masks before normalizing (PlotEngine.py:114)
+    assert not pallas_supported(SpecConfig(**base, fmin=0.0, fmax=30.0))
+    assert not pallas_supported(SpecConfig(**base, fmax=100.0))
     with pytest.raises(ValueError, match="center"):
         stft_psd_pallas(jnp.zeros(4096), 1000.0,
                         SpecConfig(**base, center=True))
