@@ -396,7 +396,10 @@ class AnalysisSession:
     # ------------------------------------------------------------------
 
     def save_state(self, filepath: str) -> None:
-        """Serialize model params + events + config to an .npz."""
+        """Serialize model params + events + config to an .npz, plus the
+        provenance context (segment map + plotted items) so a CSV export
+        after load_state keeps its combined-plot source attribution
+        (ExportManager.py:55-64) instead of degrading to 'Unknown'."""
         payload = {
             "events": np.asarray(self.last_detected_events, dtype=np.float64
                                  ).reshape(-1, 2),
@@ -404,6 +407,13 @@ class AnalysisSession:
             "is_model_refined": np.asarray(self.detector.is_model_refined),
             "config_json": np.asarray(
                 self.config.to_json() if self.config else ""),
+            "segment_spans": np.asarray(
+                [[s.start_time_combined, s.end_time_combined]
+                 for s in self.segment_map], dtype=np.float64).reshape(-1, 2),
+            "segment_names": np.asarray(
+                [s.source_name for s in self.segment_map], dtype=np.str_),
+            "plotted_items": np.asarray(self.currently_plotted_items,
+                                        dtype=np.str_),
         }
         if self.detector.params is not None:
             p = self.detector.params
@@ -418,6 +428,12 @@ class AnalysisSession:
         z = np.load(filepath, allow_pickle=False)
         self.last_detected_events = [tuple(r) for r in z["events"]]
         self.rois = [tuple(r) for r in z["rois"]]
+        if "segment_spans" in z:  # absent in pre-block-5 state files
+            self.segment_map = [
+                SegmentRecord(float(a), float(b), str(n))
+                for (a, b), n in zip(z["segment_spans"], z["segment_names"])]
+            self.currently_plotted_items = [str(n)
+                                            for n in z["plotted_items"]]
         self.detector.is_model_refined = bool(z["is_model_refined"])
         cfg_json = str(z["config_json"])
         if cfg_json:

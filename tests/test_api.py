@@ -168,6 +168,36 @@ def test_state_persistence_roundtrip(tmp_path):
                                   np.asarray(s.detector.params.means))
 
 
+def test_state_roundtrip_keeps_csv_attribution(tmp_path):
+    """save_state carries the provenance context (segment map + plotted
+    items), so a CSV export after load_state in a FRESH session keeps the
+    combined-plot source attribution (ExportManager.py:55-64) instead of
+    degrading to 'Unknown'."""
+    from spectral_tpu.api.export import export_events_csv
+    s = _session_with_sweeps(2, dur=60.0)
+    x = _bursty(dur=60.0)
+    for name in ("rec_sweep0", "rec_sweep1"):
+        s.registry.data[name].raw = x
+        s.registry.data[name].processed = None
+    s.plot_sweeps(["rec_sweep0", "rec_sweep1"],
+                  SpecConfig.scipy_default(1024, fmin=0.0, fmax=30.0),
+                  ViewSettings(combine=True))
+    s.unsupervised_detect()
+    assert s.last_detected_events
+    p = str(tmp_path / "state.npz")
+    s.save_state(p)
+
+    s2 = AnalysisSession()
+    s2.load_state(p)
+    assert [r.source_name for r in s2.segment_map] == \
+        [r.source_name for r in s.segment_map]
+    c1, c2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    assert "Successfully" in export_events_csv(c1, s)
+    assert "Successfully" in export_events_csv(c2, s2)
+    assert open(c1).read() == open(c2).read()
+    assert "Unknown" not in open(c2).read()
+
+
 def test_empty_selection_raises():
     s = _session_with_sweeps(1)
     with pytest.raises(ValueError, match="no sweeps selected"):
