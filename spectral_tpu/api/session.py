@@ -345,6 +345,13 @@ class AnalysisSession:
         return self.rois
 
     def delete_roi(self, roi: Event) -> List[Event]:
+        """Deliberate deviation from the reference: its Delete removes the
+        PATCH only (remove_patch, PlotEngine.py:647-653) and never touches
+        last_detected_events, so a deleted burst still appears in a later
+        CSV export while learning (which reads the patches) excludes it —
+        a patches/events divergence we treat as a bug, not a contract.
+        Here both lists drop the event, keeping export/learn/redraw
+        consistent."""
         self.rois = ev.delete_roi(self.rois, roi)
         self.last_detected_events = ev.delete_roi(self.last_detected_events, roi)
         return self.rois
