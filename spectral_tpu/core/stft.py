@@ -466,7 +466,9 @@ def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
 
 
 def _dense_dft(x: Array, cfg: SpecConfig, freq_major: bool = False,
-               flip_freqs: bool = False) -> Tuple[Array, Array]:
+               flip_freqs: bool = False,
+               band: Optional[Tuple[int, int]] = None
+               ) -> Tuple[Array, Array]:
     """The dense window/detrend-folded DFT matmuls.
 
     freq_major=True emits (..., n_freqs, nframes) directly by contracting
@@ -479,7 +481,16 @@ def _dense_dft(x: Array, cfg: SpecConfig, freq_major: bool = False,
     0.0772 -> 0.0661 ms/clip, bit-identical packed words (the bare
     freq-major transpose alone is already fused for free there). Per
     output element the contraction is identical, so values are bitwise
-    equal to (flipped) swapaxes of the frame-major result."""
+    equal to (flipped) swapaxes of the frame-major result.
+
+    band=(lo, hi) folds the reference's frequency row mask
+    (PlotEngine.py:114-115) into the matrices too: only the masked bins'
+    COLUMNS are kept (sliced on the unflipped bin axis, before the flip),
+    so a banded display — e.g. the GUI's EEG default fmax=30 Hz, 62 of
+    513 rows at nperseg=1024/fs=1000 — contracts ~8x fewer MACs and
+    never materializes the full-band spectrum. Each retained output
+    element is the identical dot product, so values stay bitwise equal
+    to slicing the full result."""
     prec = matmul_precision(cfg)
     raw = frame_signal(
         x if not cfg.center else jnp.pad(
@@ -499,11 +510,16 @@ def _dense_dft(x: Array, cfg: SpecConfig, freq_major: bool = False,
     # stays.
     if use_device_dft(cfg):
         a_re_d, a_im_d = dft_matrices_device(cfg, raw.dtype)
+        if band is not None:
+            a_re_d = a_re_d[:, band[0]:band[1]]
+            a_im_d = a_im_d[:, band[0]:band[1]]
         if flip_freqs:
             a_re_d = jnp.flip(a_re_d, axis=1)
             a_im_d = jnp.flip(a_im_d, axis=1)
     else:
         a_re, a_im = dft_matrices(cfg)
+        if band is not None:
+            a_re, a_im = a_re[:, band[0]:band[1]], a_im[:, band[0]:band[1]]
         if flip_freqs:
             a_re, a_im = a_re[:, ::-1], a_im[:, ::-1]
         a_re_d = jnp.asarray(np.ascontiguousarray(a_re), raw.dtype)
@@ -545,16 +561,21 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
 
 
 def _scale_psd(p: Array, cfg: SpecConfig, fs: float, *,
-               freq_major: bool = False, flip_freqs: bool = False) -> Array:
+               freq_major: bool = False, flip_freqs: bool = False,
+               band: Optional[Tuple[int, int]] = None) -> Array:
     """Apply the onesided/window scaling (and scipy's mode='magnitude'
     sqrt-of-scale) to a raw |X|^2 spectrogram. freq_major=True broadcasts
     the weights down a frequency axis at -2; flip_freqs pre-flips them to
-    match a display-flipped frequency axis.
+    match a display-flipped frequency axis; band=(lo, hi) slices them to
+    a banded spectrum's rows (the DC/Nyquist no-doubling weights follow
+    the retained bins).
 
     Weights follow p's dtype (like the window constant): an unconditional
     float32 cast silently capped float64 validation runs at ~2e-8
     relative error."""
     wts = onesided_weights(cfg, fs)
+    if band is not None:
+        wts = wts[band[0]:band[1]]
     if flip_freqs:
         wts = wts[::-1].copy()
     w = jnp.asarray(wts, p.dtype)
@@ -567,31 +588,40 @@ def _scale_psd(p: Array, cfg: SpecConfig, fs: float, *,
 
 def power_spectrogram_fm(x: Array, fs: float, cfg: SpecConfig,
                          use_matmul: Optional[bool] = None,
-                         flip_freqs: bool = False) -> Array:
+                         flip_freqs: bool = False,
+                         band: Optional[Tuple[int, int]] = None) -> Array:
     """Freq-major PSD: (..., n) -> (..., n_freqs, nframes) — the display/
     pipeline layout (the reference renders freq-major, PlotEngine.py:123).
     flip_freqs=True returns rows display-flipped (highest frequency first,
-    the PNG row order).
+    the PNG row order). band=(lo, hi) returns only those bins of the
+    UNFLIPPED one-sided axis (the reference's row mask,
+    PlotEngine.py:114-115), flipped within the band when flip_freqs.
 
-    On the dense matmul route both the transpose and the flip are folded
-    into the DFT contraction itself (:func:`_dense_dft`), so no relayout
-    or flip pass is materialized on device; values are bitwise identical
-    to ``swapaxes(power_spectrogram(...), -1, -2)`` (flipped). The CT and
-    FFT routes fall back to transposing/flipping the frame-major result
-    (their internal layouts do not admit the fold).
+    On the dense matmul route the transpose, the flip, AND the band mask
+    are all folded into the DFT contraction itself (:func:`_dense_dft`),
+    so no relayout/flip pass or full-band intermediate is materialized on
+    device; values are bitwise identical to (flipped) slicing of
+    ``swapaxes(power_spectrogram(...), -1, -2)``. The CT and FFT routes
+    fall back to transposing/flipping/slicing the frame-major result
+    (their internal layouts do not admit the folds).
     """
     if cfg.mode == "complex":
         raise ValueError("mode='complex' has no power spectrogram; "
                          "use stft() (or spectrogram(), which routes it)")
+    if band is not None and not cfg.onesided:
+        raise ValueError("band slicing requires a one-sided spectrum")
     if use_matmul is None:
         use_matmul = default_use_matmul(cfg)
     if use_matmul and ct_factors(cfg) is None:
-        xr, xi = _dense_dft(x, cfg, freq_major=True, flip_freqs=flip_freqs)
+        xr, xi = _dense_dft(x, cfg, freq_major=True, flip_freqs=flip_freqs,
+                            band=band)
         p = xr * xr + xi * xi
         return _scale_psd(p, cfg, fs, freq_major=True,
-                          flip_freqs=flip_freqs)
+                          flip_freqs=flip_freqs, band=band)
     p = jnp.swapaxes(
         power_spectrogram(x, fs, cfg, use_matmul=use_matmul), -1, -2)
+    if band is not None:
+        p = p[..., band[0]:band[1], :]
     return jnp.flip(p, axis=-2) if flip_freqs else p
 
 

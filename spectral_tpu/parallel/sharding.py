@@ -95,8 +95,12 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
         # under jit otherwise), exactly mirroring the old layout's cost
         # when the image was consumed.
         flip_dense = flip_image and not n_mels
+        # the band mask folds into the dense DFT matrix columns (together
+        # with the flip), so banded displays never compute or materialize
+        # the full-band spectrum (core/stft._dense_dft)
         psd_fm = power_spectrogram_fm(xb, fs, cfg, use_matmul=use_matmul,
-                                      flip_freqs=flip_dense)  # (B, F, T)
+                                      flip_freqs=flip_dense,
+                                      band=band)  # (B, F[band], T)
         if n_mels:
             out = {"psd": jnp.swapaxes(psd_fm, -1, -2)}  # full-band pre-mel
             fb = mel_filterbank(n_mels, psd_fm.shape[-2], fs, cfg.mel_fmin,
@@ -110,13 +114,6 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
             out["mel"] = jnp.swapaxes(mel_fm, -1, -2)
             base_fm = jnp.flip(mel_fm, -2) if flip_image else mel_fm
         else:
-            if band is not None:
-                lo, hi = band
-                F = psd_fm.shape[-2]
-                # under the flip fold row i holds original row F-1-i, so
-                # the band [lo, hi) lives at flipped rows [F-hi, F-lo)
-                psd_fm = psd_fm[..., F - hi:F - lo, :] if flip_dense \
-                    else psd_fm[..., lo:hi, :]
             psd_unf = jnp.flip(psd_fm, -2) if flip_dense else psd_fm
             out = {"psd": jnp.swapaxes(psd_unf, -1, -2)}
             base_fm = psd_fm            # already flipped when flip_dense

@@ -203,3 +203,36 @@ def test_pipeline_mel_output_unchanged_by_fm_spine(x):
     assert mel.shape == mel_ref.shape
     np.testing.assert_allclose(mel, mel_ref, rtol=1e-5,
                                atol=1e-7 * mel_ref.max())
+
+
+@pytest.mark.parametrize("um", [True, False])
+@pytest.mark.parametrize("flip", [False, True])
+def test_fm_band_fold_matches_full(x, um, flip):
+    """band=(lo,hi) must equal slicing the full freq-major result AT THE
+    SAME flip sense — on the dense route the band folds into the DFT
+    matrix columns and each retained element is the same dot product;
+    CT/FFT routes slice. CPU XLA retiles the gemm for the narrower
+    matrix, reassociating the contraction (~1e-8 noise, same class as
+    the module-header note), so the assertion is a tight allclose here;
+    on the TPU's fixed-order MXU the fold is expected bitwise and is
+    chip-verified."""
+    for cfg in (SpecConfig.scipy_default(256),
+                SpecConfig.north_star(512, 128),
+                SpecConfig.scipy_default(2048)):   # CT route when um
+        full = np.asarray(st.power_spectrogram_fm(
+            x, 1000.0, cfg, use_matmul=um, flip_freqs=flip))
+        F = full.shape[-2]
+        lo, hi = 3, 2 * F // 3
+        got = np.asarray(st.power_spectrogram_fm(
+            x, 1000.0, cfg, use_matmul=um, flip_freqs=flip, band=(lo, hi)))
+        # band rows of the flipped axis sit at [F-hi, F-lo)
+        ref = full[..., F - hi:F - lo, :] if flip else full[..., lo:hi, :]
+        np.testing.assert_allclose(got, ref, rtol=2e-5,
+                                   atol=1e-7 * float(ref.max()))
+
+
+def test_fm_band_requires_onesided(x):
+    cfg = SpecConfig(nperseg=256, hop=64, onesided=False, detrend="none",
+                     window="hann")
+    with pytest.raises(ValueError, match="one-sided"):
+        st.power_spectrogram_fm(x, 1000.0, cfg, band=(1, 5))
