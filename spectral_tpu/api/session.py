@@ -13,6 +13,7 @@ segment_map, spec_data_source, currently_plotted_items — PlotEngine.py:22-29).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -27,6 +28,40 @@ from spectral_tpu.io.registry import SweepRegistry
 from spectral_tpu.models.detector import BurstDetector
 
 Event = Tuple[float, float]
+
+
+@functools.lru_cache(maxsize=64)
+def _plot_program(cfg: SpecConfig, fs: float,
+                  band: Optional[Tuple[int, int]], has_gm: bool):
+    """One fused device program for the interactive plot path.
+
+    Returns (full frame-major PSD, stack([banded freq-major sxx, image])).
+    The PSD stays device-resident for the detection cache; the display
+    pair comes back in ONE stacked array, so the host pulls a single
+    device->host transfer instead of the old eager flow's three (full
+    PSD down, masked sxx back up, image down) — on remote/tunneled
+    deployments the per-dispatch floor and D2H round trips dominate
+    interactive plot latency (doctor --probe-link measures both). The
+    band mask and normalization run on device; values are identical to
+    the host-masked flow (same slice of the same array, same normalize)."""
+    from spectral_tpu.core.mel import mel_filterbank
+
+    def prog(x, gm):
+        psd = power_spectrogram(x, fs, cfg)              # (T, F)
+        if cfg.n_mels:
+            fb = mel_filterbank(cfg.n_mels, psd.shape[-1], fs, cfg.mel_fmin,
+                                cfg.mel_fmax, cfg.mel_htk)
+            disp = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype),
+                              precision=jax.lax.Precision.HIGHEST)
+        else:
+            disp = psd
+        disp_fm = jnp.swapaxes(disp, -1, -2)
+        if band is not None:
+            disp_fm = disp_fm[band[0]:band[1]]
+        img = normalize(disp_fm, cfg.log_scale, gm if has_gm else None)
+        return psd, jnp.stack([disp_fm, img])
+
+    return jax.jit(prog)
 
 
 @dataclasses.dataclass
@@ -230,38 +265,63 @@ class AnalysisSession:
         """PlotEngine._plot_spectrogram compute portion (:110-131)."""
         # first device work: platform selection is final by now
         from spectral_tpu.utils.cache import enable_compilation_cache
-        from spectral_tpu.core.stft import effective_config
+        from spectral_tpu.core.stft import (effective_config, band_row_slice,
+                                            mask_band_rows)
         enable_compilation_cache()
         cfg, fs = self.config, self.last_fs
         # scipy shrinks nperseg to the signal length for short signals
         # (one-frame spectrogram, like the reference GUI) instead of
         # returning an empty one
         cfg = effective_config(cfg, len(self.spec_data_source))
-        x = jnp.asarray(self.spec_data_source)
-        psd = power_spectrogram(x, fs, cfg)  # (T, F)
         f = freq_axis(cfg, fs)
         t = time_axis(cfg, fs, len(self.spec_data_source))
-        # Keep the pre-mask/pre-mel PSD device-resident for detection:
-        # _features needs exactly this array (the reference recomputes the
-        # spectrogram per detect, PlotEngine.py:232 — a redundant full STFT
-        # dispatch). Capped so a pathological plot cannot pin unbounded HBM;
-        # above the cap detection recomputes on device as before (cheaper
-        # than round-tripping a huge PSD through host memory).
-        if psd.size <= 64 * 1024 * 1024:
-            self._psd_cache = (self.spec_data_source, cfg, fs, f, t, psd)
-        else:
-            self._psd_cache = None
         if cfg.n_mels:
-            from spectral_tpu.core.mel import mel_filterbank, mel_centers
+            from spectral_tpu.core.mel import mel_centers
+            f_disp = mel_centers(cfg.n_mels, fs, cfg.mel_fmin, cfg.mel_fmax,
+                                 cfg.mel_htk)
+        else:
+            f_disp = f
+        x = jnp.asarray(self.spec_data_source)
+
+        fast = t.size > 0
+        band = None
+        if fast:
+            try:
+                band = band_row_slice(f_disp, cfg.fmin, cfg.fmax)
+            except ValueError:
+                # empty band (reference early-return, PlotEngine.py:122-124)
+                # or a non-contiguous two-sided mask: legacy host path
+                fast = False
+
+        if fast:
+            # one jitted dispatch, one device->host transfer (the stacked
+            # display pair); the full PSD never crosses the link
+            prog = _plot_program(cfg, fs, band, global_max is not None)
+            psd, packed = prog(x, jnp.asarray(
+                global_max if global_max is not None else 0.0, jnp.float32))
+            self._store_psd_cache(cfg, fs, f, t, psd)
+            arr = np.asarray(packed)
+            sxx, img = arr[0], arr[1]
+            if band is not None:
+                f_disp = f_disp[band[0]:band[1]]
+            self.last_f, self.last_t, self.last_sxx = f_disp, t, sxx
+            self.last_image = img
+            if self.warm_detection:
+                self.detector.warmup(len(t), 2)
+            return SpectrogramResult(f_disp, t, sxx, img)
+
+        # legacy host-mask path: zero frames, an empty band, or a
+        # non-contiguous (two-sided fftfreq) mask
+        psd = power_spectrogram(x, fs, cfg)  # (T, F)
+        self._store_psd_cache(cfg, fs, f, t, psd)
+        if cfg.n_mels:
+            from spectral_tpu.core.mel import mel_filterbank
             fb = mel_filterbank(cfg.n_mels, psd.shape[-1], fs, cfg.mel_fmin,
                                 cfg.mel_fmax, cfg.mel_htk)
             psd = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype),
                              precision=jax.lax.Precision.HIGHEST)
-            # frequency axis becomes the mel filters' center frequencies
-            f = mel_centers(cfg.n_mels, fs, cfg.mel_fmin, cfg.mel_fmax,
-                            cfg.mel_htk)
+        f = f_disp  # mel centers when a mel stage ran, rfft bins otherwise
         sxx = np.asarray(psd).T  # freq-major
-        from spectral_tpu.core.stft import mask_band_rows
         if cfg.fmin is not None or cfg.fmax is not None:
             f, sxx = mask_band_rows(f, sxx, cfg.fmin, cfg.fmax)
         self.last_f, self.last_t, self.last_sxx = f, t, sxx
@@ -281,6 +341,18 @@ class AnalysisSession:
         if self.warm_detection:
             self.detector.warmup(len(t), 2)
         return SpectrogramResult(f, t, sxx, img)
+
+    def _store_psd_cache(self, cfg, fs, f, t, psd) -> None:
+        """Keep the pre-mask/pre-mel PSD device-resident for detection:
+        _features needs exactly this array (the reference recomputes the
+        spectrogram per detect, PlotEngine.py:232 — a redundant full STFT
+        dispatch). Capped so a pathological plot cannot pin unbounded HBM;
+        above the cap detection recomputes on device as before (cheaper
+        than round-tripping a huge PSD through host memory)."""
+        if psd.size <= 64 * 1024 * 1024:
+            self._psd_cache = (self.spec_data_source, cfg, fs, f, t, psd)
+        else:
+            self._psd_cache = None
 
     # ------------------------------------------------------------------
     # Detection (PlotEngine.py:244-473 flows via BurstDetector)

@@ -667,6 +667,30 @@ def spectrogram(x: Array, fs: float, cfg: SpecConfig,
     return f, t, sxx
 
 
+def band_row_slice(f: np.ndarray, fmin: Optional[float],
+                   fmax: Optional[float]) -> Optional[Tuple[int, int]]:
+    """Static (lo, hi) row slice of the reference's frequency mask
+    (PlotEngine.py:114-115) on a monotone frequency axis; None = no mask.
+    Raises on an empty band (a dataset export should refuse instead of
+    writing blank images; interactive callers that need the reference's
+    empty-band early-return check emptiness themselves first) and on a
+    non-contiguous mask (two-sided fftfreq ordering — use
+    :func:`mask_band_rows`' gather fallback there)."""
+    if fmin is None and fmax is None:
+        return None
+    lo = fmin if fmin is not None else -np.inf
+    hi = fmax if fmax is not None else np.inf
+    idx = np.where((f >= lo) & (f <= hi))[0]
+    if idx.size == 0:
+        raise ValueError(
+            f"the requested band [{fmin}, {fmax}] Hz contains no "
+            f"frequency rows (axis spans {f[0]:.6g}..{f[-1]:.6g} Hz)")
+    if idx.size != int(idx[-1]) - int(idx[0]) + 1:
+        raise ValueError("band mask is non-contiguous on this frequency "
+                         "axis (two-sided spectra are not supported here)")
+    return int(idx[0]), int(idx[-1]) + 1
+
+
 def mask_band_rows(f: np.ndarray, sxx, fmin: Optional[float],
                    fmax: Optional[float]):
     """Apply the reference's frequency row mask (PlotEngine.py:114-115) to a

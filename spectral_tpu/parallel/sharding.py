@@ -21,32 +21,12 @@ import numpy as np
 
 from spectral_tpu.config import SpecConfig
 from spectral_tpu.core.scale import normalize_batch
-from spectral_tpu.core.stft import power_spectrogram_fm, freq_axis
+from spectral_tpu.core.stft import (power_spectrogram_fm, freq_axis,
+                                    band_row_slice as _band_slice)
 from spectral_tpu.core.mel import mel_filterbank, mel_centers
 from spectral_tpu.ops.colormap import apply_colormap_packed
 
 Array = jax.Array
-
-
-def _band_slice(f: np.ndarray, fmin: Optional[float], fmax: Optional[float]
-                ) -> Optional[tuple]:
-    """Static (lo, hi) row slice of the reference's frequency mask
-    (PlotEngine.py:114-115) on a monotone frequency axis; None = full
-    band. Raises on an empty band (the reference renders nothing there;
-    a dataset export should refuse instead of writing blank images)."""
-    if fmin is None and fmax is None:
-        return None
-    lo = fmin if fmin is not None else -np.inf
-    hi = fmax if fmax is not None else np.inf
-    idx = np.where((f >= lo) & (f <= hi))[0]
-    if idx.size == 0:
-        raise ValueError(
-            f"the requested band [{fmin}, {fmax}] Hz contains no "
-            f"frequency rows (axis spans {f[0]:.6g}..{f[-1]:.6g} Hz)")
-    if idx.size != int(idx[-1]) - int(idx[0]) + 1:
-        raise ValueError("band mask is non-contiguous on this frequency "
-                         "axis (two-sided spectra are not supported here)")
-    return int(idx[0]), int(idx[-1]) + 1
 
 
 def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,

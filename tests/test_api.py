@@ -692,6 +692,10 @@ def test_detection_reuses_plot_psd(monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(sess_mod, "power_spectrogram", counting)
+    # the plot path runs through the cached fused program (_plot_program):
+    # power_spectrogram fires at TRACE time, so drop any program compiled
+    # by earlier tests to observe the one trace this plot triggers
+    sess_mod._plot_program.cache_clear()
     s.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
     assert calls["n"] == 1
     ev1 = s.unsupervised_detect()
@@ -853,3 +857,32 @@ def test_batch_export_name_collision_dedupes(tmp_path):
     assert "Exported 2" in msg
     pngs = [f for f in _os.listdir(str(tmp_path)) if f.endswith(".png")]
     assert len(pngs) == 2
+
+
+def test_plot_empty_band_early_return():
+    """A band with no frequency rows reproduces the reference's early
+    return (PlotEngine.py:122-124): empty last_t, no image — through the
+    session's legacy path (the fused plot program refuses empty bands)."""
+    s = _session_with_sweeps()
+    res = s.plot_sweeps(
+        ["rec_sweep0"],
+        SpecConfig.scipy_default(512, fmin=600.0, fmax=700.0),  # > Nyquist
+        ViewSettings())
+    assert res.t.size == 0 and s.last_t.size == 0
+    assert s.last_image is None
+    assert s.last_sxx.shape[0] == 0
+
+
+def test_plot_twosided_band_uses_gather_path():
+    """A two-sided spectrum's fmin/fmax mask is non-contiguous (fftfreq
+    ordering) — the session must fall back to the host gather mask and
+    produce rows matching the masked axis exactly."""
+    s = _session_with_sweeps()
+    cfg = SpecConfig(nperseg=256, onesided=False, fmin=-50.0, fmax=50.0,
+                     detrend="constant")
+    res = s.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+    full_f = np.fft.fftfreq(256, 1 / 1000.0)
+    n_rows = int(((full_f >= -50) & (full_f <= 50)).sum())
+    assert res.sxx.shape[0] == n_rows == res.f.shape[0]
+    assert res.image.shape == res.sxx.shape
+    assert float(res.image.max()) <= 1.0
