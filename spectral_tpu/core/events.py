@@ -42,17 +42,8 @@ EEG_BANDS: Dict[str, Tuple[float, float]] = {
 # Features (device)
 # ---------------------------------------------------------------------------
 
-def features_from_psd(f: np.ndarray, psd_tf: Array, fmin: float, fmax: float
-                      ) -> Array:
-    """HMM features from a frame-major PSD (..., T, F) -> (..., T, 2).
-
-    Mirrors PlotEngine.py:238-242: per-frame band power = sum of PSD rows in
-    [fmin, fmax]; feature 0 = log10(power + 1e-20); feature 1 = delta of
-    feature 0 with the first value prepended (np.diff(..., prepend=x[0])).
-    """
-    f = np.asarray(f)
-    mask = (f >= fmin) & (f <= fmax)
-    w = jnp.asarray(mask.astype(np.float32))
+@jax.jit
+def _features_core(psd_tf: Array, w: Array) -> Array:
     # HIGHEST: on TPU the default einsum precision rounds the operands to
     # bf16, costing ~4e-3 relative in the band sum — outside this module's
     # 2e-4 feature contract (and these reductions are never the hot path).
@@ -62,6 +53,23 @@ def features_from_psd(f: np.ndarray, psd_tf: Array, fmin: float, fmax: float
     delta = jnp.diff(log_power, axis=-1,
                      prepend=log_power[..., :1])
     return jnp.stack([log_power, delta], axis=-1)
+
+
+def features_from_psd(f: np.ndarray, psd_tf: Array, fmin: float, fmax: float
+                      ) -> Array:
+    """HMM features from a frame-major PSD (..., T, F) -> (..., T, 2).
+
+    Mirrors PlotEngine.py:238-242: per-frame band power = sum of PSD rows in
+    [fmin, fmax]; feature 0 = log10(power + 1e-20); feature 1 = delta of
+    feature 0 with the first value prepended (np.diff(..., prepend=x[0])).
+
+    The compute core is jitted (one dispatch instead of five eager ones —
+    this sits on the interactive detect path over tunneled deployments).
+    """
+    f = np.asarray(f)
+    mask = (f >= fmin) & (f <= fmax)
+    w = jnp.asarray(mask.astype(np.float32))
+    return _features_core(psd_tf, w)
 
 
 # ---------------------------------------------------------------------------
