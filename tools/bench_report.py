@@ -262,6 +262,35 @@ def main() -> int:
                 "irreducible round-trip cost, which is why detector AUTO "
                 "mode picks cpu for small T"}
 
+    # Interactive plot latency: the session's fused plot program (one
+    # jitted dispatch + one stacked D2H pull of the banded display pair;
+    # api/session._plot_program) at the reference GUI's exact interactive
+    # config — 60 s @ 1 kHz EEG clip, scipy-default 1024, fmin 0 / fmax 30
+    # (62 of 513 rows), log display. The reference pays ~14 ms scipy +
+    # ~360 ms pcolormesh for the same click (SURVEY.md §6).
+    from spectral_tpu.api.session import AnalysisSession
+    from spectral_tpu.io.registry import SweepEntry
+    sess = AnalysisSession(warm_detection=False)
+    rng_p = np.random.RandomState(7)
+    sess.registry.register("bench_sweep0", SweepEntry(
+        filepath="<bench>", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=rng_p.randn(60000).astype(np.float32), processed=None))
+    cfg_plot = SpecConfig.scipy_default(1024, fmin=0.0, fmax=30.0,
+                                        log_scale=True)
+    sess.plot_sweeps(["bench_sweep0"], cfg_plot)        # warm/compile
+    t_plot = []
+    for _ in range(5):
+        t0 = time.time()
+        r = sess.plot_sweeps(["bench_sweep0"], cfg_plot)
+        assert r.image is not None                      # host array: done
+        t_plot.append((time.time() - t0) * 1000)
+    S["interactive_plot_60s_eeg_warm"] = {
+        "ms": round(min(t_plot), 1),
+        "image_shape": list(r.image.shape),
+        "note": "warm plot->image wall time through AnalysisSession (one "
+                "fused dispatch + one stacked banded D2H); reference GUI "
+                "pays ~374 ms in scipy+pcolormesh for this click"}
+
     # Long-form streaming STFT (BASELINE config 4 / BASELINE.md row 3:
     # 1 h @ 48 kHz on the reference's exact scipy-default path, measured
     # 6.2 audio-h/min on CPU). Device-resident ScanStreamer: ONE dispatch
