@@ -6,8 +6,17 @@
 // encoder avoids Python-level overhead and lets callers trade compression
 // level for speed.
 //
-// Scanline filtering: filter 0 (None) for speed at low levels, per-row Sub
-// filter at higher levels (cheap and effective on smooth colormap images).
+// Scanline filtering + deflate strategy (measured on this host, 513x622
+// jet spectrograms, zlib 1.3):
+//   * palette indices: Z_RLE is BOTH ~2.4x faster and smaller than the
+//     default strategy at every level (3.4 ms / 78.3% vs 8.0 ms / 80.4%
+//     at level 1; default level 6 reaches only 79.1% at 9.8 ms) — run
+//     matches are exactly what colormap-index scanlines contain.
+//   * RGB/RGBA: the None filter beats the Sub filter on BOTH axes
+//     (default level 4: 42.0% None vs 61.1% Sub, and faster) — the jet
+//     LUT's nonlinear channel ramps break the linearity Sub exploits,
+//     while repeated colors match directly in the raw stream. Default
+//     strategy (RLE loses ratio here: 55.9%).
 
 #include <cstdint>
 #include <cstring>
@@ -15,6 +24,26 @@
 #include <zlib.h>
 
 namespace {
+
+// deflate `n` bytes with an explicit strategy (compress2 cannot set one).
+int deflate_buf(const uint8_t* src, size_t n, int level, int strategy,
+                std::vector<uint8_t>& out, uLongf* out_len) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, 15, 8, strategy) != Z_OK)
+    return -3;
+  out.resize(deflateBound(&zs, static_cast<uLong>(n)));
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  zs.next_out = out.data();
+  zs.avail_out = static_cast<uInt>(out.size());
+  int rc = deflate(&zs, Z_FINISH);
+  uLongf total = zs.total_out;
+  deflateEnd(&zs);
+  if (rc != Z_STREAM_END) return -3;
+  *out_len = total;
+  return 0;
+}
 
 inline void put_be32(std::vector<uint8_t>& out, uint32_t v) {
   out.push_back((v >> 24) & 0xFF);
@@ -42,7 +71,8 @@ extern "C" {
 // indices, palette is pal_entries x 3 RGB bytes. 1 byte/pixel in, typically
 // ~1/3 the compressed size of the RGB equivalent at identical colors —
 // the fast path for colormapped spectrogram export. Filter 0 only (palette
-// indices are not numerically smooth, so Sub rarely helps).
+// indices are not numerically smooth, so Sub rarely helps); Z_RLE deflate
+// strategy (faster AND smaller than default on index images — header note).
 // Returns bytes written, or -1 (bad args) / -2 (out too small) / -3 (zlib).
 long png_encode_pal(const uint8_t* pixels, int h, int w,
                     const uint8_t* palette, int pal_entries, int level,
@@ -63,10 +93,9 @@ long png_encode_pal(const uint8_t* pixels, int h, int w,
                 stride);
   }
 
-  uLongf comp_cap = compressBound(static_cast<uLong>(raw_len));
-  std::vector<uint8_t> comp(comp_cap);
-  if (compress2(comp.data(), &comp_cap, raw.data(),
-                static_cast<uLong>(raw_len), level) != Z_OK)
+  uLongf comp_cap = 0;
+  std::vector<uint8_t> comp;
+  if (deflate_buf(raw.data(), raw_len, level, Z_RLE, comp, &comp_cap) != 0)
     return -3;
 
   std::vector<uint8_t> png;
@@ -105,26 +134,21 @@ long png_encode(const uint8_t* pixels, int h, int w, int c, int level,
   const size_t raw_len = static_cast<size_t>(h) * (stride + 1);
   std::vector<uint8_t> raw(raw_len);
 
-  const bool use_sub = level >= 4;
+  // None filter at every level: on colormapped spectrograms it is both
+  // faster and markedly smaller than the Sub filter (header note) — the
+  // LUT's nonlinear channels defeat Sub while repeated colors match
+  // directly in the raw stream.
   for (int y = 0; y < h; ++y) {
     uint8_t* row_out = raw.data() + static_cast<size_t>(y) * (stride + 1);
     const uint8_t* row_in = pixels + static_cast<size_t>(y) * stride;
-    if (use_sub) {
-      row_out[0] = 1;  // Sub filter
-      for (size_t i = 0; i < stride; ++i) {
-        uint8_t left = (i >= static_cast<size_t>(c)) ? row_in[i - c] : 0;
-        row_out[1 + i] = static_cast<uint8_t>(row_in[i] - left);
-      }
-    } else {
-      row_out[0] = 0;  // None filter
-      std::memcpy(row_out + 1, row_in, stride);
-    }
+    row_out[0] = 0;  // None filter
+    std::memcpy(row_out + 1, row_in, stride);
   }
 
-  uLongf comp_cap = compressBound(static_cast<uLong>(raw_len));
-  std::vector<uint8_t> comp(comp_cap);
-  if (compress2(comp.data(), &comp_cap, raw.data(),
-                static_cast<uLong>(raw_len), level) != Z_OK)
+  uLongf comp_cap = 0;
+  std::vector<uint8_t> comp;
+  if (deflate_buf(raw.data(), raw_len, level, Z_DEFAULT_STRATEGY, comp,
+                  &comp_cap) != 0)
     return -3;
 
   std::vector<uint8_t> png;

@@ -147,9 +147,13 @@ def _encode_png_palette_pure(indices: np.ndarray, palette: np.ndarray,
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     raw = np.concatenate([np.zeros((h, 1), np.uint8), indices],
                          axis=1).tobytes()
+    # Z_RLE: measured both ~2.4x faster and smaller than the default
+    # strategy on colormap-index scanlines (native/png_encoder.cpp header)
+    co = zlib.compressobj(compress_level, zlib.DEFLATED, 15, 8, zlib.Z_RLE)
+    idat = co.compress(raw) + co.flush()
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"PLTE", palette.tobytes())
-            + chunk(b"IDAT", zlib.compress(raw, compress_level))
+            + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))
 
 
