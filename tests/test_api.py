@@ -886,3 +886,27 @@ def test_plot_twosided_band_uses_gather_path():
     assert res.sxx.shape[0] == n_rows == res.f.shape[0]
     assert res.image.shape == res.sxx.shape
     assert float(res.image.max()) <= 1.0
+
+
+def test_plot_fast_path_matches_legacy_host_path(monkeypatch):
+    """The fused plot program (device-side mask+normalize, one transfer)
+    must produce the same sxx/image/f as the legacy host-mask flow —
+    forced here by making band_row_slice refuse."""
+    import spectral_tpu.core.stft as stft_mod
+    cfg = SpecConfig.scipy_default(512, fmin=2.0, fmax=40.0, log_scale=True)
+
+    s1 = _session_with_sweeps()
+    r1 = s1.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+
+    def refuse(*a, **kw):
+        raise ValueError("forced legacy path")
+
+    monkeypatch.setattr(stft_mod, "band_row_slice", refuse)
+    s2 = _session_with_sweeps()
+    r2 = s2.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+
+    np.testing.assert_array_equal(r1.f, r2.f)
+    np.testing.assert_array_equal(r1.t, r2.t)
+    np.testing.assert_allclose(r1.sxx, r2.sxx, rtol=1e-6,
+                               atol=1e-9 * float(r2.sxx.max()))
+    np.testing.assert_allclose(r1.image, r2.image, rtol=1e-5, atol=1e-6)
