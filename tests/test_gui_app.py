@@ -366,3 +366,76 @@ def test_band_powers_refused_in_log_scale(win):
     win.band_powers()
     kinds = [c[0] for c in qt_stub.QMessageBox.calls]
     assert "information" in kinds
+
+
+def test_gui_random_walk(win):
+    """Seeded random action walk over the full widget wiring: the editing
+    gate, tree clicks, drag-draw/delete/merge, detection, learning,
+    reset, clear, band powers and settings churn must never raise past
+    the handlers (the reference wraps every action in try/except ->
+    QMessageBox), and the gate invariants must hold after every step."""
+    rng = np.random.RandomState(11)
+    win.chk_raw.setChecked(True)
+    win.combo_raw.setCurrentText("Both")
+    win.spin_nperseg.setValue(256)
+    plotted = False
+    for step in range(50):
+        act = rng.choice(
+            ["plot", "tree_click", "toggle_edit", "draw", "delete",
+             "merge", "detect", "learn", "refine", "reset", "clear",
+             "bands", "settings"])
+        if act == "plot":
+            win.plot_selected()
+            plotted = win.session.last_sxx is not None
+        elif act == "tree_click" and win.tree.topLevelItemCount():
+            i = rng.randint(win.tree.topLevelItemCount())
+            win.tree.itemClicked.emit(win.tree.topLevelItem(i), 0)
+            plotted = win.session.last_sxx is not None
+        elif act == "toggle_edit":
+            win.chk_edit.setChecked(not win.chk_edit.isChecked())
+        elif act == "draw" and plotted and win.chk_edit.isChecked():
+            a = float(rng.uniform(0, 50))
+            press = win.canvas.handlers.get("button_press_event")
+            release = win.canvas.handlers.get("button_release_event")
+            if press and release:
+                press(qt_stub._Event(a, 1))
+                release(qt_stub._Event(a + float(rng.uniform(0.5, 5)), 1))
+        elif act in ("delete", "merge") and win.chk_edit.isChecked() \
+                and win.session.rois:
+            roi = win.session.rois[rng.randint(len(win.session.rois))]
+            press = win.canvas.handlers.get("button_press_event")
+            move = win.canvas.handlers.get("motion_notify_event")
+            if press and move:
+                mid = 0.5 * (roi[0] + roi[1])
+                move(qt_stub._Event(mid, 1))     # hover first
+                qt_stub.QMenu.next_choice = act.capitalize()
+                press(qt_stub._Event(mid, 3))
+                qt_stub.QMenu.next_choice = None
+        elif act == "detect":
+            win.detect()
+        elif act == "learn":
+            win.learn()
+        elif act == "refine":
+            win.refine()
+        elif act == "reset":
+            win.reset_model()
+        elif act == "clear":
+            win.clear_all()
+            plotted = False
+        elif act == "bands":
+            win.band_powers()
+        elif act == "settings":
+            win.spin_nperseg.setValue(int(rng.choice([256, 512])))
+            win.chk_log.setChecked(bool(rng.randint(2)))
+        # gate invariant: learn/refine enabled iff editing is on AND at
+        # least one patch exists (controller.can_learn — a refinement of
+        # GUI.py:314-323, whose bare-toggle gate lets a patchless click
+        # through to an 'Action Required' message box instead)
+        want = (win.chk_edit.isChecked()
+                and bool(win.controller.roi_editor.patches()))
+        assert win.btn_learn.isEnabled() == want
+        assert win.btn_refine.isEnabled() == want
+        for a, b in win.session.rois:
+            assert a <= b
+        if win.session.last_image is not None:
+            assert float(win.session.last_image.max()) <= 1.0
