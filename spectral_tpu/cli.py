@@ -365,6 +365,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--decorated", action="store_true",
                    help="full figure with axes/colorbar/labels (matplotlib) "
                         "instead of the raw pixel image")
+    p.add_argument("--transparent", action="store_true",
+                   help="with --decorated: transparent background, legends "
+                        "stripped (the reference's PNG export mode, "
+                        "ExportManager.py:92-111)")
     p.add_argument("--dpi", type=int, default=150)
     _add_spec_args(p)
 
@@ -497,9 +501,13 @@ def _dispatch(args) -> int:
         if args.decorated:
             from spectral_tpu.render.figure import render_session_figure
             render_session_figure(s, path=args.out, dpi=args.dpi,
-                                  colormap=args.cmap)
+                                  colormap=args.cmap,
+                                  transparent=args.transparent)
             print(f"Successfully exported decorated figure to {args.out}")
             return 0
+        if args.transparent:
+            sys.exit("error: --transparent requires --decorated (the raw "
+                     "pixel image has no background to make transparent)")
         return _status(s.export_png(args.out, colormap=args.cmap))
 
     if args.cmd == "detect":

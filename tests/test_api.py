@@ -430,6 +430,17 @@ def test_cli_decorated_and_mel_render(tmp_path):
                  "--nperseg", "512", "--hop", "128", "--log"]) == 0
     assert decode_png(mel).shape[0] == 24
 
+    # the reference's transparent export mode (ExportManager.py:92-111)
+    trans = str(tmp_path / "trans.png")
+    assert main(["render", wav_path, "-o", trans, "--decorated",
+                 "--transparent", "--nperseg", "512", "--dpi", "72"]) == 0
+    rgba = decode_png(trans)
+    assert rgba.shape[-1] == 4 and (rgba[..., 3] == 0).any()  # alpha used
+    # without --decorated the flag refuses (raw pixels have no background)
+    with pytest.raises(SystemExit):
+        main(["render", wav_path, "-o", trans, "--transparent",
+              "--nperseg", "512"])
+
 
 def test_cli_doctor(capsys):
     from spectral_tpu.cli import main
