@@ -358,8 +358,14 @@ def build_window():
                     self.status.setText("Nothing to plot "
                                         "(no signal source selected)")
                 else:
-                    self.status.setText(f"Plotted {len(names)} sweep(s); "
-                                        f"total power {power:.3g}")
+                    # the reference's exact status strings (GUI.py:440-453)
+                    if view.combine:
+                        text = f"Plotted concatenated {len(names)} sweeps."
+                    else:
+                        text = ("Plotted single sweep: "
+                                f"{os.path.basename(names[0])}")
+                    self.status.setText(f"{text} | Total Power: "
+                                        f"{power:.6f}")
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Plot error", str(e))
 

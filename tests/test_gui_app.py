@@ -74,8 +74,8 @@ def test_settings_roundtrip_and_write_through(win):
 
 def test_plot_detect_and_status(win):
     _plot(win)
-    assert "Plotted 1 sweep(s)" in win.status.text()
-    assert "total power" in win.status.text()
+    assert "Plotted single sweep: " in win.status.text()
+    assert "Total Power:" in win.status.text()
     win.detect()
     assert "bursts detected" in win.status.text()
     assert len(win.session.last_detected_events) >= 2
@@ -336,7 +336,7 @@ def test_tree_item_click_plots_single_and_unchecks_combine(win):
     win.tree.itemClicked.emit(item1, 0)
     assert win.chk_combine.isChecked() is False
     assert win.tree.selectedItems() == [item1]
-    assert "Plotted 1 sweep(s)" in win.status.text()
+    assert "Plotted single sweep: " in win.status.text()
     # the plotted sweep is the clicked one (sweep1 is 30 s long)
     assert len(win.session.signal_raw) == int(FS * 60) // 2
 
