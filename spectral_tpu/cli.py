@@ -587,31 +587,33 @@ def _dispatch(args) -> int:
             sys.exit("error: -o/--out is required unless --bands is given")
         streamer = scan_spectrogram if args.scan else stream_spectrogram
         psd = streamer(np.asarray(sig, np.float32), fs, cfg, chunk)
-        # --fmin/--fmax are honored like in render (the streamers compute
-        # the full band; the mask is a display/output concern)
+        # --fmin/--fmax are honored like in render, but the mask (and for
+        # PNG output the normalize/colormap too) runs ON DEVICE so only
+        # the rows being written cross the link — a 1 h @ 48 kHz full-band
+        # PSD is ~1.4 GB, the 0-30 Hz EEG band ~1/8 of that, and the old
+        # flow additionally re-uploaded the host-masked PSD to normalize
+        import jax.numpy as jnp
         f_ax = freq_axis(cfg, fs)
-        psd_np = np.asarray(psd)                       # (T, F)
+        sxx_d = jnp.swapaxes(psd, -1, -2)              # freq-major, device
         if cfg.fmin is not None or cfg.fmax is not None:
             from spectral_tpu.core.stft import mask_band_rows
-            f_ax, sxx_m = mask_band_rows(f_ax, psd_np.T, cfg.fmin, cfg.fmax)
-            psd_np = np.ascontiguousarray(sxx_m.T)
+            f_ax, sxx_d = mask_band_rows(f_ax, sxx_d, cfg.fmin, cfg.fmax)
             if f_ax.size == 0:
                 sys.exit("error: the requested --fmin/--fmax band contains "
                          "no frequency rows at this sampling rate")
         if args.out.endswith(".npz"):
+            psd_np = np.ascontiguousarray(np.asarray(sxx_d).T)   # (T, Fb)
             np.savez(args.out, psd=psd_np, f=f_ax,
                      t=time_axis(cfg, fs, len(sig)), fs=fs)
             print(f"Wrote PSD {psd_np.shape} to {args.out}")
         else:
-            import jax.numpy as jnp
             from spectral_tpu.core.scale import normalize
             from spectral_tpu.ops.colormap import (apply_colormap_packed,
                                                    unpack_rgba)
             from spectral_tpu.render.png import encode_png
             # --log is honored like everywhere else (it used to be
             # silently forced on for the image output)
-            img = normalize(jnp.asarray(psd_np.T),
-                            log_scale=cfg.log_scale)
+            img = normalize(sxx_d, log_scale=cfg.log_scale)
             packed = apply_colormap_packed(img, flip_rows=True)
             encode_png(unpack_rgba(np.asarray(packed)), path=args.out,
                        compress_level=4)
