@@ -7,6 +7,7 @@ headless operation is a new capability. Subcommands mirror the app's actions:
   detect      file -> burst events (unsupervised), optional CSV
   learn       file + ROI list -> refined detection, optional CSV
   bands       file -> EEG band powers
+  grid        parameter-sweep grid -> one .npz of PSDs per combo
   stream      long recording -> streamed PSD / dB image / band powers
   export-specs  WAV dataset -> spectrogram PNGs (overlapped pipeline)
   export-batch  files -> per-sweep waveform PNGs
@@ -399,6 +400,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="fixed x-window like the reference's 0-300 s "
                         "(ExportManager.py:178); 0 sizes to each signal")
 
+    p = sub.add_parser("grid", help="parameter-sweep grid: PSDs for every "
+                                    "n_fft x window combo in ONE batched "
+                                    "dispatch per shape group")
+    p.add_argument("file")
+    p.add_argument("-o", "--out", required=True, help="output .npz")
+    p.add_argument("--n-ffts", default="256,1024,2048,4096",
+                   help="comma-separated n_fft list (hop = n_fft/4)")
+    p.add_argument("--windows", default="hann,hamming,tukey,blackman",
+                   help="comma-separated window names")
+    p.add_argument("--clip-seconds", type=float, default=0.0,
+                   help="analyze only the first N seconds (0 = all)")
+    p.add_argument("--channel", type=int, default=0)
+
     p = sub.add_parser("stream", help="chunked STFT for long recordings "
                                       "(bounded device memory)")
     p.add_argument("file")
@@ -545,6 +559,50 @@ def _dispatch(args) -> int:
         bp = s.calculate_band_powers()
         print(json.dumps({k: round(v, 6) for k, v in bp.items()},
                          ensure_ascii=False, indent=2))
+        return 0
+
+    if args.cmd == "grid":
+        from spectral_tpu.config import SpecConfig
+        from spectral_tpu.core.stft import freq_axis, time_axis
+        from spectral_tpu.io.registry import SweepRegistry
+        from spectral_tpu.parallel.sweep_grid import sweep_grid
+        import jax.numpy as jnp
+        r = SweepRegistry()
+        try:
+            names = r.load_file(args.file)
+        except FileNotFoundError:
+            sys.exit(f"error: file not found: {args.file}")
+        if not 0 <= args.channel < len(names):
+            sys.exit(f"error: --channel {args.channel} out of range "
+                     f"(file has {len(names)} sweep(s))")
+        sig, fs = r.get_signal(names[args.channel], processed=True)
+        x = np.asarray(sig, np.float32)
+        if args.clip_seconds > 0:
+            x = x[:int(args.clip_seconds * fs)]
+        try:
+            n_ffts = [int(v) for v in args.n_ffts.split(",") if v]
+            windows = [w.strip() for w in args.windows.split(",") if w]
+            configs = [SpecConfig(nperseg=n, hop=max(1, n // 4), window=w,
+                                  detrend="none")
+                       for n in n_ffts for w in windows]
+        except ValueError as e:
+            sys.exit(f"error: bad grid spec: {e}")
+        if any(n > len(x) for n in n_ffts):
+            sys.exit(f"error: n_fft larger than the signal "
+                     f"({len(x)} samples)")
+        psds = sweep_grid(jnp.asarray(x), fs, configs)
+        payload = {}
+        for cfg_i, psd in zip(configs, psds):
+            w = cfg_i.window if isinstance(cfg_i.window, str) \
+                else cfg_i.window[0]
+            key = f"psd_{cfg_i.nperseg}_{w}"
+            payload[key] = np.asarray(psd).T            # freq-major
+            payload[f"f_{cfg_i.nperseg}"] = freq_axis(cfg_i, fs)
+            payload[f"t_{cfg_i.nperseg}"] = time_axis(cfg_i, fs, len(x))
+        np.savez(args.out, fs=fs, **payload)
+        print(f"Wrote {len(configs)}-combo grid "
+              f"({len(n_ffts)} n_fft x {len(windows)} windows) to "
+              f"{args.out}")
         return 0
 
     if args.cmd == "stream":

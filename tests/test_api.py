@@ -921,3 +921,32 @@ def test_plot_fast_path_matches_legacy_host_path(monkeypatch):
     np.testing.assert_allclose(r1.sxx, r2.sxx, rtol=1e-6,
                                atol=1e-9 * float(r2.sxx.max()))
     np.testing.assert_allclose(r1.image, r2.image, rtol=1e-5, atol=1e-6)
+
+
+def test_cli_grid(tmp_path):
+    """`grid` computes the sweep grid in batched dispatches and writes one
+    npz; each combo's PSD must equal the single-config computation."""
+    from spectral_tpu.cli import main
+    from spectral_tpu.core.stft import power_spectrogram
+    fs = 1000.0
+    wav_path = str(tmp_path / "g.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=10.0) * 0.5, fs)
+    out = str(tmp_path / "grid.npz")
+    assert main(["grid", wav_path, "-o", out,
+                 "--n-ffts", "256,512", "--windows", "hann,hamming"]) == 0
+    z = np.load(out)
+    keys = sorted(k for k in z.files if k.startswith("psd_"))
+    assert keys == ["psd_256_hamming", "psd_256_hann",
+                    "psd_512_hamming", "psd_512_hann"]
+    from spectral_tpu.io.wav import read_wav
+    x, _ = read_wav(wav_path)
+    ref = np.asarray(power_spectrogram(
+        jnp.asarray(x, jnp.float32), fs,
+        SpecConfig(nperseg=512, hop=128, window="hamming",
+                   detrend="none"))).T
+    np.testing.assert_allclose(z["psd_512_hamming"], ref, rtol=2e-5,
+                               atol=1e-9 * ref.max())
+    assert z["f_512"].shape[0] == ref.shape[0]
+    # oversize n_fft refuses cleanly
+    with pytest.raises(SystemExit):
+        main(["grid", wav_path, "-o", out, "--n-ffts", "65536"])
