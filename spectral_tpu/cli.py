@@ -587,6 +587,9 @@ def _dispatch(args) -> int:
                        for n in n_ffts for w in windows]
         except ValueError as e:
             sys.exit(f"error: bad grid spec: {e}")
+        if not configs:
+            sys.exit("error: empty grid (need at least one n_fft and one "
+                     "window)")
         if any(n > len(x) for n in n_ffts):
             sys.exit(f"error: n_fft larger than the signal "
                      f"({len(x)} samples)")

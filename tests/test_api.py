@@ -950,3 +950,8 @@ def test_cli_grid(tmp_path):
     # oversize n_fft refuses cleanly
     with pytest.raises(SystemExit):
         main(["grid", wav_path, "-o", out, "--n-ffts", "65536"])
+    # an empty grid refuses instead of writing a payload-free npz
+    with pytest.raises(SystemExit):
+        main(["grid", wav_path, "-o", out, "--n-ffts", ","])
+    with pytest.raises(SystemExit):
+        main(["grid", wav_path, "-o", out, "--windows", ","])
