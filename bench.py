@@ -26,7 +26,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_AUDIO_H_PER_MIN = 17.9
 
 
+def _preflight_backend() -> None:
+    """Probe accelerator init in a subprocess; fall back to CPU if the
+    tunnel is down.
+
+    The axon tunnel can go fully DOWN (observed 2026-08-17/18): backend
+    init blocks 25-50 min and then raises UNAVAILABLE. Without this guard
+    the driver's round-end bench run records a crash instead of a number.
+    The probe runs in a SUBPROCESS so a hung init can be killed at the
+    timeout without poisoning this process's backend state; on failure the
+    bench runs on CPU and says so in the metric string (an honest small
+    number beats no artifact). BENCH_INIT_TIMEOUT (s, default 900) bounds
+    each attempt; BENCH_INIT_RETRIES (default 1) adds retries; 0 disables
+    the preflight entirely (trust the default backend)."""
+    import subprocess
+    timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "900"))
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "1"))
+    if timeout <= 0:
+        return
+    for attempt in range(1 + retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=timeout, capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+            err = (r.stderr or "").strip().splitlines()
+            print(f"bench preflight: backend init failed "
+                  f"(attempt {attempt + 1}): "
+                  f"{err[-1] if err else 'unknown'}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench preflight: backend init exceeded {timeout:.0f}s "
+                  f"(attempt {attempt + 1})", file=sys.stderr)
+    print("bench preflight: accelerator unavailable — falling back to CPU",
+          file=sys.stderr)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> int:
+    _preflight_backend()
     import numpy as np
     import jax
     import jax.numpy as jnp
