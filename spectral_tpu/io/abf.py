@@ -132,6 +132,13 @@ class AbfInfo:
         self.adc_resolution = proto["lADCResolution"]
 
         adc_block, adc_size, adc_count = self._section(1)
+        # the section count is untrusted int64: a corrupt value with
+        # adc_size=0 would spin the per-channel loop ~2^62 times without
+        # ever reading out of bounds (hang, not a clean error). Real ABF
+        # hardware tops out at 16 ADC channels; 256 is generous.
+        if not 0 <= adc_count <= 256:
+            raise ValueError(
+                f"implausible ABF2 ADC channel count {adc_count}")
         self.n_channels = max(1, int(adc_count))
         self.channel_scale = []
         self.channel_offset = []
@@ -154,10 +161,16 @@ class AbfInfo:
             raise ValueError(f"unsupported ABF2 data entry size {data_size}")
         dtype = "<i2" if data_size == 2 else "<f4"
         start = data_block * BLOCK
+        if data_count < 0:
+            # np.frombuffer treats -1 as "read everything": a corrupt
+            # negative count must reject, not silently read past the
+            # declared section
+            raise ValueError(f"negative ABF2 data count {data_count}")
         self._data = np.frombuffer(buf, dtype, count=int(data_count),
                                    offset=start)
         # int16 files always declare format 0; trust the section entry size
         self.data_is_int = data_size == 2
+        self._check_sweep_count()
 
     # -- ABF1 ---------------------------------------------------------------
 
@@ -209,10 +222,27 @@ class AbfInfo:
             self.channel_offset.append(inst_off - sig_off)
         dtype = "<i2" if self.data_format == 0 else "<f4"
         itemsize = 2 if self.data_format == 0 else 4
+        if acq_len < 0:
+            # np.frombuffer(count=-1) reads to the end of the buffer — a
+            # corrupt negative length must reject, not read past the header
+            raise ValueError(f"negative ABF1 acquisition length {acq_len}")
         self._data = np.frombuffer(
             buf, dtype, count=acq_len,
             offset=data_ptr * BLOCK + points_ignored * itemsize)
         self.data_is_int = self.data_format == 0
+        self._check_sweep_count()
+
+    def _check_sweep_count(self) -> None:
+        """Reject a declared episode count no real file can have: a sweep
+        is at least one sample, so more sweeps than data samples means a
+        corrupt header — and load_abf registers one entry PER declared
+        sweep, so an unchecked 32-bit count (up to ~4.3e9) turns one
+        corrupt file into an effective hang/OOM at the untrusted-input
+        boundary."""
+        if self.n_sweeps > max(1, len(self._data)):
+            raise ValueError(
+                f"declared sweep count {self.n_sweeps} exceeds the "
+                f"{len(self._data)}-sample data section")
 
     # -- public -------------------------------------------------------------
 

@@ -395,3 +395,87 @@ def test_npz_mismatched_sweep_counts_raise(tmp_path):
     with pytest.raises(ValueError, match="sweep counts must match"):
         r.load_file(p)
     assert not r.names()        # nothing partially registered
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-input robustness (the untrusted-file boundary must reject with
+# ValueError — never hang, over-allocate, or leak parser internals)
+# ---------------------------------------------------------------------------
+
+def _valid_abf2_blob():
+    return _abf2_bytes(np.array([[100, -200, 300, -400]] * 2))
+
+
+def test_abf2_implausible_adc_count_rejects(tmp_path):
+    """A corrupt 64-bit ADCSection count with entry size 0 would spin the
+    per-channel loop ~2^40 times without ever reading out of bounds (a
+    hang, not an error) — the parser must bound it."""
+    blob = bytearray(_valid_abf2_blob())
+    struct.pack_into("<IIq", blob, 76 + 16 * 1, 1, 0, 1 << 40)
+    p = tmp_path / "huge_adc.abf"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="channel count"):
+        AbfInfo(str(p))
+
+
+def test_abf2_huge_sweep_count_rejects(tmp_path):
+    """uActualEpisodes is an untrusted uint32: load_abf registers one
+    entry per declared sweep, so ~4.3e9 from a corrupt header is an
+    effective hang/OOM unless the parser sanity-checks it against the
+    data section."""
+    blob = bytearray(_valid_abf2_blob())
+    struct.pack_into("<I", blob, 12, 0xFFFFFFFF)
+    p = tmp_path / "huge_sweeps.abf"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="sweep count"):
+        AbfInfo(str(p))
+
+
+def test_abf2_negative_data_count_rejects(tmp_path):
+    """np.frombuffer(count=-1) silently reads to the end of the buffer."""
+    blob = bytearray(_valid_abf2_blob())
+    block, size, _ = struct.unpack_from("<IIq", blob, 76 + 16 * 10)
+    struct.pack_into("<IIq", blob, 76 + 16 * 10, block, size, -1)
+    p = tmp_path / "neg_count.abf"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="negative ABF2 data count"):
+        AbfInfo(str(p))
+
+
+def test_abf1_negative_acq_len_rejects(tmp_path):
+    blob = bytearray(_abf1_bytes(np.array([100, -100, 200], "<i2")))
+    struct.pack_into("<i", blob, 10, -1)     # lActualAcqLength
+    p = tmp_path / "neg_acq.abf"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="negative ABF1 acquisition"):
+        AbfInfo(str(p))
+
+
+@pytest.mark.parametrize("builder", ["abf2", "abf1"])
+def test_abf_byteflip_fuzz(tmp_path, builder):
+    """Deterministic byte-flip fuzz over valid ABF blobs: every corrupted
+    variant must either load or raise ValueError — no other exception
+    type (the module wraps parser internals), no hang, nothing partially
+    registered on failure."""
+    from spectral_tpu.io.registry import SweepRegistry
+    from spectral_tpu.io.abf import load_abf
+    if builder == "abf2":
+        base = _valid_abf2_blob()
+    else:
+        base = _abf1_bytes(np.array([[120, -340, 560, -780]], "<i2").ravel())
+    rng = np.random.RandomState(1234)
+    p = tmp_path / "fuzz.abf"
+    for trial in range(150):
+        blob = bytearray(base)
+        for _ in range(int(rng.randint(1, 9))):
+            pos = int(rng.randint(0, len(blob)))
+            blob[pos] = int(rng.randint(0, 256))
+        blob[0:4] = base[0:4]  # keep the signature: exercise the parser,
+        #                        not the (already tested) signature gate
+        p.write_bytes(bytes(blob))
+        r = SweepRegistry()
+        try:
+            names = load_abf(str(p), r)
+            assert len(names) == len(r.names())
+        except ValueError:
+            pass  # the contract: corrupt input rejects with ValueError
