@@ -70,9 +70,17 @@ def _fs_from_nix_dims(sig_group) -> Optional[float]:
             continue
         unit = _to_str(d.attrs.get("unit", "s")) or "s"
         scale = _TIME_UNIT_S.get(unit)
-        if scale is None or float(si) == 0:
+        # a corrupt interval (0, negative, NaN/Inf, non-numeric) means the
+        # rate is unknowable: treat like missing fs (sweep skipped,
+        # :130-132 semantics) rather than registering a rate that divides
+        # to ZeroDivisionError/NaN downstream. NaN fails the > 0 compare.
+        try:
+            si_f = float(np.asarray(si).reshape(-1)[0])
+        except (TypeError, ValueError):
             return None
-        return 1.0 / (float(si) * scale)
+        if scale is None or not si_f > 0 or not np.isfinite(si_f):
+            return None
+        return 1.0 / (si_f * scale)
     return None
 
 
@@ -128,9 +136,12 @@ def _collect_generic_segments(f) -> List[List[Tuple[str, np.ndarray, Optional[fl
             for key in ("fs", "sampling_rate", "sample_rate"):
                 if key in obj.attrs:
                     try:
-                        return float(np.asarray(obj.attrs[key]).reshape(-1)[0])
+                        v = float(np.asarray(obj.attrs[key]).reshape(-1)[0])
                     except (TypeError, ValueError):
-                        pass
+                        continue
+                    # 0/negative/NaN/Inf = unknowable rate -> missing-fs
+                    # skip semantics (the NaN compare is False)
+                    return v if (v > 0 and np.isfinite(v)) else None
         return None
 
     def visit(name, obj):

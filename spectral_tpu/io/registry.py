@@ -124,6 +124,18 @@ class SweepRegistry:
     # -- registry API -------------------------------------------------------
 
     def register(self, name: str, entry: SweepEntry) -> None:
+        # backstop for every loader: a non-positive/non-finite rate from a
+        # corrupt file would otherwise surface as a bare ZeroDivisionError
+        # (1/fs in freq_axis/time_axis) or NaN axes far from the input
+        # boundary. fs_raw=None is legal (missing raw stream); 0 is not.
+        for label, v, optional in (("fs", entry.fs, False),
+                                   ("fs_raw", entry.fs_raw, True)):
+            if v is None and optional:
+                continue
+            if v is None or not (v > 0 and np.isfinite(v)):
+                raise ValueError(
+                    f"cannot register {name!r}: {label}={v!r} is not a "
+                    f"positive finite sampling rate")
         self.data[name] = entry
 
     def names(self) -> List[str]:

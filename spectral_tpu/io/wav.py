@@ -97,6 +97,11 @@ def _read_riff(filepath: str) -> Tuple[int, int, float, int, bytes]:
         raise ValueError(f"{filepath}: fmt chunk too short ({len(fmt)} bytes)")
     (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
         "<HHIIHH", fmt[:16])
+    if fs == 0:
+        # a zero sampling rate from a corrupt header must reject here:
+        # downstream 1/fs (freq_axis, time_axis) raises a bare
+        # ZeroDivisionError far from the untrusted-input boundary
+        raise ValueError(f"{filepath}: invalid sampling rate 0")
     if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_fmt = struct.unpack("<H", fmt[24:26])[0]
     return audio_fmt, n_ch, float(fs), bits, data
@@ -131,6 +136,8 @@ def wav_info(filepath: str) -> Tuple[int, int, float, int]:
         raise ValueError(f"{filepath}: fmt chunk too short ({len(fmt)} bytes)")
     (audio_fmt, n_ch, fs, _brate, _balign, bits) = struct.unpack(
         "<HHIIHH", fmt[:16])
+    if fs == 0:
+        raise ValueError(f"{filepath}: invalid sampling rate 0")
     if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_fmt = struct.unpack("<H", fmt[24:26])[0]
     return audio_fmt, n_ch, float(fs), bits

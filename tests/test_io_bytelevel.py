@@ -479,3 +479,55 @@ def test_abf_byteflip_fuzz(tmp_path, builder):
             assert len(names) == len(r.names())
         except ValueError:
             pass  # the contract: corrupt input rejects with ValueError
+
+
+def test_wav_zero_fs_rejects(tmp_path):
+    """A corrupt fmt chunk declaring fs=0 must reject at the loader, not
+    surface as a bare ZeroDivisionError from 1/fs in freq_axis."""
+    from spectral_tpu.io.wav import read_wav, wav_info, write_wav
+    p = str(tmp_path / "z.wav")
+    write_wav(p, np.zeros(64, np.float32), 1000.0)
+    blob = bytearray(open(p, "rb").read())
+    struct.pack_into("<I", blob, 12 + 8 + 4, 0)     # fmt.nSamplesPerSec
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="sampling rate"):
+        read_wav(p)
+    with pytest.raises(ValueError, match="sampling rate"):
+        wav_info(p)
+
+
+def test_nix_invalid_fs_attr_skips_sweep(tmp_path):
+    """0/negative/NaN fs attrs mean the rate is unknowable: the sweep is
+    skipped like the missing-fs case (reference :130-132 semantics)."""
+    h5py = pytest.importorskip("h5py")
+    from spectral_tpu.io.nix import load_nix_h5
+    from spectral_tpu.io.registry import SweepRegistry
+    p = str(tmp_path / "g.h5")
+    with h5py.File(p, "w") as f:
+        # one group per dataset: each is its own segment/sweep in the
+        # generic fallback (grouping is by parent path)
+        for name, fs in (("a", 0.0), ("b", -5.0), ("c", np.nan),
+                         ("d", 250.0)):
+            d = f.create_group(f"g_{name}").create_dataset(
+                name, data=np.arange(8, dtype=np.float32))
+            d.attrs["fs"] = fs
+    r = SweepRegistry()
+    names = load_nix_h5(p, r)
+    assert len(names) == 1                      # only the valid-fs dataset
+    assert r.get_signal(names[0])[1] == 250.0
+
+
+def test_registry_rejects_invalid_fs():
+    """The register() backstop covers every loader and register_combined."""
+    from spectral_tpu.io.registry import SweepEntry, SweepRegistry
+    r = SweepRegistry()
+    for bad in (0.0, -1.0, float("nan"), float("inf"), None):
+        with pytest.raises(ValueError, match="sampling rate"):
+            r.register("x", SweepEntry(filepath="f", sweep_idx=0, fs=bad,
+                                       fs_raw=None, raw=np.zeros(4),
+                                       processed=None))
+    with pytest.raises(ValueError, match="fs_raw"):
+        r.register("x", SweepEntry(filepath="f", sweep_idx=0, fs=100.0,
+                                   fs_raw=0.0, raw=np.zeros(4),
+                                   processed=None))
+    assert not r.names()
