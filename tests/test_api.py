@@ -955,3 +955,54 @@ def test_cli_grid(tmp_path):
         main(["grid", wav_path, "-o", out, "--n-ffts", ","])
     with pytest.raises(SystemExit):
         main(["grid", wav_path, "-o", out, "--windows", ","])
+
+
+def test_cli_serve_protocol_fuzz(tmp_path):
+    """Protocol fuzz: every input line — malformed JSON, wrong types,
+    hostile field values, binary junk — gets exactly one JSON response
+    and never kills the worker. Strict parsers must be able to read every
+    response (no NaN/Inf literals)."""
+    import io
+    import json
+    from spectral_tpu.cli import _serve
+    fs = 1000.0
+    wav_path = str(tmp_path / "f.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=20.0) * 0.5, fs)
+    rng = np.random.RandomState(7)
+    lines = [
+        "{not json",
+        "[1, 2, 3]",                                  # JSON but not an object
+        '"just a string"',
+        "null",
+        '{"cmd": 42}',
+        '{"cmd": "render"}',                          # missing files/out
+        '{"cmd": "render", "files": 17, "out": "x.png"}',
+        f'{{"cmd": "render", "files": ["{wav_path}"]}}',   # missing out
+        f'{{"cmd": "detect", "files": ["{wav_path}"], '
+        '"config": {"nperseg": -4}}',
+        f'{{"cmd": "detect", "files": ["{wav_path}"], '
+        '"config": {"bogus_field": 1}}',
+        f'{{"cmd": "learn", "files": ["{wav_path}"], "rois": "zzz"}}',
+        f'{{"cmd": "learn", "files": ["{wav_path}"], "rois": [[1]]}}',
+        f'{{"cmd": "render_batch", "files": [], "out_dir": '
+        f'"{tmp_path}/d"}}',
+        '{"cmd": "bands", "files": []}',
+    ]
+    # random printable junk lines (deterministic)
+    for _ in range(20):
+        n = int(rng.randint(1, 60))
+        lines.append("".join(chr(rng.randint(0x20, 0x7F)) for _ in range(n)))
+    lines.append('{"cmd": "shutdown"}')
+    stdin = io.StringIO("\n".join(lines) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout) == 0
+    out_lines = stdout.getvalue().splitlines()
+    # exactly one response per non-empty input line
+    assert len(out_lines) == len(lines)
+    for ln in out_lines:
+        resp = json.loads(ln, parse_constant=lambda s: (_ for _ in ()).throw(
+            ValueError(f"non-strict JSON literal {s!r} in response")))
+        assert isinstance(resp, dict) and "ok" in resp
+    assert json.loads(out_lines[-1]) == {"ok": True, "bye": True}
+    # everything before shutdown was an error response, not a crash
+    assert all(not json.loads(l)["ok"] for l in out_lines[:-1])
