@@ -35,6 +35,28 @@ def carry_len(cfg: SpecConfig) -> int:
     return (math.ceil(cfg.nperseg / h) - 1) * h
 
 
+def _validate_chunking(cfg: SpecConfig, size: int, what: str) -> None:
+    """Shared entry contract of every streaming driver.
+
+    Off-hop-grid sizes would silently produce a frame grid misaligned with
+    the monolithic computation (steps would jump by size % hop). Mel
+    configs are refused rather than silently ignored: the streamers emit
+    the linear-frequency PSD (mel is a display/pipeline projection — fold
+    it over the streamed PSD, or use the export pipeline), and a caller
+    who set n_mels would otherwise get full linear rows back with no
+    warning."""
+    h = cfg.hop_
+    if size % h != 0:
+        raise ValueError(f"{what} must be a multiple of hop={h}")
+    if size < cfg.nperseg:
+        raise ValueError(f"{what} must be >= nperseg")
+    if cfg.n_mels:
+        raise ValueError(
+            "streaming drivers emit the linear-frequency PSD and ignore "
+            "n_mels; project to mel in a fold over the streamed PSD (or "
+            "use the export pipeline) instead of a mel config")
+
+
 class StreamingSTFT:
     """Stateful chunked STFT. Feed equal-sized chunks (multiple of hop);
     receive (frames, valid_mask, first_abs_frame_index) per chunk."""
@@ -42,10 +64,7 @@ class StreamingSTFT:
     def __init__(self, fs: float, cfg: SpecConfig, chunk_size: int,
                  use_matmul: Optional[bool] = None):
         h = cfg.hop_
-        if chunk_size % h != 0:
-            raise ValueError(f"chunk_size must be a multiple of hop={h}")
-        if chunk_size < cfg.nperseg:
-            raise ValueError("chunk_size must be >= nperseg")
+        _validate_chunking(cfg, chunk_size, "chunk_size")
         self.cfg = cfg
         self.fs = fs
         self.chunk_size = chunk_size
@@ -113,10 +132,7 @@ class BlockStreamingSTFT:
                  chunks_per_block: int = 32,
                  use_matmul: Optional[bool] = None):
         h = cfg.hop_
-        if chunk_size % h != 0:
-            raise ValueError(f"chunk_size must be a multiple of hop={h}")
-        if chunk_size < cfg.nperseg:
-            raise ValueError("chunk_size must be >= nperseg")
+        _validate_chunking(cfg, chunk_size, "chunk_size")
         if chunks_per_block < 1:
             raise ValueError("chunks_per_block must be >= 1")
         self.cfg = cfg
@@ -218,13 +234,7 @@ class ScanStreamer:
                  use_matmul: Optional[bool], fold, init, batch: int = 0):
         import dataclasses
         h = cfg.hop_
-        # same contract the chunked siblings enforce: a block size off the
-        # hop grid would silently produce a frame grid misaligned with the
-        # monolithic computation (blocks would jump by block_size % hop)
-        if block_size % h != 0:
-            raise ValueError(f"block_size must be a multiple of hop={h}")
-        if block_size < cfg.nperseg:
-            raise ValueError("block_size must be >= nperseg")
+        _validate_chunking(cfg, block_size, "block_size")
         c = carry_len(cfg)
         self.total_frames = num_frames(n, cfg.nperseg, h)
         self.skip = c // h
@@ -303,11 +313,7 @@ def scan_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
     threaded as scan state (VERDICT round-1 item 1). Working set per scan
     step is one block; the stacked PSD lands in HBM and is returned trimmed
     to the monolithic frame grid, identical to power_spectrogram(x)."""
-    h = cfg.hop_
-    if chunk_size % h != 0:
-        raise ValueError(f"chunk_size must be a multiple of hop={h}")
-    if chunk_size < cfg.nperseg:
-        raise ValueError("chunk_size must be >= nperseg")
+    _validate_chunking(cfg, chunk_size, "chunk_size")
     block = chunk_size * max(1, chunks_per_block)
     n_blocks = max(1, math.ceil(x.shape[-1] / block))
     if n_blocks == 1:
@@ -332,11 +338,7 @@ def stream_fold(x, fs: float, cfg: SpecConfig, chunk_size: int, fold, init,
     Long-form analytics (global max for shared normalization, band powers,
     feature statistics — the quantities PlotEngine.py:686-719 computes from
     the full in-RAM Sxx) run this way over arbitrarily long recordings."""
-    h = cfg.hop_
-    if chunk_size % h != 0:
-        raise ValueError(f"chunk_size must be a multiple of hop={h}")
-    if chunk_size < cfg.nperseg:
-        raise ValueError("chunk_size must be >= nperseg")
+    _validate_chunking(cfg, chunk_size, "chunk_size")
     block = chunk_size * max(1, chunks_per_block)
     s = ScanStreamer(fs, cfg, block, x.shape[-1], use_matmul,
                      lambda acc, psd, valid: (fold(acc, psd, valid),

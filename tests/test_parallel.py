@@ -769,3 +769,24 @@ def test_pipeline_band_mask_empty_band_raises():
     with pytest.raises(ValueError, match="no frequency rows"):
         batched_spectrogram_fn(
             1000.0, SpecConfig.scipy_default(256, fmin=600.0, fmax=700.0))
+
+
+def test_streaming_refuses_mel_configs():
+    """A mel config must refuse at the streaming entry points, not
+    silently stream full linear-frequency rows (mel is a display/
+    pipeline projection the streamers never apply)."""
+    from spectral_tpu.parallel.streaming import (BlockStreamingSTFT,
+                                                 StreamingSTFT,
+                                                 scan_spectrogram,
+                                                 stream_fold,
+                                                 stream_spectrogram)
+    cfg = SpecConfig(nperseg=256, hop=64, n_mels=32, detrend="none")
+    x = jnp.zeros(4096, jnp.float32)
+    for entry in (lambda: StreamingSTFT(1000.0, cfg, 512),
+                  lambda: BlockStreamingSTFT(1000.0, cfg, 512),
+                  lambda: stream_spectrogram(x, 1000.0, cfg, 512),
+                  lambda: scan_spectrogram(x, 1000.0, cfg, 512),
+                  lambda: stream_fold(x, 1000.0, cfg, 512,
+                                      lambda a, p, v: a, jnp.zeros(()))):
+        with pytest.raises(ValueError, match="n_mels"):
+            entry()
