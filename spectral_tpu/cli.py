@@ -179,6 +179,25 @@ def _detect_each(args) -> int:
     return 0
 
 
+def _probe_backend_reachable(timeout: float):
+    """(reachable, detail): probe accelerator backend init in a SUBPROCESS
+    bounded by `timeout` seconds. A diagnosis tool must not block 25-50 min
+    in-process on a downed tunnel (the observed failure mode of the axon
+    backend), and a killed subprocess leaves this process's backend state
+    untouched."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout, capture_output=True, text=True)
+        if r.returncode == 0 and "ok" in r.stdout:
+            return True, ""
+        lines = (r.stderr or "").strip().splitlines()
+        return False, lines[-1] if lines else "unknown init failure"
+    except subprocess.TimeoutExpired:
+        return False, f"backend init still blocked after {timeout:.0f}s"
+
+
 def _serve(stdin, stdout, *, max_sessions: int = 16,
            request_timeout: Optional[float] = None,
            max_request_bytes: int = 1 << 20) -> int:
@@ -471,6 +490,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--probe-link", action="store_true",
                    help="also measure dispatch latency and device->host "
                         "bandwidth (diagnoses remote/tunneled runtimes)")
+    p.add_argument("--init-timeout", type=float, default=900.0,
+                   help="bound accelerator init by probing it in a "
+                        "subprocess first (a downed tunnel otherwise "
+                        "blocks init for 25-50 min before raising); "
+                        "0 disables the probe")
 
     p = sub.add_parser("gui", help="launch the Qt GUI client (needs PyQt5)")
 
@@ -727,6 +751,19 @@ def _dispatch(args) -> int:
                       max_request_bytes=args.max_request_bytes)
 
     if args.cmd == "doctor":
+        import jax as _jax_cfg
+        cpu_pinned = (args.cpu
+                      or _jax_cfg.config.jax_platforms == "cpu")
+        if args.init_timeout > 0 and not cpu_pinned:
+            reachable, detail = _probe_backend_reachable(args.init_timeout)
+            if not reachable:
+                print("backend:        UNREACHABLE — accelerator init "
+                      "failed (tunnel down?)")
+                print(f"                {detail}")
+                print("                rerun with --cpu for host-side "
+                      "checks")
+                print("doctor: PROBLEMS FOUND")
+                return 1
         import jax
         import jax.numpy as jnp
         from spectral_tpu.config import SpecConfig

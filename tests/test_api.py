@@ -1006,3 +1006,30 @@ def test_cli_serve_protocol_fuzz(tmp_path):
     assert json.loads(out_lines[-1]) == {"ok": True, "bye": True}
     # everything before shutdown was an error response, not a crash
     assert all(not json.loads(l)["ok"] for l in out_lines[:-1])
+
+
+def test_doctor_backend_probe(monkeypatch):
+    """The doctor's bounded init probe: success, failure output, and the
+    timeout path (a downed tunnel blocks init 25-50 min in-process; the
+    probe must bound that)."""
+    import subprocess
+    from spectral_tpu.cli import _probe_backend_reachable
+
+    class R:
+        def __init__(self, rc, out, err):
+            self.returncode, self.stdout, self.stderr = rc, out, err
+
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: R(0, "ok\n", ""))
+    assert _probe_backend_reachable(5.0) == (True, "")
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R(
+        1, "", "RuntimeError: Unable to initialize backend 'axon'"))
+    ok, detail = _probe_backend_reachable(5.0)
+    assert not ok and "axon" in detail
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=5.0)
+    monkeypatch.setattr(subprocess, "run", boom)
+    ok, detail = _probe_backend_reachable(5.0)
+    assert not ok and "blocked after 5s" in detail
