@@ -45,6 +45,10 @@ def _preflight_backend() -> None:
     if timeout <= 0:
         return
     for attempt in range(1 + retries):
+        if attempt:
+            # a wedged chip client blocks successors until it fully dies
+            # (CLAUDE.md); an immediate retry would hit the same wedge
+            time.sleep(60)
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
