@@ -44,6 +44,12 @@ def _preflight_backend() -> None:
     retries = int(os.environ.get("BENCH_INIT_RETRIES", "1"))
     if timeout <= 0:
         return
+    import jax
+    if jax.config.jax_platforms == "cpu":
+        # already pinned to CPU (e.g. `spectral-tpu --cpu bench`): probing
+        # the real accelerator in a subprocess would be pure waste — and a
+        # potential multi-minute block on a downed tunnel
+        return
     for attempt in range(1 + retries):
         if attempt:
             # a wedged chip client blocks successors until it fully dies
