@@ -137,7 +137,11 @@ def export_batch_signals_png(out_dir: str, registry: SweepRegistry,
         if use_proc and e.processed is not None:
             sig, fs = e.processed, e.fs
         elif use_raw and e.raw is not None:
-            sig, fs = e.raw, (e.fs_raw if e.fs_raw is not None else e.fs)
+            # the reference reads entry["fs_raw"] directly here (:164) —
+            # NOT get_signal's missing-key fallback to fs — so a raw
+            # stream whose own rate is unknown is skipped (:168-169), it
+            # is not exported at the processed rate
+            sig, fs = e.raw, e.fs_raw
         else:
             continue
         if sig is None or fs is None:

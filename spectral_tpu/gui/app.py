@@ -21,6 +21,7 @@ lastExportDir).
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import numpy as np
@@ -148,7 +149,7 @@ def build_window():
                 b.clicked.connect(slot)
                 panel.addWidget(b)
 
-            self.status = QtWidgets.QLabel("Ready")
+            self.status = QtWidgets.QLabel("Status: Ready")  # GUI.py:159
             panel.addWidget(self.status)
 
             # right: incremental figure view + matplotlib canvas fed from
@@ -274,13 +275,27 @@ def build_window():
             self._update_gates()
 
         def _update_gates(self):
-            on = self.controller.can_learn()
+            # the reference enables Learn/Refine from the checkbox ALONE
+            # (GUI.py:318-319,:322-323); empty-patch/no-plot cases warn at
+            # click time (:279-283,:288-294), not by disabling the buttons.
+            # Read the CHECKBOX, not the controller flag — plot_selected
+            # suspends the controller's editing mid-replot while the
+            # checkbox (the user-visible mode) stays checked
+            on = self.chk_edit.isChecked()
             self.btn_learn.setEnabled(on)
             self.btn_refine.setEnabled(on)
 
         def toggle_editing(self, enabled):
+            """GUI.py:314-323 — gate the learn buttons and announce the
+            mode with the reference's exact status strings."""
             self.controller.set_editing_enabled(enabled)
             self._update_gates()
+            if enabled:
+                self.status.setText(
+                    "Status: Manual editing enabled. Left-click drag to "
+                    "add/move, right-click to remove.")
+            else:
+                self.status.setText("Status: Manual editing disabled.")
 
         # ---- actions ----------------------------------------------------
         def _selected_names(self):
@@ -303,9 +318,12 @@ def build_window():
                 try:
                     for name in self.session.load(p):
                         self._add_tree_item(name)
+                    # per-file status + error box text (GUI.py:341-343)
+                    self.status.setText(
+                        f"Status: Loaded {os.path.basename(p)}")
                 except Exception as e:
-                    QtWidgets.QMessageBox.critical(self, "Load error", str(e))
-            self.status.setText(f"{self.tree.topLevelItemCount()} sweeps")
+                    QtWidgets.QMessageBox.critical(
+                        self, "Load Error", f"Error loading {p}:\n{e}")
 
         def register_combined(self):
             """Persistent combine into the registry (GUI.py:226-276) —
@@ -319,7 +337,10 @@ def build_window():
                 entry = self.session.registry.data[new]
                 amplitude = max(float(np.max(np.abs(entry.raw))),
                                 float(np.max(np.abs(entry.processed))))
-                self.status.setText(f"Registered {new} "
+                QtWidgets.QMessageBox.information(
+                    self, "Combine Complete",
+                    f"Combined signal added as {new}.")   # GUI.py:273
+                self.status.setText(f"Status: Added combined signal {new} "
                                     f"(max amplitude: {amplitude:.2f})")
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Combine error", str(e))
@@ -333,7 +354,18 @@ def build_window():
         def plot_selected(self):
             names = self._selected_names()
             if not names:
-                self.status.setText("Select sweeps first")
+                QtWidgets.QMessageBox.warning(self, "Warning",
+                                              "No sweep selected.")
+                return
+            # GUI-layer mixed-rate check with the reference's exact box
+            # (GUI.py:415-418); the session re-checks and raises anyway
+            rates = {self.session.registry.data[n].fs for n in names
+                     if n in self.session.registry.data}
+            if len(rates) > 1:
+                QtWidgets.QMessageBox.critical(
+                    self, "Error",
+                    "Selected sweeps have different sampling rates and "
+                    "cannot be plotted together.")
                 return
             try:
                 view = ViewSettings(
@@ -381,30 +413,80 @@ def build_window():
             self.canvas.draw()
 
         def detect(self):
+            """GUI.py:455-476 — guard, progress, 0-event dialog and
+            status strings are the reference's exact text."""
+            if self.session.spec_data_source is None:
+                QtWidgets.QMessageBox.warning(
+                    self, "Action Required",
+                    "Please plot a signal before running detection.")
+                return
+            self.status.setText("Status: Running HMM detection... "
+                                "Please wait.")
+            QtWidgets.QApplication.processEvents()
             try:
                 events = self.session.unsupervised_detect()
+                if not events:
+                    QtWidgets.QMessageBox.information(
+                        self, "Detection Result", "No events detected.")
+                    self.status.setText("Status: HMM detected 0 events.")
+                    return
                 self._patches_changed()
-                self.status.setText(f"{len(events)} bursts detected")
+                self.status.setText(
+                    f"Status: HMM detected {len(events)} event(s).")
             except Exception as e:
-                QtWidgets.QMessageBox.critical(self, "Detection error", str(e))
+                QtWidgets.QMessageBox.critical(
+                    self, "HMM Error",
+                    f"An error occurred during HMM detection:\n{e}")
+                self.status.setText("Status: HMM detection failed.")
 
         def learn(self):
+            """GUI.py:286-312 — the semi-supervised 'Learn from Examples'
+            workflow with the reference's guards and status strings."""
+            if self.session.spec_data_source is None:
+                QtWidgets.QMessageBox.warning(
+                    self, "Action Required",
+                    "Please plot a signal before learning from it.")
+                return
+            if not self.controller.roi_editor.patches():
+                QtWidgets.QMessageBox.warning(
+                    self, "Action Required",
+                    "Please enable manual editing and draw at least one "
+                    "example region to learn from.")
+                return
+            self.status.setText("Status: Learning from examples and "
+                                "detecting... Please wait.")
+            QtWidgets.QApplication.processEvents()
             try:
                 events = self.session.learn_and_detect(
                     self.controller.roi_editor.patches())
+                if not events:
+                    QtWidgets.QMessageBox.information(
+                        self, "Detection Result",
+                        "Could not detect any bursts after learning.")
+                    self.status.setText("Status: Learning complete. "
+                                        "No bursts found.")
+                    return
                 self._patches_changed()
-                self.status.setText(f"{len(events)} bursts after learning")
+                self.status.setText(f"Status: Learned from examples and "
+                                    f"detected {len(events)} event(s).")
             except Exception as e:
-                QtWidgets.QMessageBox.critical(self, "Learning error", str(e))
+                QtWidgets.QMessageBox.critical(
+                    self, "Learning Error",
+                    f"An error occurred during learning:\n{e}")
+                self.status.setText("Status: Learning or detection failed.")
 
         def refine(self):
-            """GUI.py:278-284: Refine Model re-learns from current patches."""
-            try:
-                events = self.controller.refine_model()
-                self._patches_changed()
-                self.status.setText(f"{len(events)} bursts after refinement")
-            except Exception as e:
-                QtWidgets.QMessageBox.critical(self, "Refine error", str(e))
+            """GUI.py:278-284: Refine Model warns when the plot carries no
+            regions, then delegates to the learn workflow (so its progress
+            and result strings are learn's)."""
+            if not self.controller.roi_editor.patches():
+                QtWidgets.QMessageBox.warning(
+                    self, "Action Required",
+                    "There are no burst regions on the plot to learn from. "
+                    "Please perform an auto-detection and/or manually add "
+                    "regions first.")
+                return
+            self.learn()
 
         def on_tree_item_clicked(self, item, column=0):
             """GUI.py:359-372: a click plots that single sweep — previous
@@ -437,7 +519,7 @@ def build_window():
             for item in self.tree.selectedItems():
                 self.tree.takeTopLevelItem(
                     self.tree.indexOfTopLevelItem(item))
-            self.status.setText("Removed selected items")
+            self.status.setText("Status: Removed selected items")
 
         def clear_all(self):
             """GUI.py:478-483: clear tree + plot state, disarm editing."""
@@ -445,7 +527,8 @@ def build_window():
             self.session.clear()
             self.chk_edit.setChecked(False)
             self._redraw()
-            self.status.setText("Cleared")
+            # the reference's clear_all leaves the status label untouched
+            # (GUI.py:478-483)
 
         def reset_model(self):
             """GUI.py:350-357: reset the HMM and clear the canvas."""
@@ -456,12 +539,20 @@ def build_window():
                 self, "Model Status",
                 "The HMM model has been reset and the canvas has been "
                 "cleared.")
-            self.status.setText("HMM model reset. Canvas cleared.")
+            self.status.setText("Status: HMM model reset. Canvas cleared.")
 
         def band_powers(self):
-            """Band-power dialog (GUI.py:529-566), including the
-            log-scale refusal (:535-541) — the reference insists band
-            power reads the original linear spectrum."""
+            """Band-power dialog (GUI.py:529-566): no-spectrogram guard
+            (:530-533), the log-scale refusal (:535-541), then a modal
+            with selectable text — total power to 6 decimals on the first
+            line, one bare '100*ratio:.2f' line per EEG band (:546-549),
+            in a read-only QTextEdit titled 'Band Power Results'
+            (:552-566)."""
+            if self.session.last_sxx is None:
+                QtWidgets.QMessageBox.warning(
+                    self, "No Spectrogram",
+                    "Please plot a signal with a spectrogram first.")
+                return
             if self.chk_log.isChecked():
                 QtWidgets.QMessageBox.warning(
                     self, "Band Power Disabled in Log Scale",
@@ -469,36 +560,86 @@ def build_window():
                     "power.\n\nBand power must be calculated from the "
                     "original (linear) spectrum.")
                 return
-            try:
-                report = self.controller.band_powers_report()
-            except Exception as e:
-                QtWidgets.QMessageBox.critical(self, "Band powers", str(e))
-                return
-            QtWidgets.QMessageBox.information(self, "Relative Band Powers",
-                                              report)
+            band_ratios = self.session.calculate_band_powers()
+            total_power = self.session.calculate_absolute_power()
+            msg = f"{total_power:.6f}\n"
+            for _band, ratio in band_ratios.items():
+                msg += f"{100 * ratio:.2f}\n"
+
+            dlg = QtWidgets.QDialog(self)
+            dlg.setWindowTitle("Band Power Results")
+            layout = QtWidgets.QVBoxLayout(dlg)
+            text_box = QtWidgets.QTextEdit()
+            text_box.setReadOnly(True)
+            text_box.setText(msg)
+            layout.addWidget(text_box)
+            btn_close = QtWidgets.QPushButton("Close")
+            btn_close.clicked.connect(dlg.accept)
+            layout.addWidget(btn_close)
+            dlg.resize(400, 300)
+            dlg.exec_()
 
         def export_csv(self):
-            last = self.settings.value("lastExportDir", "", str)
+            """GUI.py:496-527 — plot-context and burst guards, the
+            '{base}_bursts.csv' default filename, lastExportDir memory and
+            the cancel status string."""
+            if not self.session.currently_plotted_items:
+                QtWidgets.QMessageBox.warning(
+                    self, "No Plot Context",
+                    "Please plot a signal first before exporting.")
+                return
+            if not self.controller.roi_editor.patches():
+                QtWidgets.QMessageBox.warning(
+                    self, "No Data",
+                    "There are no detected bursts on the plot to export.")
+                return
+            first = self.session.currently_plotted_items[0]
+            base = re.sub(r"_sweep\d+$", "", os.path.basename(first))
+            last = self.settings.value(
+                "lastExportDir", self.settings.value("lastDir", "", str),
+                str)
             path, _ = QtWidgets.QFileDialog.getSaveFileName(
-                self, "Export CSV", last, "CSV (*.csv)")
-            if path:
-                self.settings.setValue("lastExportDir", os.path.dirname(path))
-                self.status.setText(self.session.export_csv(path))
+                self, "Save Burst Data as CSV",
+                os.path.join(last, f"{base}_bursts.csv"),
+                "CSV Files (*.csv)")
+            if not path:
+                self.status.setText("Status: Export cancelled.")
+                return
+            self.settings.setValue("lastExportDir", os.path.dirname(path))
+            self.status.setText(self.session.export_csv(path))
 
         def export_png(self):
+            """GUI.py:568-575 — the plot-context guard; the cancel string
+            is the exporter's return value (ExportManager.py:100-101)."""
+            if not self.session.currently_plotted_items:
+                QtWidgets.QMessageBox.warning(
+                    self, "No Plot Context",
+                    "Please plot a signal first before exporting.")
+                return
             last = self.settings.value("lastExportDir", "", str)
             path, _ = QtWidgets.QFileDialog.getSaveFileName(
-                self, "Export PNG", last, "PNG (*.png)")
-            if path:
-                self.settings.setValue("lastExportDir", os.path.dirname(path))
-                self.status.setText(self.session.export_png(path))
+                self, "Save Figure as Transparent PNG", last,
+                "PNG Files (*.png)")
+            if not path:
+                self.status.setText("Export cancelled.")
+                return
+            self.settings.setValue("lastExportDir", os.path.dirname(path))
+            self.status.setText(self.session.export_png(path))
 
         def export_batch(self):
-            """Batch PNG export of the selected signals (GUI.py:577-586)."""
+            """Batch PNG export of the selected signals (GUI.py:577-586;
+            the no-selection warning is :579-581, the cancel string is the
+            exporter's return value, ExportManager.py:120-121)."""
+            if not self.tree.selectedItems():
+                QtWidgets.QMessageBox.warning(
+                    self, "No Selection",
+                    "Please select one or more items to export.")
+                return
             last = self.settings.value("lastExportDir", "", str)
             out_dir = QtWidgets.QFileDialog.getExistingDirectory(
-                self, "Batch Export PNGs", last)
+                self, "Select Folder to Save PNGs", last)
             if not out_dir:
+                self.status.setText("Export cancelled.")
                 return
             self.settings.setValue("lastExportDir", out_dir)
             try:

@@ -115,6 +115,8 @@ class _Layout(QObject):
     def __init__(self, parent=None):
         super().__init__()
         self.items = []
+        if parent is not None:      # QVBoxLayout(dialog) attaches itself
+            parent._layout = self
 
     def addWidget(self, w, *a):
         self.items.append(w)
@@ -297,24 +299,62 @@ class QLabel(_Widget):
         return self._text
 
 
+class QTextEdit(_Widget):
+    def __init__(self):
+        super().__init__()
+        self._text = ""
+        self._read_only = False
+
+    def setReadOnly(self, v):
+        self._read_only = bool(v)
+
+    def setText(self, t):
+        self._text = t
+
+    def toPlainText(self):
+        return self._text
+
+
+class QDialog(_Widget):
+    """Modal stand-in: exec_ records the instance so tests can inspect
+    the widgets a handler put inside (e.g. the band-power QTextEdit)."""
+    shown: list = []
+
+    def __init__(self, parent=None):
+        super().__init__()
+        self.accepted = False
+
+    def accept(self):
+        self.accepted = True
+
+    def exec_(self):
+        QDialog.shown.append(self)
+        return 1
+
+
 class QFileDialog:
-    # tests script the next return values here
+    # tests script the next return values here; every call is recorded as
+    # (method, title, default_path) so tests can assert dialog arguments
     next_open_files: list = []
     next_save_file: str = ""
     next_directory: str = ""
+    calls: list = []
 
     @staticmethod
     def getOpenFileNames(parent, title, d, filt):
+        QFileDialog.calls.append(("open", title, d))
         files, QFileDialog.next_open_files = QFileDialog.next_open_files, []
         return files, filt
 
     @staticmethod
     def getSaveFileName(parent, title, d, filt):
+        QFileDialog.calls.append(("save", title, d))
         f, QFileDialog.next_save_file = QFileDialog.next_save_file, ""
         return f, filt
 
     @staticmethod
     def getExistingDirectory(parent, title, d):
+        QFileDialog.calls.append(("dir", title, d))
         f, QFileDialog.next_directory = QFileDialog.next_directory, ""
         return f
 
@@ -377,6 +417,10 @@ class QApplication(QObject):
 
     def exec_(self):
         return 0
+
+    @staticmethod
+    def processEvents():
+        pass
 
 
 class _Canvas(_Widget):

@@ -304,6 +304,25 @@ def test_export_batch_shared_symmetric_ylim(tmp_path):
     assert 0.4 < extent_b / extent_a < 0.6  # half the vertical span
 
 
+def test_export_batch_raw_without_fs_raw_is_skipped(tmp_path):
+    """The reference reads entry["fs_raw"] directly in the batch exporter
+    (ExportManager.py:164) and skips the item when it is None (:168-169)
+    — it does NOT fall back to the processed fs like get_signal does. A
+    NIX sweep whose raw stream has no extractable rate must be skipped,
+    not exported at the wrong rate."""
+    from spectral_tpu.api.export import export_batch_signals_png
+    r = SweepRegistry()
+    x = np.sin(np.linspace(0, 40 * np.pi, 4000)).astype(np.float32)
+    r.register("ok_sweep0", SweepEntry("f", 0, 100.0, 100.0, x, None))
+    r.register("norate_sweep0", SweepEntry("f", 1, 100.0, None, x, None))
+    msg = export_batch_signals_png(str(tmp_path), r,
+                                   ["ok_sweep0", "norate_sweep0"],
+                                   height=64, width=128)
+    assert "Exported 1" in msg
+    assert (tmp_path / "ok_sweep0.png").exists()
+    assert not (tmp_path / "norate_sweep0.png").exists()
+
+
 def test_cli_stream_npz_and_png(tmp_path):
     from spectral_tpu.cli import main
     from spectral_tpu.core.stft import power_spectrogram

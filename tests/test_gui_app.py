@@ -77,15 +77,23 @@ def test_plot_detect_and_status(win):
     assert "Plotted single sweep: " in win.status.text()
     assert "Total Power:" in win.status.text()
     win.detect()
-    assert "bursts detected" in win.status.text()
+    # the reference's exact status string (GUI.py:472)
+    assert "Status: HMM detected" in win.status.text()
+    assert "event(s)." in win.status.text()
     assert len(win.session.last_detected_events) >= 2
 
 
 def test_editing_gate_and_canvas_mouse_flow(win):
     _plot(win)
     assert not win.btn_learn.isEnabled()
-    win.chk_edit.setChecked(True)            # editing on, still no patches
-    assert not win.btn_learn.isEnabled()
+    # the reference gates purely on the checkbox (GUI.py:318-319): buttons
+    # arm immediately; a patchless click warns at action time instead
+    win.chk_edit.setChecked(True)
+    assert win.btn_learn.isEnabled() and win.btn_refine.isEnabled()
+    qt_stub.QMessageBox.calls.clear()
+    win.learn()                              # no patches yet -> warning
+    assert qt_stub.QMessageBox.calls[-1][0] == "warning"
+    assert "example region" in qt_stub.QMessageBox.calls[-1][2]
 
     press = win.canvas.handlers["button_press_event"]
     move = win.canvas.handlers["motion_notify_event"]
@@ -129,24 +137,38 @@ def test_learn_and_refine_from_drawn_rois(win):
     press(qt_stub._Event(29.0, 1))
     release(qt_stub._Event(39.0, 1))
     win.learn()
-    assert "after learning" in win.status.text()
+    # reference status strings (GUI.py:308)
+    assert "Status: Learned from examples and detected" in win.status.text()
     assert win.session.detector.is_model_refined
-    win.refine()
-    assert "after refinement" in win.status.text()
+    win.refine()   # delegates to the learn workflow (GUI.py:284)
+    assert "Status: Learned from examples and detected" in win.status.text()
 
 
 def test_band_powers_dialog(win):
+    """GUI.py:546-566: a 'Band Power Results' dialog whose text is the
+    total power to 6 decimals on line 1, then one bare percent line per
+    EEG band (six bands), in a read-only QTextEdit."""
     _plot(win)
+    qt_stub.QDialog.shown.clear()
     win.band_powers()
-    kind, title, text = qt_stub.QMessageBox.calls[-1]
-    assert kind == "information" and "Theta" in text
-    assert "Total absolute power" in text
+    dlg = qt_stub.QDialog.shown[-1]
+    assert dlg._title == "Band Power Results"
+    text_box = dlg._layout.items[0]
+    lines = [ln for ln in text_box.toPlainText().splitlines() if ln]
+    assert len(lines) == 7                      # total + 6 bands
+    total = win.session.calculate_absolute_power()
+    assert lines[0] == f"{total:.6f}"
+    ratios = win.session.calculate_band_powers()
+    for ln, ratio in zip(lines[1:], ratios.values()):
+        assert ln == f"{100 * ratio:.2f}"
 
 
 def test_band_powers_without_plot_reports_error(win):
     win.band_powers()
-    kind, _t, text = qt_stub.QMessageBox.calls[-1]
-    assert kind == "critical" and "plot" in text.lower()
+    kind, title, text = qt_stub.QMessageBox.calls[-1]
+    # GUI.py:530-533 guard
+    assert kind == "warning" and title == "No Spectrogram"
+    assert "plot" in text.lower()
 
 
 def test_register_combined_adds_tree_item(win):
@@ -193,7 +215,8 @@ def test_add_files_via_dialog(win, tmp_path):
     qt_stub.QFileDialog.next_open_files = [p]
     win.add_files()
     assert win.tree.topLevelItemCount() == before + 1
-    assert "sweeps" in win.status.text()
+    # per-file status string (GUI.py:341)
+    assert win.status.text() == "Status: Loaded extra.wav"
 
 
 def test_tree_context_menu_remove_select_clear(win):
@@ -351,6 +374,86 @@ def test_remove_selected_button(win):
     assert "Removed selected items" in win.status.text()
 
 
+def test_action_guards_match_reference(win):
+    """Click-time guards with the reference's exact box titles/texts:
+    detect before plot (GUI.py:456-458), plot with nothing selected
+    (:376-378), CSV/PNG export without plot context (:498-501,:569-572),
+    batch export without a selection (:579-581)."""
+    qt_stub.QMessageBox.calls.clear()
+    win.detect()
+    assert qt_stub.QMessageBox.calls[-1] == (
+        "warning", "Action Required",
+        "Please plot a signal before running detection.")
+    for i in range(win.tree.topLevelItemCount()):
+        win.tree.topLevelItem(i).setSelected(False)
+    win.plot_selected()
+    assert qt_stub.QMessageBox.calls[-1] == (
+        "warning", "Warning", "No sweep selected.")
+    win.export_csv()
+    assert qt_stub.QMessageBox.calls[-1] == (
+        "warning", "No Plot Context",
+        "Please plot a signal first before exporting.")
+    win.export_png()
+    assert qt_stub.QMessageBox.calls[-1] == (
+        "warning", "No Plot Context",
+        "Please plot a signal first before exporting.")
+    win.export_batch()
+    assert qt_stub.QMessageBox.calls[-1] == (
+        "warning", "No Selection",
+        "Please select one or more items to export.")
+
+
+def test_editing_toggle_status_strings(win):
+    """GUI.py:316-321: the editing toggle announces the mode."""
+    win.chk_edit.setChecked(True)
+    assert win.status.text() == ("Status: Manual editing enabled. "
+                                 "Left-click drag to add/move, "
+                                 "right-click to remove.")
+    win.chk_edit.setChecked(False)
+    assert win.status.text() == "Status: Manual editing disabled."
+
+
+def test_csv_dialog_default_filename_and_cancel(win):
+    """GUI.py:508-519: the save dialog seeds '{base}_bursts.csv' (sweep
+    suffix stripped) inside lastExportDir, and cancelling reports
+    'Status: Export cancelled.'."""
+    _plot(win)
+    win.detect()
+    s = qt_stub.QSettings._stores[("spectral_tpu", "SpectrogramGenerator")]
+    s["lastExportDir"] = "/some/dir"
+    qt_stub.QFileDialog.calls.clear()
+    qt_stub.QFileDialog.next_save_file = ""          # user cancels
+    win.export_csv()
+    method, title, default = qt_stub.QFileDialog.calls[-1]
+    assert (method, title) == ("save", "Save Burst Data as CSV")
+    assert default == os.path.join("/some/dir", "s_bursts.csv")
+    assert win.status.text() == "Status: Export cancelled."
+    # PNG cancel uses the exporter's return string (ExportManager.py:101)
+    qt_stub.QFileDialog.next_save_file = ""
+    win.export_png()
+    assert win.status.text() == "Export cancelled."
+
+
+def test_no_detection_events_dialog(win):
+    """GUI.py:466-469: zero detected events shows the 'Detection Result'
+    info box and the 0-events status instead of plotting lines."""
+    win.tree.topLevelItem(0).setSelected(True)
+    win.chk_raw.setChecked(True)
+    win.combo_raw.setCurrentText("Spectrogram")
+    win.spin_nperseg.setValue(64)
+    win.plot_selected()
+    calls_before = len(qt_stub.QMessageBox.calls)
+    original = win.session.unsupervised_detect
+    win.session.unsupervised_detect = lambda: []
+    try:
+        win.detect()
+    finally:
+        win.session.unsupervised_detect = original
+    assert qt_stub.QMessageBox.calls[calls_before:] == [
+        ("information", "Detection Result", "No events detected.")]
+    assert win.status.text() == "Status: HMM detected 0 events."
+
+
 def test_band_powers_refused_in_log_scale(win):
     """GUI.py:535-541: the band-power dialog refuses while Log Scale is
     checked (band power must read the linear spectrum)."""
@@ -363,9 +466,10 @@ def test_band_powers_refused_in_log_scale(win):
     assert any("Log Scale" in str(c) for c in qt_stub.QMessageBox.calls)
     win.chk_log.setChecked(False)
     qt_stub.QMessageBox.calls.clear()
+    qt_stub.QDialog.shown.clear()
     win.band_powers()
-    kinds = [c[0] for c in qt_stub.QMessageBox.calls]
-    assert "information" in kinds
+    assert qt_stub.QDialog.shown          # results dialog opened
+    assert not qt_stub.QMessageBox.calls  # no warning this time
 
 
 def test_gui_random_walk(win):
@@ -427,12 +531,11 @@ def test_gui_random_walk(win):
         elif act == "settings":
             win.spin_nperseg.setValue(int(rng.choice([256, 512])))
             win.chk_log.setChecked(bool(rng.randint(2)))
-        # gate invariant: learn/refine enabled iff editing is on AND at
-        # least one patch exists (controller.can_learn — a refinement of
-        # GUI.py:314-323, whose bare-toggle gate lets a patchless click
-        # through to an 'Action Required' message box instead)
-        want = (win.chk_edit.isChecked()
-                and bool(win.controller.roi_editor.patches()))
+        # gate invariant: learn/refine track the editing checkbox alone
+        # (GUI.py:318-319,:322-323); patchless/plotless clicks warn via
+        # 'Action Required' message boxes (:279-283,:288-294) instead of
+        # disabled buttons
+        want = win.chk_edit.isChecked()
         assert win.btn_learn.isEnabled() == want
         assert win.btn_refine.isEnabled() == want
         for a, b in win.session.rois:
