@@ -31,11 +31,6 @@ class SweepEntry:
     raw: Optional[np.ndarray]
     processed: Optional[np.ndarray]
 
-    def to_dict(self) -> dict:
-        return {"filepath": self.filepath, "sweep_idx": self.sweep_idx,
-                "fs": self.fs, "fs_raw": self.fs_raw, "raw": self.raw,
-                "processed": self.processed}
-
 
 class SweepRegistry:
     """In-memory registry of loaded sweeps (reference: SweepManager)."""

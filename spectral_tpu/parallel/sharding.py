@@ -125,8 +125,3 @@ def shard_pipeline(mesh: Mesh, fs: float, cfg: SpecConfig, *,
     in_sh = NamedSharding(mesh, P(batch_axis))
     out_sh = NamedSharding(mesh, P(batch_axis))
     return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
-
-
-def global_max_psd(psd_sharded: Array) -> Array:
-    """Shared normalization base across a sharded batch (ICI all-reduce)."""
-    return jnp.max(psd_sharded)
