@@ -258,7 +258,9 @@ class AnalysisSession:
         if source is None:
             return None
         self.spec_data_source = np.asarray(source, np.float32)
-        return self._compute_spectrogram(global_max)
+        result = self._compute_spectrogram(global_max)
+        self._maybe_trim()
+        return result
 
     def _compute_spectrogram(self, global_max: Optional[float] = None
                              ) -> SpectrogramResult:
@@ -384,6 +386,7 @@ class AnalysisSession:
     def unsupervised_detect(self) -> List[Event]:
         t, feat = self._features()
         self.last_detected_events = self.detector.unsupervised_detect(t, feat)
+        self._maybe_trim()
         return self.last_detected_events
 
     def learn_and_detect(self, rois: Optional[Sequence[Event]] = None
@@ -395,7 +398,18 @@ class AnalysisSession:
         t, feat = self._features()
         self.last_detected_events = self.detector.learn_and_detect(
             t, feat, rois)
+        # learn compiles a 2-state EM per DISTINCT ROI length — the one
+        # workload that grows the executable cache without ever plotting
+        self._maybe_trim()
         return self.last_detected_events
+
+    @staticmethod
+    def _maybe_trim() -> None:
+        """Opt-in memory backstop (SPECTRAL_TPU_MAX_RSS_MB;
+        utils/memory.py — JAX keeps one compiled program per
+        config/shape for the process lifetime)."""
+        from spectral_tpu.utils.memory import maybe_trim_caches
+        maybe_trim_caches()
 
     def reset_model(self) -> None:
         self.detector.reset()

@@ -200,7 +200,8 @@ def _probe_backend_reachable(timeout: float):
 
 def _serve(stdin, stdout, *, max_sessions: int = 16,
            request_timeout: Optional[float] = None,
-           max_request_bytes: int = 1 << 20) -> int:
+           max_request_bytes: int = 1 << 20,
+           max_rss_mb: float = 8192.0) -> int:
     """JSONL request/response worker (the serving shape for deployments:
     one warm process amortizes compile latency and session state across
     requests instead of paying them per CLI invocation).
@@ -225,7 +226,13 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
         exit), and on timeout the WHOLE session cache is replaced — the
         abandoned thread keeps only orphaned state, so it can never race
         the replacement worker on a shared session or the LRU dict;
-      * lines over `max_request_bytes` are rejected before parsing.
+      * lines over `max_request_bytes` are rejected before parsing;
+      * `max_rss_mb` (0 = disabled) bounds process memory: when RSS
+        crosses it, every compiled program and cached session is dropped
+        (utils/memory.py — JAX caches one executable per program/shape
+        forever, so a worker serving ever-new configs/ROI lengths grows
+        without a backstop; the persistent compile cache makes the
+        post-trim recompiles cheap).
     """
     import collections
     import json as _json
@@ -233,6 +240,7 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import SpecConfig, ViewSettings
     from spectral_tpu.utils.cache import enable_compilation_cache
+    from spectral_tpu.utils.memory import maybe_trim_caches
     enable_compilation_cache()
 
     # The cache is passed INTO each request handler (not read from the
@@ -365,6 +373,10 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
             resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
         stdout.write(_json.dumps(resp) + "\n")
         stdout.flush()
+        # memory backstop: drop compiled programs AND cached sessions
+        # (their device-resident PSD caches are the other big holder)
+        if maybe_trim_caches(max_rss_mb):
+            sessions.clear()
     return 0
 
 
@@ -484,6 +496,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="per-request wall-clock limit in seconds")
     p.add_argument("--max-request-bytes", type=int, default=1 << 20,
                    help="reject request lines larger than this")
+    p.add_argument("--max-rss-mb", type=float, default=8192.0,
+                   help="drop compiled-program caches and cached sessions "
+                        "when process RSS crosses this (0 disables); keeps "
+                        "a worker serving ever-new configs bounded")
 
     p = sub.add_parser("doctor", help="environment self-check: backend, "
                                       "native components, numerical sanity")
@@ -748,7 +764,8 @@ def _dispatch(args) -> int:
         return _serve(sys.stdin, sys.stdout,
                       max_sessions=args.max_sessions,
                       request_timeout=args.timeout,
-                      max_request_bytes=args.max_request_bytes)
+                      max_request_bytes=args.max_request_bytes,
+                      max_rss_mb=args.max_rss_mb)
 
     if args.cmd == "doctor":
         import jax as _jax_cfg
