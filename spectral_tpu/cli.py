@@ -122,12 +122,64 @@ def _add_spec_args(p, combine: bool = True):
                        help="concatenate all sweeps (reference combine mode)")
 
 
+def _detect_each_batched(s, names, args):
+    """Fleet mode: group same-(length, fs) sweeps — the normal shape of a
+    multi-sweep ABF/NIX recording — and run each group's EM fit + escape
+    patch + Viterbi as ONE vmapped device dispatch (models/batch.py)
+    instead of one round trip per sweep. Returns {name: events | error}.
+
+    Same flow per clip as the sequential path (proc-preferred source,
+    authoritative entry fs, cfg.fmin/fmax feature band, short-signal
+    config shrink); EM under vmap may reassociate f32 reductions, so
+    borderline boundaries can differ at float level — which is why this
+    is opt-in (--batched) rather than the default."""
+    import jax.numpy as jnp
+    from spectral_tpu.core import events as ev_mod
+    from spectral_tpu.core.stft import (effective_config, freq_axis,
+                                        power_spectrogram, time_axis)
+    from spectral_tpu.models.batch import batch_unsupervised_detect
+
+    groups, sigs = {}, {}
+    out = {}
+    for name in names:
+        e = s.registry.data[name]
+        sig = e.processed if e.processed is not None else e.raw
+        if sig is None:
+            out[name] = ValueError("no signal data")
+            continue
+        x = np.asarray(sig, np.float32)
+        sigs[name] = x
+        groups.setdefault((len(x), e.fs), []).append(name)
+    for (n, fs), group in groups.items():
+        cfg = effective_config(_make_config(args), n)
+        f = freq_axis(cfg, fs)
+        t = time_axis(cfg, fs, n)
+        try:
+            if t.size == 0:
+                raise ValueError("Not enough data to train the model. "
+                                 "Signal may be too short.")
+            xb = jnp.asarray(np.stack([sigs[nm] for nm in group]))
+            psd = power_spectrogram(xb, fs, cfg)
+            fmin = cfg.fmin if cfg.fmin is not None else 0.0
+            fmax = cfg.fmax if cfg.fmax is not None else float(f[-1])
+            feats = np.asarray(ev_mod.features_from_psd(f, psd, fmin, fmax))
+            results = batch_unsupervised_detect(t, feats)
+        except ValueError as e:
+            for nm in group:
+                out[nm] = e
+            continue
+        for nm, evs in zip(group, results):
+            out[nm] = evs
+    return out
+
+
 def _detect_each(args) -> int:
     """Per-sweep unsupervised detection: a fresh HMM per sweep (the
     reference's persistent model only makes sense within one plot), printed
     as `sweep<TAB>start<TAB>end` lines plus an optional combined CSV in the
     reference's schema (ExportManager.py:43-50 columns; IBI restarts per
-    sweep; sweep index parsed as the reference does)."""
+    sweep; sweep index parsed as the reference does). --batched runs
+    same-length groups as one vmapped device dispatch."""
     from spectral_tpu.api.session import AnalysisSession
     from spectral_tpu.config import ViewSettings
     from spectral_tpu.io.registry import split_display_name
@@ -142,17 +194,25 @@ def _detect_each(args) -> int:
             sys.exit(f"error: {e}")
     if not names:
         sys.exit("no sweeps loaded")
+    batched = _detect_each_batched(s, names, args) if args.batched else None
     rows = []
     for name in names:
-        s.reset_model()
-        s.plot_sweeps([name], _make_config(args),
-                      ViewSettings(mode_proc="Spectrogram",
-                                   mode_raw="Spectrogram"))
-        try:
-            events = s.unsupervised_detect()
-        except ValueError as e:           # e.g. sweep too short to train on
-            print(f"{name}\tskipped: {e}", file=sys.stderr)
-            continue
+        if batched is not None:
+            got = batched.get(name)
+            if isinstance(got, Exception) or got is None:
+                print(f"{name}\tskipped: {got}", file=sys.stderr)
+                continue
+            events = got
+        else:
+            s.reset_model()
+            s.plot_sweeps([name], _make_config(args),
+                          ViewSettings(mode_proc="Spectrogram",
+                                       mode_raw="Spectrogram"))
+            try:
+                events = s.unsupervised_detect()
+            except ValueError as e:       # e.g. sweep too short to train on
+                print(f"{name}\tskipped: {e}", file=sys.stderr)
+                continue
         base, sweep_idx = split_display_name(name)
         prev_end = None
         for a, b in events:
@@ -410,6 +470,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--each", action="store_true",
                    help="detect every sweep independently (fresh model per "
                         "sweep; one combined table with sweep attribution)")
+    p.add_argument("--batched", action="store_true",
+                   help="with --each: fleet mode — same-length sweeps run "
+                        "as ONE vmapped device dispatch per group "
+                        "(models/batch.py) instead of a round trip per "
+                        "sweep; borderline event edges may differ from the "
+                        "sequential flow at float level")
     _add_spec_args(p)
 
     p = sub.add_parser("learn", help="learn-from-examples detection")
@@ -565,6 +631,9 @@ def _dispatch(args) -> int:
         return _status(s.export_png(args.out, colormap=args.cmap))
 
     if args.cmd == "detect":
+        if args.batched and not args.each:
+            sys.exit("error: --batched requires --each (it batches the "
+                     "per-sweep fleet flow)")
         if args.each:
             return _detect_each(args)
         s, _ = _session_for(args.files, args)

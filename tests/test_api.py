@@ -515,6 +515,54 @@ def test_cli_detect_each(tmp_path, capsys):
     assert firsts[5] == "nan"
 
 
+def test_cli_detect_each_batched_matches_sequential(tmp_path, capsys):
+    """--each --batched: same-length sweeps run as one vmapped dispatch
+    (models/batch.py); events must agree with the sequential per-sweep
+    flow (same algorithm per clip — float-level EM reassociation under
+    vmap is the only permitted difference, so compare by interval IoU).
+    A different-length sweep in the same run lands in its own group."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    a = _bursty(fs=fs, dur=60.0, bursts=((10, 15),), seed=1)
+    b = _bursty(fs=fs, dur=60.0, bursts=((20, 26), (40, 45)), seed=2)
+    c = _bursty(fs=fs, dur=40.0, bursts=((5, 9),), seed=3)   # own group
+    paths = []
+    for nm, x in [("a", a), ("b", b), ("c", c)]:
+        p = str(tmp_path / f"{nm}.wav")
+        write_wav(p, x * 0.5, fs)
+        paths.append(p)
+    args = ["detect", *paths, "--each", "--scipy-compat",
+            "--nperseg", "1024", "--fmin", "0", "--fmax", "30"]
+    assert main(args) == 0
+    seq = capsys.readouterr().out
+    assert main(args + ["--batched"]) == 0
+    bat = capsys.readouterr().out
+
+    def parse(out):
+        evs = {}
+        for line in out.splitlines():
+            name, s0, s1 = line.split("\t")
+            evs.setdefault(name, []).append((float(s0), float(s1)))
+        return evs
+
+    es, eb = parse(seq), parse(bat)
+    assert set(es) == set(eb) == {"a_sweep0", "b_sweep0", "c_sweep0"}
+    for name in es:
+        assert len(es[name]) == len(eb[name]), name
+        for (a0, a1), (b0, b1) in zip(es[name], eb[name]):
+            inter = max(0.0, min(a1, b1) - max(a0, b0))
+            union = max(a1, b1) - min(a0, b0)
+            assert inter / union > 0.95, (name, (a0, a1), (b0, b1))
+
+
+def test_cli_detect_batched_requires_each(tmp_path):
+    from spectral_tpu.cli import main
+    p = str(tmp_path / "x.wav")
+    write_wav(p, _bursty(dur=20.0) * 0.5, 1000.0)
+    with pytest.raises(SystemExit):
+        main(["detect", p, "--batched"])
+
+
 def test_cli_serve_jsonl(tmp_path):
     import io
     import json
