@@ -4,8 +4,13 @@ Preserves the reference's de-facto data API — ``SweepManager.data``, a dict
 keyed by display name with schema ``{filepath, sweep_idx, fs, fs_raw, raw,
 processed}`` (SweepManager.py:10, :48-55, :139-146) — including the exact
 ``get_signal`` fallback rules (:151-185): requesting the processed signal
-falls back to raw (with fs_raw) when absent; requesting raw uses fs_raw with
-fs as the fallback.
+falls back to raw (with fs_raw) when absent; raw paths use fs_raw with NO
+fallback to fs — the reference's ``entry.get("fs_raw", entry.get("fs"))``
+only falls back when the KEY is absent, which its loaders never produce
+(abf :50-53, h5 :139-146 always store the key), so a raw stream whose own
+rate is unknown (fs_raw None) raises, it is not served at the processed
+rate (proven by executing the reference,
+tests/test_reference_differential.py::test_get_signal_semantics_fuzz).
 
 File-type dispatch extends the reference's {.abf, .h5} (:12-19) with .wav and
 .npz for the north-star audio workloads.
@@ -153,7 +158,7 @@ class SweepRegistry:
                 if sig is None:
                     raise KeyError(
                         f"No 'processed' or 'raw' signal for {display_name}")
-                fs = e.fs_raw if e.fs_raw is not None else e.fs
+                fs = e.fs_raw  # no fs fallback: see module docstring
             else:
                 fs = e.fs
             if fs is None:
@@ -164,7 +169,7 @@ class SweepRegistry:
         sig = e.raw
         if sig is None:
             raise KeyError(f"No 'raw' signal for {display_name}")
-        fs = e.fs_raw if e.fs_raw is not None else e.fs
+        fs = e.fs_raw  # no fs fallback: see module docstring
         if fs is None:
             raise KeyError(f"No sampling rate for raw signal of {display_name}")
         return sig, fs

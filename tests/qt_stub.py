@@ -353,7 +353,7 @@ class QFileDialog:
         return f, filt
 
     @staticmethod
-    def getExistingDirectory(parent, title, d):
+    def getExistingDirectory(parent, title, d=""):  # d optional, like Qt
         QFileDialog.calls.append(("dir", title, d))
         f, QFileDialog.next_directory = QFileDialog.next_directory, ""
         return f

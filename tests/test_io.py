@@ -32,14 +32,19 @@ def test_get_signal_processed_fallback_to_raw_uses_fs_raw():
     assert fs == 500.0 and len(sig) == 5
 
 
-def test_get_signal_raw_prefers_fs_raw_with_fs_fallback():
+def test_get_signal_raw_uses_fs_raw_with_no_fs_fallback():
+    """Raw requests serve fs_raw and NEVER substitute the processed fs: the
+    reference's dict-get fallback (SweepManager.py:165,:181) only fires when
+    the key is absent, which its loaders never produce — proven by executing
+    the reference (test_reference_differential.py::
+    test_get_signal_semantics_fuzz_matches_reference)."""
     r = SweepRegistry()
     r.register("a_sweep0", _entry())
     _, fs = r.get_signal("a_sweep0", processed=False)
     assert fs == 500.0
     r.register("b_sweep0", _entry(fs_raw=None))
-    _, fs = r.get_signal("b_sweep0", processed=False)
-    assert fs == 1000.0
+    with pytest.raises(KeyError, match="No sampling rate for raw"):
+        r.get_signal("b_sweep0", processed=False)
 
 
 def test_get_signal_missing_raises():
