@@ -400,7 +400,11 @@ class QMenu(_Widget):
         self._actions = []
 
     def addAction(self, name):
-        self._actions.append(_MenuAction(name))
+        # Qt returns the created QAction — callers compare exec_'s result
+        # against it (e.g. PlotEngine.py:556-565)
+        action = _MenuAction(name)
+        self._actions.append(action)
+        return action
 
     def exec_(self, pos):
         if QMenu.next_choice is None:

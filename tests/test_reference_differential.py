@@ -14,6 +14,8 @@ standalone.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -506,3 +508,369 @@ def test_get_signal_semantics_fuzz_matches_reference():
                         sig_o, fs_o = our_out
                         assert fs_o == fs_r, case
                         np.testing.assert_array_equal(sig_o, sig_r)
+
+
+# ---------------------------------------------------------------------------
+# ROI editor: the reference's mouse state machine driven by REAL matplotlib
+# MouseEvents on the Agg canvas vs RoiEditorController fed the same
+# coordinates
+# ---------------------------------------------------------------------------
+
+from matplotlib.backend_bases import MouseEvent
+
+
+def _mouse(engine, name, ax, x_data, button=None):
+    """A real MouseEvent at data-x (mid-y) of the given axes; the engine's
+    handlers read inaxes/xdata/button exactly as under Qt."""
+    engine.fig.canvas.draw()
+    y0, y1 = ax.get_ylim()
+    xp, yp = ax.transData.transform((x_data, 0.5 * (y0 + y1)))
+    return MouseEvent(name, engine.fig.canvas, float(xp), float(yp),
+                      button=button)
+
+
+def _mouse_outside(engine, name, button=None):
+    """An event outside every axes (inaxes None, xdata None)."""
+    return MouseEvent(name, engine.fig.canvas, 1.0, 1.0, button=button)
+
+
+def _interaction_pair():
+    """Reference engine + our controller over the same 30 s plot."""
+    rng = np.random.RandomState(20)
+    sig = burst_signal(rng, spans=())
+    engine = reference_exec.make_engine()
+    engine.fig.set_size_inches(4, 3)
+    engine.plot_extra(signal_raw=sig, signal_proc=None, fs=FS,
+                      settings=ref_settings(nperseg=512))
+    engine.set_editing_enabled(True)
+
+    s = session_with(sig)
+    s.plot_sweeps(["rec_sweep0"], our_config(nperseg=512),
+                  ViewSettings(draw_raw=True, mode_raw="Spectrogram"))
+    from spectral_tpu.gui.controller import RoiEditorController
+    ctl = RoiEditorController(s)
+    ctl.set_editing_enabled(True)
+    return engine, s, ctl
+
+
+def _ref_patches(engine):
+    return sorted(tuple(p[0].event_data) for p in engine.burst_patches)
+
+
+def _dispatch(engine, name, event):
+    """Route through the canvas callback registry, exactly as connected by
+    set_editing_enabled (PlotEngine.py:491-495)."""
+    engine.fig.canvas.callbacks.process(name, event)
+
+
+def _add(engine, ctl, ax, a, b, n_moves=2):
+    """Synchronized drag-add: ours consumes the xdata the reference's events
+    actually carried (bit-identical coordinates)."""
+    ev_p = _mouse(engine, "button_press_event", ax, a, button=1)
+    _dispatch(engine, "button_press_event", ev_p)
+    ctl.on_press(ev_p.xdata, button=1)
+    for frac in np.linspace(0.3, 0.9, n_moves):
+        xm = a + (b - a) * frac
+        ev_m = _mouse(engine, "motion_notify_event", ax, xm)
+        _dispatch(engine, "motion_notify_event", ev_m)
+        ctl.on_motion(ev_m.xdata)
+        assert (engine.adding_patch is not None) == (ctl.drag_span is not None)
+    ev_r = _mouse(engine, "button_release_event", ax, b)
+    _dispatch(engine, "button_release_event", ev_r)
+    ctl.on_release(ev_r.xdata)
+
+
+def _hover(engine, ctl, ax, x):
+    ev_m = _mouse(engine, "motion_notify_event", ax, x)
+    _dispatch(engine, "motion_notify_event", ev_m)
+    ctl.on_motion(ev_m.xdata)
+
+
+def _hover_state(engine, ctl):
+    ref = (tuple(engine.hovered_patch[0].event_data)
+           if engine.hovered_patch else None)
+    ours = (tuple(ctl.patches()[ctl.hover]) if ctl.hover is not None
+            else None)
+    return ref, ours
+
+
+def test_roi_add_hover_merge_differential_fuzz():
+    """A seeded random script of drag-adds (both axes), hover probes,
+    out-of-axes drag cancels and right-click merges, driven through the
+    reference's connected handlers (PlotEngine.py:497-645) and mirrored
+    into RoiEditorController — patch lists bit-identical after every
+    action, hover states identical at every probe."""
+    engine, s, ctl = _interaction_pair()
+    ref = reference_exec.load()
+    rng = np.random.RandomState(21)
+    axes = [engine.ax_signal, engine.ax_spec]
+
+    def free_x():
+        """A probe point well clear of every patch edge (pixel-space
+        contains() and data-space hit tests must agree there)."""
+        for _ in range(50):
+            x = float(rng.uniform(0.5, 29.5))
+            if all(not (a - 0.75 < x < b + 0.75)
+                   for a, b in _ref_patches(engine)):
+                return x
+        return None
+
+    def patch_center():
+        ps = _ref_patches(engine)
+        if not ps:
+            return None
+        a, b = ps[rng.randint(len(ps))]
+        return 0.5 * (a + b)
+
+    for step in range(40):
+        ax = axes[rng.randint(2)]
+        op = rng.choice(["add", "add_contained", "hover_patch",
+                         "hover_free", "cancel", "merge", "menu_dismiss",
+                         "tiny_add"])
+        if op == "add":
+            a = float(rng.uniform(0.5, 25.0))
+            b = a + float(rng.uniform(2.0, 4.0))
+            _add(engine, ctl, ax, a, b)
+        elif op == "add_contained":
+            ps = _ref_patches(engine)
+            wide = [p for p in ps if p[1] - p[0] > 2.5]
+            if not wide:
+                continue
+            a0, b0 = wide[rng.randint(len(wide))]
+            a = a0 + 0.3 * (b0 - a0)
+            b = a0 + 0.7 * (b0 - a0)
+            _add(engine, ctl, ax, a, b)
+        elif op == "hover_patch":
+            x = patch_center()
+            if x is None:
+                continue
+            _hover(engine, ctl, ax, x)
+            r, o = _hover_state(engine, ctl)
+            assert r is not None and r == o, (step, r, o)
+        elif op == "hover_free":
+            x = free_x()
+            if x is None:
+                continue
+            _hover(engine, ctl, ax, x)
+            r, o = _hover_state(engine, ctl)
+            assert r == o, (step, r, o)
+        elif op == "cancel":
+            a = float(rng.uniform(0.5, 29.0))
+            ev_p = _mouse(engine, "button_press_event", ax, a, button=1)
+            _dispatch(engine, "button_press_event", ev_p)
+            ctl.on_press(ev_p.xdata, button=1)
+            ev_r = _mouse_outside(engine, "button_release_event")
+            _dispatch(engine, "button_release_event", ev_r)
+            ctl.on_release(ev_r.xdata)  # None: discarded on both sides
+        elif op == "tiny_add":
+            a = float(rng.uniform(0.5, 29.0))
+            _add(engine, ctl, ax, a, a + 4e-4, n_moves=1)  # < one sample
+        elif op in ("merge", "menu_dismiss"):
+            x = patch_center()
+            if x is None:
+                continue
+            _hover(engine, ctl, ax, x)
+            choice = "Merge" if op == "merge" else None
+            ref.qt_stub.QMenu.next_choice = choice
+            try:
+                ev_p = _mouse(engine, "button_press_event", ax, x, button=3)
+                _dispatch(engine, "button_press_event", ev_p)
+                act = ctl.on_press(ev_p.xdata, button=3)
+                if act == "menu" and choice == "Merge":
+                    ctl.merge_hovered()
+            finally:
+                ref.qt_stub.QMenu.next_choice = None
+            # hover bookkeeping differs after a no-op merge (the reference
+            # keeps the highlight, we clear it); resync via a neutral probe
+            xf = free_x()
+            if xf is not None:
+                _hover(engine, ctl, ax, xf)
+
+        assert _ref_patches(engine) == sorted(map(tuple, ctl.patches())), \
+            (step, op)
+        assert sorted(map(tuple, engine.last_detected_events)) == \
+            sorted(map(tuple, s.last_detected_events)), (step, op)
+
+    assert len(_ref_patches(engine)) > 0  # the fuzz actually built state
+
+
+def test_roi_delete_divergence_is_the_documented_one():
+    """The reference's Delete removes the PATCH but leaves the event in
+    last_detected_events (remove_patch, PlotEngine.py:647-653 — so a
+    deleted burst still exports to CSV); we deliberately drop it from both
+    (api/session.delete_roi docstring). Pin the exact divergence by
+    executing the reference."""
+    engine, s, ctl = _interaction_pair()
+    ref = reference_exec.load()
+    for a, b in ((3.0, 5.0), (10.0, 13.0)):
+        _add(engine, ctl, engine.ax_signal, a, b)
+    target = _ref_patches(engine)[0]
+    x = 0.5 * (target[0] + target[1])
+    _hover(engine, ctl, engine.ax_signal, x)
+    ref.qt_stub.QMenu.next_choice = "Delete"
+    try:
+        ev_p = _mouse(engine, "button_press_event", engine.ax_signal, x,
+                      button=3)
+        _dispatch(engine, "button_press_event", ev_p)
+        act = ctl.on_press(ev_p.xdata, button=3)
+        assert act == "menu"
+        ctl.delete_hovered()
+    finally:
+        ref.qt_stub.QMenu.next_choice = None
+
+    # both sides dropped the patch
+    assert _ref_patches(engine) == sorted(map(tuple, ctl.patches()))
+    assert len(_ref_patches(engine)) == 1
+    # the reference still exports the deleted event; we do not
+    assert len(engine.last_detected_events) == 2
+    assert len(s.last_detected_events) == 1
+
+
+def test_roi_merge_unions_only_contained_matches_reference():
+    """Merge semantics verified against the executing reference: the union
+    covers only patches geometrically CONTAINED in the hovered one
+    (PlotEngine.py:567-599) — an overlapping-but-not-contained patch
+    survives."""
+    engine, s, ctl = _interaction_pair()
+    ref = reference_exec.load()
+    _add(engine, ctl, engine.ax_signal, 5.0, 15.0)    # container
+    _add(engine, ctl, engine.ax_spec, 7.0, 9.0)       # contained
+    _add(engine, ctl, engine.ax_signal, 11.0, 12.5)   # contained
+    _add(engine, ctl, engine.ax_spec, 14.0, 18.0)     # overlaps, not contained
+    x = 6.0  # inside the container only
+    _hover(engine, ctl, engine.ax_signal, x)
+    ref.qt_stub.QMenu.next_choice = "Merge"
+    try:
+        ev_p = _mouse(engine, "button_press_event", engine.ax_signal, x,
+                      button=3)
+        _dispatch(engine, "button_press_event", ev_p)
+        assert ctl.on_press(ev_p.xdata, button=3) == "menu"
+        ctl.merge_hovered()
+    finally:
+        ref.qt_stub.QMenu.next_choice = None
+    assert _ref_patches(engine) == sorted(map(tuple, ctl.patches()))
+    assert sorted(map(tuple, engine.last_detected_events)) == \
+        sorted(map(tuple, s.last_detected_events))
+
+
+# ---------------------------------------------------------------------------
+# batch signal PNG export semantics
+# ---------------------------------------------------------------------------
+
+class _RecorderPlt:
+    """Stands in for ExportManager's module-level pyplot: real Figures (tiny),
+    savefig records (path, xlim, ylim, n_samples) instead of rasterizing the
+    reference's 3000-dpi output."""
+
+    def __init__(self):
+        self.saved = []
+
+    def figure(self, figsize=None):
+        from matplotlib.figure import Figure
+        fig = Figure(figsize=(2, 1))
+        saved = self.saved
+
+        def savefig(path, **kw):
+            ax = fig.axes[0]
+            saved.append((os.path.basename(str(path)), ax.get_xlim(),
+                          ax.get_ylim(), len(ax.lines[0].get_xdata())))
+        fig.savefig = savefig
+        return fig
+
+    def close(self, fig):
+        pass
+
+
+@pytest.mark.parametrize("use_proc,use_raw", [(False, True), (True, False),
+                                              (True, True)])
+def test_batch_png_export_semantics_match_reference(tmp_path, use_proc,
+                                                    use_raw):
+    """export_batch_signals_to_png executing end to end (shared symmetric
+    y-limit over every checked stream, processed-over-raw + fs_raw choice,
+    raw-without-rate skip, missing-name skip, filename sanitization, the
+    fixed 0-300 s window — ExportManager.py:113-189) vs
+    export_batch_signals_png: same exported set, and our PNG bytes
+    reproduce under the reference's recorded y-limit."""
+    import types as _types
+    ref = reference_exec.load()
+    rng = np.random.RandomState(22)
+
+    entries = {
+        "recA_sweep0": dict(raw=rng.randn(4000) * 3.0,
+                            proc=rng.randn(4000) * 0.5,
+                            fs=1000.0, fs_raw=500.0),
+        "recB_sweep0": dict(raw=rng.randn(2000) * 7.0, proc=None,
+                            fs=1000.0, fs_raw=None),     # raw has no rate
+        "recC_sweep0": dict(raw=rng.randn(3000) * 2.0, proc=None,
+                            fs=2000.0, fs_raw=2000.0),
+        'we:ird_sweep0': dict(raw=np.ones(100), proc=None,
+                              fs=100.0, fs_raw=100.0),   # sanitized name
+    }
+    names = list(entries) + ["missing_sweep9"]
+
+    mgr = ref.SweepManager()
+    reg = SweepRegistry()
+    for nm, e in entries.items():
+        mgr.data[nm] = {"filepath": "/f", "sweep_idx": 0, "fs": e["fs"],
+                        "fs_raw": e["fs_raw"], "raw": e["raw"],
+                        "processed": e["proc"]}
+        reg.register(nm, SweepEntry("/f", 0, e["fs"], e["fs_raw"],
+                                    e["raw"], e["proc"]))
+
+    rec = _RecorderPlt()
+    em = ref.ExportManager()
+    saved_plt = ref.export_manager_mod.plt
+    ref.export_manager_mod.plt = rec
+    ref.qt_stub.QFileDialog.next_directory = str(tmp_path / "ref")
+    try:
+        parent = _types.SimpleNamespace(
+            chk_processed=_types.SimpleNamespace(isChecked=lambda: use_proc),
+            chk_original=_types.SimpleNamespace(isChecked=lambda: use_raw))
+        msg = em.export_batch_signals_to_png(
+            None, mgr, [_Item(n) for n in names], parent_widget=parent)
+    finally:
+        ref.export_manager_mod.plt = saved_plt
+
+    our_dir = tmp_path / "ours"
+    from spectral_tpu.api.export import export_batch_signals_png
+    our_msg = export_batch_signals_png(str(our_dir), reg, names,
+                                       use_proc=use_proc, use_raw=use_raw,
+                                       height=64, width=256)
+
+    ref_names = sorted(p for p, _, _, _ in rec.saved)
+    our_names = sorted(p.name for p in our_dir.glob("*.png"))
+    assert our_names == ref_names, (msg, our_msg)
+    assert int(msg.split()[1]) == int(our_msg.split()[1])
+
+    if rec.saved:
+        # identical shared symmetric y-limit and the fixed 0-300 s window
+        ylims = {y for _, _, y, _ in rec.saved}
+        xlims = {x for _, x, _, _ in rec.saved}
+        assert xlims == {(0.0, 300.0)}
+        assert len(ylims) == 1
+        (ylo, yhi), = ylims
+        assert ylo == -yhi
+        # closing the loop: our written pixels reproduce under the
+        # reference's recorded limit
+        import jax.numpy as jnp
+        from spectral_tpu.render.waveform import waveform_rgba
+        from spectral_tpu.ops.colormap import unpack_rgba
+        import jax
+        nm = next(n for n in entries if f"{n.replace(':', '_')}.png"
+                  in our_names or f"{n}.png" in our_names)
+        e = entries[nm]
+        if use_proc and e["proc"] is not None:
+            sig, fs = e["proc"], e["fs"]
+        else:
+            sig, fs = e["raw"], e["fs_raw"]
+        img = waveform_rgba(jnp.asarray(np.asarray(sig, np.float32)),
+                            height=64, width=256, y_limit=float(yhi),
+                            n_samples_visible=int(300.0 * fs))
+        packed = jax.lax.bitcast_convert_type(img, jnp.uint32)
+        expected = unpack_rgba(np.asarray(packed)).reshape(64, 256, 4)
+        from spectral_tpu.render.png import encode_png
+        p_expected = tmp_path / "expected.png"
+        encode_png(expected, path=str(p_expected), compress_level=4)
+        safe = nm.replace(":", "_")
+        assert (our_dir / f"{safe}.png").read_bytes() == \
+            p_expected.read_bytes()
