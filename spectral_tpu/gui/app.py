@@ -331,6 +331,11 @@ def build_window():
             checkboxes, and the status reports the max amplitude across
             them (:251-252, :275)."""
             names = self._selected_names()
+            if len(names) < 2:  # GUI.py:228-230
+                QtWidgets.QMessageBox.warning(
+                    self, "Need More Sweeps",
+                    "Please select at least two sweeps to combine.")
+                return
             try:
                 new = self.controller.register_combined(names)
                 self._add_tree_item(new)
@@ -342,6 +347,15 @@ def build_window():
                     f"Combined signal added as {new}.")   # GUI.py:273
                 self.status.setText(f"Status: Added combined signal {new} "
                                     f"(max amplitude: {amplitude:.2f})")
+            except ValueError as e:
+                if "Mixed sampling rates" in str(e):  # GUI.py:243-245
+                    QtWidgets.QMessageBox.critical(
+                        self, "Sampling Rate Mismatch",
+                        "All selected signals must have the same "
+                        "sampling rate.")
+                else:
+                    QtWidgets.QMessageBox.critical(self, "Combine error",
+                                                   str(e))
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Combine error", str(e))
 

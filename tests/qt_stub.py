@@ -38,15 +38,18 @@ class QSettings(QObject):
     def __init__(self, org, app):
         self._store = QSettings._stores.setdefault((org, app), {})
 
-    def value(self, key, default=None, typ=None):
+    def value(self, key, default=None, type=None, typ=None):
+        # Qt's keyword is `type=`; the positional third argument lands there
+        # too. `typ=` kept for older callers.
+        t = type if type is not None else typ
         v = self._store.get(key, default)
-        if typ is bool:
+        if t is bool:
             return bool(v)
-        if typ is int:
+        if t is int:
             return int(v)
-        if typ is float:
+        if t is float:
             return float(v)
-        if typ is str:
+        if t is str:
             return "" if v is None else str(v)
         return v
 
@@ -57,6 +60,8 @@ class QSettings(QObject):
 class Qt:
     UserRole = 256
     CustomContextMenu = 3
+    Horizontal = 1
+    Vertical = 2
 
 
 class QPoint:
@@ -102,12 +107,34 @@ class _Widget(QObject):
     def setLayout(self, l):
         pass
 
+    def setToolTip(self, t):
+        pass
+
 
 class QWidget(_Widget):
     pass
 
 
 class QMainWindow(_Widget):
+    pass
+
+
+class QSplitter(_Widget):
+    def __init__(self, orientation=None):
+        super().__init__()
+
+    def setSizes(self, sizes):
+        pass
+
+    def setStretchFactor(self, index, factor):
+        pass
+
+
+class QGroupBox(_Widget):
+    pass
+
+
+class QFrame(_Widget):
     pass
 
 
@@ -118,14 +145,17 @@ class _Layout(QObject):
         if parent is not None:      # QVBoxLayout(dialog) attaches itself
             parent._layout = self
 
-    def addWidget(self, w, *a):
+    def addWidget(self, w, *a, **k):
         self.items.append(w)
 
-    def addLayout(self, l, *a):
+    def addLayout(self, l, *a, **k):
         self.items.append(l)
 
     def addRow(self, a, b=None):
         self.items.append((a, b))
+
+    def addStretch(self, stretch=0):
+        pass
 
 
 class QHBoxLayout(_Layout):
@@ -137,6 +167,10 @@ class QVBoxLayout(_Layout):
 
 
 class QFormLayout(_Layout):
+    pass
+
+
+class QGridLayout(_Layout):
     pass
 
 
@@ -173,6 +207,19 @@ class QTreeWidget(_Widget):
 
     def setHeaderLabel(self, s):
         pass
+
+    def setHeaderHidden(self, v):
+        pass
+
+    def setIndentation(self, n):
+        pass
+
+    def viewport(self):
+        class _Viewport:
+            @staticmethod
+            def mapToGlobal(pos):
+                return pos
+        return _Viewport()
 
     def setSelectionMode(self, m):
         pass
@@ -255,6 +302,13 @@ class QComboBox(_Widget):
 
     def currentText(self):
         return self._current
+
+    def findText(self, t):
+        return self._items.index(t) if t in self._items else -1
+
+    def setCurrentIndex(self, i):
+        if 0 <= i < len(self._items):
+            self.setCurrentText(self._items[i])
 
 
 class _SpinBase(_Widget):

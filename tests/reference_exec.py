@@ -84,14 +84,13 @@ class _RefHMM:
 
 
 def _import_from(path: Path, modname: str):
+    """Import under the module's canonical name so siblings can resolve it
+    (GUI.py does `from PlotEngine import PlotEngine`); load() pops every
+    canonical name from sys.modules once all four are in."""
     spec = importlib.util.spec_from_file_location(modname, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[modname] = mod
-    try:
-        spec.loader.exec_module(mod)
-    finally:
-        # keep it importable by siblings during load only
-        sys.modules.pop(modname, None)
+    spec.loader.exec_module(mod)
     return mod
 
 
@@ -113,7 +112,8 @@ def load():
     saved = {name: sys.modules.get(name) for name in (
         "PyQt5", "PyQt5.QtCore", "PyQt5.QtGui", "PyQt5.QtWidgets",
         "matplotlib.backends.backend_qt5agg", "hmmlearn", "hmmlearn.hmm",
-        "pyabf", "neo", "neo.io")}
+        "pyabf", "neo", "neo.io",
+        "PlotEngine", "ExportManager", "SweepManager", "GUI")}
 
     qt_stub.install()
 
@@ -139,12 +139,12 @@ def load():
     sys.modules["neo.io"] = neo_io_mod
 
     try:
-        plot_engine = _import_from(REF_DIR / "PlotEngine.py",
-                                   "_ref_plot_engine")
+        plot_engine = _import_from(REF_DIR / "PlotEngine.py", "PlotEngine")
         export_manager = _import_from(REF_DIR / "ExportManager.py",
-                                      "_ref_export_manager")
+                                      "ExportManager")
         sweep_manager = _import_from(REF_DIR / "SweepManager.py",
-                                     "_ref_sweep_manager")
+                                     "SweepManager")
+        gui = _import_from(REF_DIR / "GUI.py", "GUI")
     finally:
         # restore sys.modules exactly; the reference modules keep the stub
         # classes alive through their own globals
@@ -158,12 +158,26 @@ def load():
         PlotEngine=plot_engine.PlotEngine,
         ExportManager=export_manager.ExportManager,
         SweepManager=sweep_manager.SweepManager,
+        GUI=gui.SpectrogramGeneratorGUI,
         plot_engine_mod=plot_engine,
         export_manager_mod=export_manager,
         sweep_manager_mod=sweep_manager,
+        gui_mod=gui,
         qt_stub=qt_stub,
     )
     return _cache
+
+
+def make_gui():
+    """A fresh reference SpectrogramGeneratorGUI on the qt stub (its
+    PlotEngine canvas renders on the real Agg backend). Call
+    qt_stub.QSettings._stores.clear() in the test if settings isolation
+    matters — the reference persists under ("MyCompany",
+    "SpectrogramGenerator")."""
+    ref = load()
+    win = ref.GUI()
+    win.canvas.parent = lambda: win  # FigureCanvasAgg has no parent()
+    return win
 
 
 def make_engine():
