@@ -152,6 +152,16 @@ def build_window():
             self.status = QtWidgets.QLabel("Status: Ready")  # GUI.py:159
             panel.addWidget(self.status)
 
+            # whether the CURRENT plot requested a spectrogram pane. The
+            # session computes one for every plot (headless API need), but
+            # the reference's detect/learn/band-power guards key on its
+            # spec_data_source/last_Sxx, which only a spectrogram-mode plot
+            # sets (PlotEngine.py:95-105) — so the shell gates those
+            # actions here (deviation from the reference's STALE regime is
+            # deliberate and pinned: tests/test_reference_gui_differential
+            # .py::test_signal_only_replot_stale_power_quirk)
+            self._spec_plotted = False
+
             # right: incremental figure view + matplotlib canvas fed from
             # the headless session. The view owns ONE persistent Figure:
             # plot/clear/reset rebuild its static layers, mouse events only
@@ -410,8 +420,24 @@ def build_window():
                     else:
                         text = ("Plotted single sweep: "
                                 f"{os.path.basename(names[0])}")
-                    self.status.setText(f"{text} | Total Power: "
-                                        f"{power:.6f}")
+                    # the Total Power suffix appears only when this plot
+                    # requested a spectrogram pane (the reference's
+                    # source_candidate gate, PlotEngine.py:95-99 +
+                    # GUI.py:450-453). Deliberate deviation: when no pane
+                    # is requested the reference reports the PREVIOUS
+                    # plot's power (clear(), :68-76, never resets
+                    # last_Sxx); we report none (pinned by executing the
+                    # reference: tests/test_reference_gui_differential.py
+                    # ::test_signal_only_replot_stale_power_quirk)
+                    spec_requested = (
+                        (view.mode_proc in ("Spectrogram", "Both")
+                         and self.session.signal_proc is not None)
+                        or (view.mode_raw in ("Spectrogram", "Both")
+                            and self.session.signal_raw is not None))
+                    self._spec_plotted = spec_requested
+                    if spec_requested:
+                        text = f"{text} | Total Power: {power:.6f}"
+                    self.status.setText(text)
             except Exception as e:
                 QtWidgets.QMessageBox.critical(self, "Plot error", str(e))
 
@@ -429,7 +455,8 @@ def build_window():
         def detect(self):
             """GUI.py:455-476 — guard, progress, 0-event dialog and
             status strings are the reference's exact text."""
-            if self.session.spec_data_source is None:
+            if self.session.spec_data_source is None or \
+                    not self._spec_plotted:
                 QtWidgets.QMessageBox.warning(
                     self, "Action Required",
                     "Please plot a signal before running detection.")
@@ -456,7 +483,8 @@ def build_window():
         def learn(self):
             """GUI.py:286-312 — the semi-supervised 'Learn from Examples'
             workflow with the reference's guards and status strings."""
-            if self.session.spec_data_source is None:
+            if self.session.spec_data_source is None or \
+                    not self._spec_plotted:
                 QtWidgets.QMessageBox.warning(
                     self, "Action Required",
                     "Please plot a signal before learning from it.")
@@ -540,6 +568,7 @@ def build_window():
             self.tree.clear()
             self.session.clear()
             self.chk_edit.setChecked(False)
+            self._spec_plotted = False
             self._redraw()
             # the reference's clear_all leaves the status label untouched
             # (GUI.py:478-483)
@@ -548,6 +577,7 @@ def build_window():
             """GUI.py:350-357: reset the HMM and clear the canvas."""
             self.session.reset_model()
             self.session.clear()
+            self._spec_plotted = False
             self._redraw()
             QtWidgets.QMessageBox.information(
                 self, "Model Status",
@@ -562,7 +592,7 @@ def build_window():
             line, one bare '100*ratio:.2f' line per EEG band (:546-549),
             in a read-only QTextEdit titled 'Band Power Results'
             (:552-566)."""
-            if self.session.last_sxx is None:
+            if self.session.last_sxx is None or not self._spec_plotted:
                 QtWidgets.QMessageBox.warning(
                     self, "No Spectrogram",
                     "Please plot a signal with a spectrogram first.")

@@ -372,3 +372,166 @@ def test_tree_click_plots_single_and_unchecks_combine(pair):
     assert_status_eq(our_win.status.text(), ref_win.status_label.text())
     assert ref_win.status_label.text().startswith(
         "Plotted single sweep: demo_sweep1")
+
+
+def test_gui_random_walk_differential(pair, tmp_path):
+    """A seeded 50-step random walk over both shells — widget flips, plots,
+    detects, editing toggles, band powers, combines, CSV exports, tree
+    clicks, model resets — comparing after every step: status line (numeric
+    tails tolerant), the message-box stream, and the learn/refine gate
+    states. Catches wiring divergences no scenario test enumerates."""
+    ref_win, our_win = pair
+    rng = np.random.RandomState(33)
+    csv_counter = [0]
+
+    def both_status():
+        assert_status_eq(our_win.status.text(), ref_win.status_label.text())
+
+    # RAW stays checked and its mode stays spectrogram-bearing throughout:
+    # signal-only plots put the reference into its stale-state regime
+    # (clear() never resets last_Sxx/spec_data_source, PlotEngine.py:68-76,
+    # so power/detect read the PREVIOUS plot) — a deliberate divergence
+    # pinned by test_signal_only_replot_stale_power_quirk, not walked here.
+    ref_win.chk_original.setChecked(True)
+    our_win.chk_raw.setChecked(True)
+
+    def act_toggle():
+        which = rng.randint(2)
+        v = bool(rng.randint(2))
+        [(ref_win.chk_combine, our_win.chk_combine),
+         (ref_win.chk_log, our_win.chk_log)][which][0].setChecked(v)
+        [(ref_win.chk_combine, our_win.chk_combine),
+         (ref_win.chk_log, our_win.chk_log)][which][1].setChecked(v)
+
+    def act_combo():
+        mode = ["Spectrogram", "Both"][rng.randint(2)]
+        ref_win.combo_display_org.setCurrentText(mode)
+        our_win.combo_raw.setCurrentText(mode)
+
+    def act_params():
+        nperseg = [512, 1024][rng.randint(2)]
+        fmax = [20.0, 30.0, 40.0][rng.randint(3)]
+        ref_win.spin_nperseg.setValue(nperseg)
+        our_win.spin_nperseg.setValue(nperseg)
+        ref_win.spin_fmax.setValue(fmax)
+        our_win.spin_fmax.setValue(fmax)
+
+    def act_select():
+        n = ref_win.file_tree.topLevelItemCount()
+        chosen = {i for i in range(n) if rng.randint(2)}
+        # trees grew in lockstep (combine adds), same count both sides
+        assert our_win.tree.topLevelItemCount() == n
+        _select(ref_win, our_win, chosen)
+
+    def act_plot():
+        ref_boxes = _guard(lambda: ref_win.plot_selected())
+        our_boxes = _guard(lambda: our_win.plot_selected())
+        assert our_boxes == ref_boxes
+
+    def act_detect():
+        ref_boxes = _guard(lambda: ref_win.on_detect_clicked())
+        our_boxes = _guard(lambda: our_win.detect())
+        assert [b[:2] for b in our_boxes] == [b[:2] for b in ref_boxes]
+
+    def act_edit_toggle():
+        v = bool(rng.randint(2))
+        ref_win.chk_enable_editing.setChecked(v)
+        our_win.chk_edit.setChecked(v)
+        assert our_win.btn_refine.isEnabled() \
+            == ref_win.btn_refine_model.isEnabled()
+
+    def act_reset():
+        assert _guard(lambda: ref_win.on_reset_model_clicked()) \
+            == _guard(lambda: our_win.reset_model())
+        # re-plot immediately: after clear() the reference would detect on
+        # its STALE spec_data_source (never reset, PlotEngine.py:68-76)
+        # while we require a fresh plot — the same pinned stale-state
+        # divergence; keep the walk inside the aligned regime
+        _select(ref_win, our_win, {0})
+        ref_win.plot_selected()
+        our_win.plot_selected()
+
+    def act_band_power():
+        qt_stub.QDialog.shown.clear()
+        ref_boxes = _guard(lambda: ref_win.on_band_power_clicked())
+        our_boxes = _guard(lambda: our_win.band_powers())
+        assert our_boxes == ref_boxes
+        assert len(qt_stub.QDialog.shown) in (0, 2)
+
+    def act_csv():
+        csv_counter[0] += 1
+        ref_p = tmp_path / f"walk_ref{csv_counter[0]}.csv"
+        our_p = tmp_path / f"walk_our{csv_counter[0]}.csv"
+        qt_stub.QFileDialog.next_save_file = str(ref_p)
+        ref_boxes = _guard(lambda: ref_win.export_csv())
+        qt_stub.QFileDialog.next_save_file = str(our_p)
+        our_boxes = _guard(lambda: our_win.export_csv())
+        assert [b[:2] for b in our_boxes] == [b[:2] for b in ref_boxes]
+        assert ref_p.exists() == our_p.exists()
+        if ref_p.exists():
+            assert len(our_p.read_bytes().splitlines()) \
+                == len(ref_p.read_bytes().splitlines())
+
+    def act_combine_add():
+        ref_boxes = _guard(lambda: ref_win.on_add_combined_entry())
+        our_boxes = _guard(lambda: our_win.register_combined())
+        assert [b[:2] for b in our_boxes] == [b[:2] for b in ref_boxes]
+        if our_win.tree.topLevelItemCount() \
+                != ref_win.file_tree.topLevelItemCount():
+            raise AssertionError("trees diverged after combine")
+
+    def act_tree_click():
+        n = ref_win.file_tree.topLevelItemCount()
+        i = rng.randint(n)
+        ref_win.on_tree_item_clicked(ref_win.file_tree.topLevelItem(i), 0)
+        our_win.on_tree_item_clicked(our_win.tree.topLevelItem(i), 0)
+        assert ref_win.chk_combine.isChecked() \
+            == our_win.chk_combine.isChecked() is False
+
+    actions = [act_toggle, act_combo, act_params, act_select, act_plot,
+               act_plot, act_detect, act_edit_toggle, act_reset,
+               act_band_power, act_csv, act_combine_add, act_tree_click]
+    for step in range(50):
+        act = actions[rng.randint(len(actions))]
+        try:
+            act()
+            both_status()
+        except AssertionError as e:
+            raise AssertionError(f"step {step}: {act.__name__}: {e}")
+
+
+def test_signal_only_replot_stale_power_quirk(pair):
+    """PlotEngine.clear() (:68-76) never resets last_Sxx/spec_data_source,
+    so a Signal-only replot makes the reference report the PREVIOUS plot's
+    total power in the status (GUI.py:450-453) and detect on the previous
+    plot's source. We deliberately do not reproduce the stale state: the
+    suffix is omitted and detection follows the current plot. Executed
+    against the reference to pin the exact divergence."""
+    ref_win, our_win = pair
+    _select(ref_win, our_win, {0})
+    _arm_plot(ref_win, our_win, raw_mode="Both")
+    ref_win.plot_selected()
+    our_win.plot_selected()
+    assert " | Total Power: " in ref_win.status_label.text()
+    stale_sxx = ref_win.canvas.last_Sxx
+
+    # signal-only replot: no spectrogram pane requested
+    ref_win.combo_display_org.setCurrentText("Signal")
+    our_win.combo_raw.setCurrentText("Signal")
+    ref_win.plot_selected()
+    our_win.plot_selected()
+
+    # the reference's suffix is the STALE power of the previous plot
+    assert ref_win.status_label.text().startswith(
+        "Plotted single sweep: demo_sweep0 | Total Power: ")
+    assert ref_win.canvas.last_Sxx is stale_sxx
+    # ours reports the plot without a power suffix
+    assert our_win.status.text() == "Plotted single sweep: demo_sweep0"
+
+    # ... and detection: the reference silently runs on the STALE source
+    # (its guard keys on the never-cleared spec_data_source, GUI.py:456),
+    # while we require the current plot to carry a spectrogram
+    assert _guard(lambda: ref_win.on_detect_clicked()) == []
+    assert _guard(lambda: our_win.detect()) == [
+        ("warning", "Action Required",
+         "Please plot a signal before running detection.")]
