@@ -874,3 +874,130 @@ def test_batch_png_export_semantics_match_reference(tmp_path, use_proc,
         safe = nm.replace(":", "_")
         assert (our_dir / f"{safe}.png").read_bytes() == \
             p_expected.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# display-math fuzz: random configs + degenerate inputs per case, the
+# reference executing each one
+# ---------------------------------------------------------------------------
+
+def _random_case(rng, i):
+    """One (signal, settings) draw across the GUI-legal space, salted with
+    degenerate shapes."""
+    kind = i % 7
+    nperseg = int(rng.choice([32, 96, 256, 480, 1024, 2048]))
+    fs = float(rng.choice([250.0, 1000.0, 16000.0]))
+    nyq = fs / 2
+    fmin = float(rng.uniform(0, nyq * 0.3))
+    fmax = float(rng.uniform(fmin + nyq * 0.05, nyq * 1.2))  # may exceed nyq
+    log_scale = bool(rng.randint(2))
+    n = int(rng.randint(nperseg * 3, nperseg * 20))
+    sig = rng.randn(n) * rng.uniform(0.01, 10.0)
+    if kind == 1:      # short signal: scipy shrinks nperseg to len(sig)
+        n = int(rng.randint(8, nperseg))
+        sig = rng.randn(n)
+    elif kind == 2:    # constant signal (degenerate dB rescale)
+        sig = np.full(n, float(rng.uniform(-2, 2)))
+    elif kind == 3:    # all zero
+        sig = np.zeros(n)
+    elif kind == 4:    # empty band: fmin above Nyquist
+        fmin, fmax = nyq * 1.05, nyq * 1.3
+    elif kind == 5:    # strong tone
+        sig = np.sin(2 * np.pi * min(fs / 8, 40.0)
+                     * np.arange(n) / fs) * 3.0
+    gm = float(rng.uniform(1e-6, 1e2)) if kind == 6 else None
+    return sig.astype(np.float64), nperseg, fs, fmin, fmax, log_scale, gm
+
+
+@pytest.mark.parametrize("trial", range(24))
+def test_display_math_fuzz_matches_reference(trial):
+    """_plot_spectrogram executing across the config space incl. the
+    degenerate branches (short-signal shrink, empty band early-return
+    :122-124, constant/zero inputs, caller-supplied global_max :126)."""
+    rng = np.random.RandomState(1000 + trial)
+    sig, nperseg, fs, fmin, fmax, log_scale, gm = _random_case(rng, trial)
+
+    engine = reference_exec.make_engine()
+    settings = ref_settings(nperseg=nperseg, fmin=fmin, fmax=fmax,
+                            log_scale=log_scale)
+    engine.plot_extra(signal_raw=sig, signal_proc=None, fs=fs,
+                      settings=settings, global_max=gm)
+
+    s = session_with(sig, fs=fs)
+    res = s.plot_sweeps(
+        ["rec_sweep0"],
+        SpecConfig.scipy_default(nperseg, fmin=fmin, fmax=fmax,
+                                 log_scale=log_scale),
+        ViewSettings(draw_raw=True, draw_proc=False,
+                     mode_raw="Spectrogram"),
+        global_max=gm)
+
+    np.testing.assert_allclose(res.f, engine.last_f, rtol=0, atol=1e-9)
+    if engine.last_Sxx.size == 0:
+        # reference early-return: empty band leaves last_t cleared
+        assert engine.last_t.size == 0
+        assert res.sxx.size == 0 and s.last_t.size == 0
+        return
+    np.testing.assert_allclose(res.t, engine.last_t, rtol=0, atol=1e-9)
+    ref_img = quadmesh_array(engine)
+    assert res.image.shape == ref_img.shape
+    peak = float(engine.last_Sxx.max()) if engine.last_Sxx.size else 0.0
+    if gm is None and peak < 1e-18:
+        # no spectral content (e.g. an exactly-constant input): the
+        # reference's +1e-20 floor (PlotEngine.py:127) blanks its f64
+        # detrend residue; an f32 pipeline's residue sits above the floor
+        # and normalizes to quantization noise — pinned as a documented
+        # boundary in test_constant_signal_display_is_f32_boundary
+        assert np.all(ref_img < 1e-4)
+        assert np.all((res.image >= 0) & (res.image <= 1))
+        return
+    # image tolerance: the display contract is ~1e-3 dB before the min-max
+    # rescale; a log rescale over a tone's ~150 dB leakage floor amplifies
+    # that into the low 1e-3 normalized range
+    np.testing.assert_allclose(res.image, ref_img,
+                               atol=3e-3 if log_scale else 5e-4,
+                               err_msg=f"case {trial}: nperseg={nperseg} "
+                                       f"fs={fs} band=({fmin},{fmax}) "
+                                       f"log={log_scale} gm={gm}")
+    # PSD error relative to the image peak (bin-relative error on leakage
+    # floors 20+ orders below the peak is meaningless in f32)
+    err = np.max(np.abs(res.sxx - engine.last_Sxx)) / max(peak, 1e-30) \
+        if res.sxx.size else 0.0
+    assert err < 1e-4, (trial, err)
+
+
+def test_constant_signal_display_is_f32_boundary():
+    """A constant (non-zero) input has no spectral content: the reference's
+    f64 detrend residue squares to ~1e-24 and its +1e-20 normalization floor
+    (PlotEngine.py:127) renders near-BLACK; a float32 pipeline's residue
+    (~1e-7 relative, squared ~1e-14) clears that floor and normalizes to
+    visible quantization noise. Deliberate, hardware-inherent deviation —
+    pinned by executing both on a constant that is NOT exactly
+    f32-representable (1.3). For an exactly-representable constant (1.375)
+    the f32 detrend residue is exactly zero and BOTH render black, as the
+    second half proves; exactly-zero inputs likewise match (fuzz kind-3)."""
+    sig = np.full(6000, 1.3)
+    engine = reference_exec.make_engine()
+    engine.plot_extra(signal_raw=sig, signal_proc=None, fs=FS,
+                      settings=ref_settings(log_scale=False))
+    ref_img = quadmesh_array(engine)
+    assert float(ref_img.max()) < 1e-6  # reference: black
+
+    s = session_with(sig)
+    res = s.plot_sweeps(["rec_sweep0"], our_config(log_scale=False),
+                        ViewSettings(draw_raw=True, mode_raw="Spectrogram"))
+    assert np.all((res.image >= 0) & (res.image <= 1))
+    assert float(np.max(res.image)) > 1e-3  # ours: visible residue noise
+
+    # exactly-f32-representable constant: residue is exactly zero on both
+    # sides — the degenerate all-zero gate (core/scale.py) matches the
+    # reference's floored black
+    sig2 = np.full(6000, 1.375)
+    engine2 = reference_exec.make_engine()
+    engine2.plot_extra(signal_raw=sig2, signal_proc=None, fs=FS,
+                       settings=ref_settings(log_scale=False))
+    assert float(quadmesh_array(engine2).max()) < 1e-6
+    s2 = session_with(sig2)
+    res2 = s2.plot_sweeps(["rec_sweep0"], our_config(log_scale=False),
+                          ViewSettings(draw_raw=True, mode_raw="Spectrogram"))
+    assert float(np.max(res2.image)) == 0.0
