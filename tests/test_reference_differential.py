@@ -1001,3 +1001,44 @@ def test_constant_signal_display_is_f32_boundary():
     res2 = s2.plot_sweeps(["rec_sweep0"], our_config(log_scale=False),
                           ViewSettings(draw_raw=True, mode_raw="Spectrogram"))
     assert float(np.max(res2.image)) == 0.0
+
+
+@pytest.mark.parametrize("bad,log_scale", [
+    (np.nan, False), (np.nan, True),
+    (np.inf, False), (np.inf, True),
+    (-np.inf, False), (-np.inf, True),
+])
+def test_nonfinite_sample_propagation_matches_reference(bad, log_scale):
+    """A single NaN/Inf sample contaminates exactly the frames that touch
+    it. Linear scale: the reference's clip leaves those pixels NaN
+    (matplotlib masks them); our NaN mask must coincide pixel-for-pixel and
+    the uncontaminated pixels must still match. Log scale: the reference's
+    nan_to_num (PlotEngine.py:129) folds the bad pixels to db=0 before the
+    min-max rescale — images must match everywhere. (Inf first becomes NaN
+    in BOTH pipelines via the constant detrend: mean(inf-laden segment) is
+    inf and inf-inf is NaN, scipy _spectral_py detrend == our framing.)"""
+    rng = np.random.RandomState(7)
+    sig = rng.randn(6000)
+    sig[2345] = bad
+
+    engine = reference_exec.make_engine()
+    engine.plot_extra(signal_raw=sig, signal_proc=None, fs=FS,
+                      settings=ref_settings(log_scale=log_scale))
+    ref_img = quadmesh_array(engine)
+
+    s = session_with(sig)
+    res = s.plot_sweeps(["rec_sweep0"], our_config(log_scale=log_scale),
+                        ViewSettings(draw_raw=True, mode_raw="Spectrogram"))
+    img = np.asarray(res.image)
+    assert img.shape == ref_img.shape
+
+    ref_bad = np.isnan(ref_img)
+    our_bad = np.isnan(img)
+    if log_scale:
+        assert not ref_bad.any() and not our_bad.any()
+        np.testing.assert_allclose(img, ref_img, atol=1e-3)
+    else:
+        assert ref_bad.any()  # the contamination is real in this fixture
+        np.testing.assert_array_equal(our_bad, ref_bad)
+        np.testing.assert_allclose(img[~our_bad], ref_img[~ref_bad],
+                                   atol=5e-4)
