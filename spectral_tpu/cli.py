@@ -440,7 +440,9 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
     return 0
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """The CLI argument parser (separate from main so tests and the docs
+    audit can validate command lines without dispatching them)."""
     ap = argparse.ArgumentParser(
         prog="spectral-tpu",
         description="TPU-native spectrogram / burst-detection toolkit")
@@ -582,8 +584,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("bench", help="throughput benchmark (reuses bench.py)")
     p.add_argument("--batch", type=int, default=256)
+    return ap
 
-    args = ap.parse_args(argv)
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
     try:
         return _dispatch(args)
     except FileNotFoundError as e:

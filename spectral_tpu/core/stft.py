@@ -97,8 +97,29 @@ def _window_f64(cfg: SpecConfig) -> np.ndarray:
     return get_window(cfg.window, cfg.nperseg, periodic=True)
 
 
+def _require_fs(fs: float) -> float:
+    """Reject nonpositive / non-finite sampling rates at the API boundary.
+
+    Every fs-consuming formula divides by it (1/fs bin spacing,
+    1/(fs*sum(w^2)) density scale), so a bad rate silently yields inf/NaN
+    PSDs and axes instead of an error. The IO loaders already validate at
+    parse time (SweepRegistry.register); this guards direct library calls
+    (power_spectrogram / streaming / freq_axis) with the same contract.
+    """
+    try:
+        f = float(fs)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"sampling rate must be a positive finite number, got {fs!r}")
+    if not (math.isfinite(f) and f > 0):
+        raise ValueError(
+            f"sampling rate must be a positive finite number, got {fs!r}")
+    return f
+
+
 def psd_scale(cfg: SpecConfig, fs: float) -> float:
     """Scalar PSD scale: 'density' -> 1/(fs*sum(w^2)); 'spectrum' -> 1/sum(w)^2."""
+    fs = _require_fs(fs)
     w = _window_f64(cfg)
     if cfg.scaling == "density":
         return float(1.0 / (fs * np.sum(w * w)))
@@ -125,6 +146,7 @@ def onesided_weights(cfg: SpecConfig, fs: float) -> np.ndarray:
 
 def freq_axis(cfg: SpecConfig, fs: float) -> np.ndarray:
     """Frequency bin centers (np.fft.rfftfreq semantics)."""
+    fs = _require_fs(fs)
     if cfg.onesided:
         return np.fft.rfftfreq(cfg.nfft_, d=1.0 / fs)
     return np.fft.fftfreq(cfg.nfft_, d=1.0 / fs)
@@ -135,6 +157,7 @@ def time_axis(cfg: SpecConfig, fs: float, n: int) -> np.ndarray:
 
     When center=True (generalized mode) frames are centered at k*hop/fs.
     """
+    fs = _require_fs(fs)
     nf = num_frames(n + (2 * (cfg.nperseg // 2) if cfg.center else 0),
                     cfg.nperseg, cfg.hop_)
     k = np.arange(nf, dtype=np.float64)

@@ -52,7 +52,11 @@ def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
     feats = np.asarray(feats, np.float32)
     B, T, D = feats.shape
     if T < n_states:
-        raise ValueError("Not enough data to train the model.")
+        # same guard and message as the sequential flow
+        # (models/detector.py::unsupervised_detect) so `detect --each
+        # --batched` skip lines match the unbatched output
+        raise ValueError(
+            "Not enough data to train the model. Signal may be too short.")
 
     inits = [hmm.init_params(feats[b], n_states, seed=seed) for b in range(B)]
     params0 = jax.tree.map(lambda *a: jnp.stack(a), *inits)

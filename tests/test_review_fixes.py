@@ -186,3 +186,27 @@ def test_wav_streamed_placeholder_and_truncated(tmp_path):
     pt.write_bytes(bytes(trunc))
     with pytest.raises(ValueError, match="truncated"):
         read_wav(str(pt))
+
+
+def test_sampling_rate_validated_at_api_boundary():
+    """A nonpositive/non-finite fs must raise, not propagate inf/NaN.
+
+    Every fs-consuming formula divides by the rate (1/fs bin spacing,
+    1/(fs*sum w^2) density scale); before the guard, fs=0 through the
+    public power_spectrogram silently produced inf PSDs (the IO layer
+    validates at parse, but direct library calls did not).
+    """
+    from spectral_tpu.core.stft import freq_axis, time_axis
+
+    cfg = SpecConfig(nperseg=64, hop=16)
+    x = np.random.default_rng(0).standard_normal(256).astype(np.float32)
+    for bad in (0.0, -1.0, float("nan"), float("inf"), None, "16k"):
+        with pytest.raises(ValueError, match="sampling rate"):
+            power_spectrogram(x, bad, cfg)
+        with pytest.raises(ValueError, match="sampling rate"):
+            freq_axis(cfg, bad)
+        with pytest.raises(ValueError, match="sampling rate"):
+            time_axis(cfg, bad, 256)
+    # numpy scalar rates (np.float32 is NOT a float subclass) stay legal
+    f = freq_axis(cfg, np.float32(1000.0))
+    assert f[1] == pytest.approx(1000.0 / 64)
