@@ -1100,3 +1100,70 @@ def test_doctor_backend_probe(monkeypatch):
     monkeypatch.setattr(subprocess, "run", boom)
     ok, detail = _probe_backend_reachable(5.0)
     assert not ok and "blocked after 5s" in detail
+
+
+def test_session_misuse_and_default_branches(tmp_path):
+    """Coverage-lens gaps (tools/covlite.py): the out-of-order / empty
+    session paths a confused API user hits first — errors must be the
+    reference's friendly messages, queries must degrade to None/defaults,
+    never tracebacks from inside jax."""
+    from spectral_tpu.api.session import AnalysisSession
+
+    s = AnalysisSession(warm_detection=False)
+    with pytest.raises(ValueError, match="plot a spectrogram"):
+        s.unsupervised_detect()
+    with pytest.raises(ValueError, match="No manual regions"):
+        s.learn_and_detect()
+    assert s.calculate_band_powers() is None      # GUI guards; API -> None
+    assert s.min_roi_width() == 0.01              # no fs yet -> fallback
+    assert s.export_csv(str(tmp_path / "x.csv")).startswith("Error")
+    assert s.export_png(str(tmp_path / "x.png")).startswith("Error")
+    assert s.merge_rois((0.0, 1.0)) == []
+    with pytest.raises(ValueError, match="no sweeps selected"):
+        s.plot_sweeps([], None, None)
+
+    # config=None / view=None defaults: scipy_default + default view
+    reg = SweepRegistry()
+    reg.register("rec_sweep0", SweepEntry(
+        "f", 0, 1000.0, 1000.0,
+        np.random.default_rng(0).standard_normal(4000).astype(np.float32),
+        None))
+    s2 = AnalysisSession(registry=reg, warm_detection=False)
+    res = s2.plot_sweeps(s2.registry.names(), None, None)
+    assert s2.config == SpecConfig.scipy_default()
+    assert res.sxx.shape[0] == 513                # nperseg 1024 default
+    assert s2.min_roi_width() == 1.0 / 1000.0
+
+
+def test_cli_error_arms_exit_cleanly(tmp_path, capsys):
+    """Coverage-lens gaps: the CLI's error arms — missing files, empty
+    registries, zero-event CSV in --each mode, and --mels composed onto
+    --scipy-compat — exit with clean messages, never tracebacks."""
+    from spectral_tpu.cli import main
+
+    # missing file: every loading subcommand exits via the friendly arm
+    for argv in (["detect", str(tmp_path / "nope.wav")],
+                 ["detect", str(tmp_path / "nope.wav"), "--each"],
+                 ["bands", str(tmp_path / "nope.h5")]):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert "file not found" in str(ei.value)
+
+    # --each --csv with zero events -> the reference's exporter error, rc 1
+    fs = 1000.0
+    quiet = str(tmp_path / "quiet.wav")
+    write_wav(quiet, (np.ones(8000, np.float32) * 0.01), fs)
+    csv_path = str(tmp_path / "e.csv")
+    rc = main(["detect", quiet, "--each", "--csv", csv_path,
+               "--nperseg", "512"])
+    outerr = capsys.readouterr()
+    if rc == 1:                       # constant signal -> 0 events
+        assert "No burst data to export" in outerr.out
+        assert not os.path.exists(csv_path)
+
+    # --mels composes with --scipy-compat (the dataclasses.replace arm)
+    out_png = str(tmp_path / "mel.png")
+    assert main(["render", quiet, "-o", out_png, "--scipy-compat",
+                 "--mels", "32", "--log"]) == 0
+    from spectral_tpu.render.png import decode_png
+    assert decode_png(out_png).shape[0] == 32    # mel-height image

@@ -542,3 +542,49 @@ def test_gui_random_walk(win):
             assert a <= b
         if win.session.last_image is not None:
             assert float(win.session.last_image.max()) <= 1.0
+
+
+def test_error_paths_show_reference_boxes(win, monkeypatch, tmp_path):
+    """Coverage-lens gaps (tools/covlite.py): the except arms. A typo
+    inside an error handler (wrong attribute, bad format string) only
+    surfaces when the handler actually fires — force each one and assert
+    the reference's box title + failure status (GUI.py:463-476,:299-312)."""
+    _plot(win)
+
+    # detection failure -> 'HMM Error' box + failed status
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device failure")
+    monkeypatch.setattr(win.session, "unsupervised_detect", boom)
+    win.detect()
+    kind, title, text = qt_stub.QMessageBox.calls[-1]
+    assert (kind, title) == ("critical", "HMM Error")
+    assert "synthetic device failure" in text
+    assert win.status.text() == "Status: HMM detection failed."
+    monkeypatch.undo()
+
+    # learning failure -> 'Learning Error' box + failed status
+    win.chk_edit.setChecked(True)
+    win.session.add_roi(12.0, 14.0)
+    monkeypatch.setattr(win.session, "learn_and_detect", boom)
+    win.learn()
+    kind, title, text = qt_stub.QMessageBox.calls[-1]
+    assert (kind, title) == ("critical", "Learning Error")
+    assert win.status.text() == "Status: Learning or detection failed."
+    monkeypatch.undo()
+
+    # batch export: cancelled dialog -> cancel status; exporter exception
+    # -> 'Batch export' box
+    qt_stub.QFileDialog.next_directory = ""
+    win.export_batch()
+    assert win.status.text() == "Export cancelled."
+    qt_stub.QFileDialog.next_directory = str(tmp_path)
+    monkeypatch.setattr(win.controller, "export_batch", boom)
+    win.export_batch()
+    kind, title, _ = qt_stub.QMessageBox.calls[-1]
+    assert (kind, title) == ("critical", "Batch export")
+
+    # plot failure -> 'Plot error' box
+    monkeypatch.setattr(win.session, "plot_sweeps", boom)
+    win.plot_selected()
+    kind, title, _ = qt_stub.QMessageBox.calls[-1]
+    assert (kind, title) == ("critical", "Plot error")

@@ -531,3 +531,78 @@ def test_registry_rejects_invalid_fs():
                                    fs_raw=0.0, raw=np.zeros(4),
                                    processed=None))
     assert not r.names()
+
+
+# ---------------------------------------------------------------------------
+# WAV variant encodings (coverage-lens gaps: the 8/24/32-bit PCM, float64
+# and WAVE_FORMAT_EXTENSIBLE decode branches were never executed)
+# ---------------------------------------------------------------------------
+
+def _riff(fmt_payload: bytes, data: bytes) -> bytes:
+    chunks = b""
+    for tag, p in ((b"fmt ", fmt_payload), (b"data", data)):
+        chunks += tag + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _fmt16(audio_fmt, n_ch, fs, bits) -> bytes:
+    balign = n_ch * bits // 8
+    return struct.pack("<HHIIHH", audio_fmt, n_ch, fs, fs * balign,
+                       balign, bits)
+
+
+def test_wav_variant_encodings_decode_exactly(tmp_path):
+    from spectral_tpu.io.wav import read_wav, wav_info
+
+    # 8-bit unsigned PCM: 0 -> -1.0, 128 -> 0.0, 255 -> 127/128
+    p = tmp_path / "u8.wav"
+    p.write_bytes(_riff(_fmt16(1, 1, 1000, 8), bytes([0, 128, 255])))
+    x, fs = read_wav(str(p))
+    np.testing.assert_allclose(x, [-1.0, 0.0, 127 / 128.0])
+    assert fs == 1000.0
+
+    # 24-bit signed PCM little-endian: min, zero, max, -1
+    def i24(v):
+        return int(v & 0xFFFFFF).to_bytes(3, "little")
+    p = tmp_path / "s24.wav"
+    p.write_bytes(_riff(_fmt16(1, 1, 1000, 24),
+                        i24(-(1 << 23)) + i24(0) + i24((1 << 23) - 1) + i24(-1)))
+    x, _ = read_wav(str(p))
+    np.testing.assert_allclose(
+        x, [-1.0, 0.0, ((1 << 23) - 1) / (1 << 23), -1.0 / (1 << 23)])
+
+    # 32-bit signed PCM
+    p = tmp_path / "s32.wav"
+    p.write_bytes(_riff(_fmt16(1, 1, 1000, 32),
+                        np.array([-(1 << 31), 0, (1 << 31) - 1], "<i4").tobytes()))
+    x, _ = read_wav(str(p))
+    np.testing.assert_allclose(x, [-1.0, 0.0, ((1 << 31) - 1) / (1 << 31)])
+
+    # IEEE float64
+    vals = np.array([-0.5, 0.0, 0.25], "<f8")
+    p = tmp_path / "f64.wav"
+    p.write_bytes(_riff(_fmt16(3, 1, 1000, 64), vals.tobytes()))
+    x, _ = read_wav(str(p))
+    np.testing.assert_allclose(x, vals.astype(np.float32))
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping 16-bit PCM (sub-format at offset 24)
+    sub = struct.pack("<H", 1) + b"\x00" * 14   # PCM GUID head
+    ext = _fmt16(0xFFFE, 1, 1000, 16) + struct.pack("<HHI", 22, 16, 1) + sub
+    pcm = np.array([-32768, 0, 32767], "<i2").tobytes()
+    p = tmp_path / "ext.wav"
+    p.write_bytes(_riff(ext, pcm))
+    x, _ = read_wav(str(p))
+    np.testing.assert_allclose(x, [-1.0, 0.0, 32767 / 32768.0])
+    assert wav_info(str(p))[0] == 1   # info resolves the sub-format too
+
+    # unsupported depths reject with the friendly error
+    p = tmp_path / "bad.wav"
+    p.write_bytes(_riff(_fmt16(1, 1, 1000, 12), b"\x00" * 6))
+    with pytest.raises(ValueError, match="bit depth"):
+        read_wav(str(p))
+    p.write_bytes(_riff(_fmt16(3, 1, 1000, 16), b"\x00" * 6))
+    with pytest.raises(ValueError, match="bit depth"):
+        read_wav(str(p))
+    p.write_bytes(_riff(_fmt16(7, 1, 1000, 16), b"\x00" * 6))
+    with pytest.raises(ValueError, match="format code"):
+        read_wav(str(p))

@@ -1042,3 +1042,76 @@ def test_nonfinite_sample_propagation_matches_reference(bad, log_scale):
         np.testing.assert_array_equal(our_bad, ref_bad)
         np.testing.assert_allclose(img[~our_bad], ref_img[~ref_bad],
                                    atol=5e-4)
+
+
+def test_decorated_figure_artists_match_reference():
+    """The 2-row figure's TIME-DOMAIN layer, artist for artist, against the
+    reference's executing plot_extra (PlotEngine.py:78-94): line count,
+    colors, labels, sample data, ylabel, legend placement/zorder — then the
+    detection spans (plot_detection_lines :655-667) on both axes: extents,
+    facecolor incl. alpha 0.5, zorder 10. The display-image differential
+    covers the mesh; this covers everything drawn around it."""
+    from matplotlib import colors as mcolors
+
+    rng = np.random.RandomState(7)
+    raw = burst_signal(rng, n=12_000)
+    proc = 0.5 * burst_signal(rng, n=12_000)
+    events = [(2.0, 3.5), (7.25, 9.0)]
+
+    engine = reference_exec.make_engine()
+    engine.plot_extra(signal_raw=raw, signal_proc=proc, fs=FS,
+                      settings=ref_settings(draw_proc=True, mode_raw="Both",
+                                            mode_proc="Both"))
+    engine.plot_detection_lines(events)
+
+    s = session_with(raw, sig_proc=proc)
+    s.plot_sweeps(["rec_sweep0"], our_config(),
+                  ViewSettings(draw_raw=True, draw_proc=True,
+                               mode_raw="Both", mode_proc="Both"))
+    from spectral_tpu.render.figure import SessionFigureView
+    view = SessionFigureView()
+    view.rebuild(s)
+    view.update_overlays(events)
+
+    ref_lines = engine.ax_signal.get_lines()
+    our_lines = view.ax_signal.get_lines()
+    assert len(ref_lines) == len(our_lines) == 2
+    for rl, ol in zip(ref_lines, our_lines):
+        assert mcolors.to_rgba(rl.get_color()) == \
+            mcolors.to_rgba(ol.get_color())
+        assert rl.get_label() == ol.get_label()
+        np.testing.assert_array_equal(rl.get_xdata(), ol.get_xdata())
+        # the registry stores float32 (device dtype); the reference plots
+        # the float64 input — identical samples at f32 resolution
+        np.testing.assert_allclose(rl.get_ydata(), ol.get_ydata(),
+                                   rtol=0, atol=1e-6)
+
+    assert engine.ax_signal.get_ylabel() == view.ax_signal.get_ylabel()
+    ref_leg = engine.ax_signal.get_legend()
+    our_leg = view.ax_signal.get_legend()
+    assert ref_leg is not None and our_leg is not None
+    assert ref_leg._loc == our_leg._loc  # 'upper right'
+    assert ref_leg.get_zorder() == our_leg.get_zorder() == 100
+    assert [t.get_text() for t in ref_leg.get_texts()] == \
+        [t.get_text() for t in our_leg.get_texts()]
+
+    def span_facts(ax):
+        out = []
+        for p in ax.patches:
+            if hasattr(p, "get_width"):  # mpl >= 3.8: axvspan -> Rectangle
+                lo, hi = p.get_x(), p.get_x() + p.get_width()
+            else:                        # Polygon
+                xs = p.get_xy()[:, 0]
+                lo, hi = xs.min(), xs.max()
+            out.append((float(lo), float(hi),
+                        p.get_facecolor(), p.get_zorder()))
+        return sorted(out)
+
+    for ref_ax, our_ax in ((engine.ax_signal, view.ax_signal),
+                           (engine.ax_spec, view.ax_spec)):
+        ref_spans, our_spans = span_facts(ref_ax), span_facts(our_ax)
+        assert len(ref_spans) == len(our_spans) == len(events)
+        for (ra, rb, rc, rz), (oa, ob, oc, oz) in zip(ref_spans, our_spans):
+            assert (ra, rb) == (oa, ob)
+            assert rc == oc          # rgba incl. the 0.5 alpha
+            assert rz == oz == 10

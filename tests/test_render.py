@@ -301,3 +301,56 @@ def test_waveform_window_is_hard_cut():
     # the spike would light pixels near the top; a zero signal lights only
     # the center line
     assert not m[:40, :].any()
+
+
+def test_encoder_fallback_tiers_pixel_identical(monkeypatch, tmp_path):
+    """Coverage-lens gap (tools/covlite.py): the PIL and pure-python
+    fallback tiers of encode_png / encode_png_palette never run where the
+    native encoder exists. Force each tier and require decoded pixels
+    identical to the native encoding on every layout."""
+    import importlib
+    import sys
+
+    from spectral_tpu.render import png as png_mod
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (5, 7), np.uint8)
+    rgb = rng.integers(0, 256, (5, 7, 3), np.uint8)
+    rgba = rng.integers(0, 256, (5, 7, 4), np.uint8)
+    idx = rng.integers(0, 256, (6, 9), np.uint8)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+
+    def all_encoded():
+        out = [png_mod.encode_png(arr) for arr in (gray, rgb, rgba)]
+        out.append(png_mod.encode_png_palette(idx, pal))
+        return out
+
+    assert png_mod._get_native() is not None  # the env has the C++ encoder
+    native_bytes = all_encoded()
+
+    # tier 2: no native encoder -> PIL
+    monkeypatch.setattr(png_mod, "_get_native", lambda: None)
+    pil_bytes = all_encoded()
+    # tier 3: no PIL either -> pure-python zlib (encode only; decoding
+    # legitimately requires PIL, so decode after restoring imports)
+    real_import = __import__
+
+    def no_pil(name, *a, **k):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError("forced for fallback test")
+        return real_import(name, *a, **k)
+    monkeypatch.setattr("builtins.__import__", no_pil)
+    pure_bytes = all_encoded()
+    monkeypatch.setattr("builtins.__import__", real_import)
+
+    for nat, pil, pure in zip(native_bytes, pil_bytes, pure_bytes):
+        np.testing.assert_array_equal(png_mod.decode_png(nat),
+                                      png_mod.decode_png(pil))
+        np.testing.assert_array_equal(png_mod.decode_png(nat),
+                                      png_mod.decode_png(pure))
+
+    # the path= form writes the same bytes it would return
+    p = tmp_path / "x.png"
+    assert png_mod.encode_png(rgb, str(p)) is None
+    np.testing.assert_array_equal(png_mod.decode_png(str(p)),
+                                  png_mod.decode_png(png_mod.encode_png(rgb)))

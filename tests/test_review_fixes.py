@@ -210,3 +210,35 @@ def test_sampling_rate_validated_at_api_boundary():
     # numpy scalar rates (np.float32 is NOT a float subclass) stay legal
     f = freq_axis(cfg, np.float32(1000.0))
     assert f[1] == pytest.approx(1000.0 / 64)
+
+
+def test_window_degenerate_and_param_branches_match_scipy():
+    """Coverage-lens gaps (tools/covlite.py): the M=1 guards in every window
+    family, the tukey alpha<=0 / alpha>=1 degenerate branches, and the
+    'name:param' string spec — each against scipy.signal.get_window."""
+    import scipy.signal as ss
+
+    names = ["boxcar", "hann", "hamming", "blackman", "bartlett",
+             "blackmanharris", "nuttall", "flattop"]
+    for nm in names:
+        for M in (1, 2, 9):
+            for periodic in (True, False):
+                ours = get_window(nm, M, periodic=periodic)
+                ref = ss.get_window(nm, M, fftbins=periodic)
+                np.testing.assert_allclose(ours, ref, atol=1e-12), (nm, M)
+    # tukey degenerate alphas: 0 -> boxcar, 1 -> hann; M=1 guard
+    for alpha, M in [(0.0, 16), (1.0, 16), (0.25, 1), (0.6, 33)]:
+        np.testing.assert_allclose(
+            get_window(("tukey", alpha), M, periodic=True),
+            ss.get_window(("tukey", alpha), M, fftbins=True), atol=1e-12)
+    # kaiser with beta; and the string 'name:param' form parses to the same
+    np.testing.assert_allclose(
+        get_window("kaiser:8.6", 64), get_window(("kaiser", 8.6), 64))
+    np.testing.assert_allclose(
+        get_window(("kaiser", 8.6), 64),
+        ss.get_window(("kaiser", 8.6), 64, fftbins=True), atol=1e-12)
+    np.testing.assert_allclose(
+        get_window("tukey:0.5", 64),
+        ss.get_window(("tukey", 0.5), 64, fftbins=True), atol=1e-12)
+    # M=1 periodic kaiser (the L = M branch)
+    assert get_window(("kaiser", 5.0), 1).shape == (1,)
