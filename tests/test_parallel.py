@@ -790,3 +790,36 @@ def test_streaming_refuses_mel_configs():
                                       lambda a, p, v: a, jnp.zeros(()))):
         with pytest.raises(ValueError, match="n_mels"):
             entry()
+
+
+def test_export_pipeline_stored_png_level0(tmp_path):
+    """compress_level=0 (stored deflate blocks) is the encode-bound
+    production knob: measured ~11x the encode throughput of level 1 at
+    ~1.4x the bytes on a real spectrogram index image (docs/OPERATIONS.md).
+    Pin that the whole pipeline writes VALID stored PNGs with pixels
+    byte-identical to level 1."""
+    import os as _os
+
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    from spectral_tpu.render.png import decode_png
+    fs = 8000.0
+    n = 8000
+    rng = np.random.RandomState(1)
+    clips = [(f"c{i}", rng.randn(n).astype(np.float32)) for i in range(3)]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    d0, d1 = tmp_path / "l0", tmp_path / "l1"
+    for d, lvl in ((d0, 0), (d1, 1)):
+        stats = export_spectrograms(iter(clips), fs, cfg, str(d),
+                                    clip_samples=n, batch=2,
+                                    compress_level=lvl)
+        assert stats.pngs_written == 3
+    for i in range(3):
+        a = decode_png(str(d0 / f"c{i}.png"))
+        b = decode_png(str(d1 / f"c{i}.png"))
+        np.testing.assert_array_equal(a, b)
+    # stored blocks are bigger but bounded (zlib stored overhead is tiny)
+    s0 = _os.path.getsize(str(d0 / "c0.png"))
+    s1 = _os.path.getsize(str(d1 / "c0.png"))
+    assert s0 >= s1
+    raw = 129 * (num_frames(n, 256, 64) + 1)   # indices + filter bytes
+    assert s0 < raw * 1.02 + 1024
