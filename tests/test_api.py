@@ -1167,3 +1167,60 @@ def test_cli_error_arms_exit_cleanly(tmp_path, capsys):
                  "--mels", "32", "--log"]) == 0
     from spectral_tpu.render.png import decode_png
     assert decode_png(out_png).shape[0] == 32    # mel-height image
+
+
+def test_cli_serve_csv_arm_and_doctor_unreachable(tmp_path, capsys,
+                                                  monkeypatch):
+    """Coverage-lens gaps: the serve CSV attachment (ok must flip False
+    when the export reports an error), doctor's UNREACHABLE preflight
+    branch, and `gui` without PyQt5."""
+    import io
+    import json
+    from spectral_tpu import cli as cli_mod
+    fs = 1000.0
+    wav_path = str(tmp_path / "sig.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=60.0) * 0.5, fs)
+    good_csv = str(tmp_path / "ok.csv")
+    reqs = [
+        # detect with events + csv -> ok, csv written
+        {"cmd": "detect", "files": [wav_path], "csv": good_csv,
+         "config": {"nperseg": 1024, "fmin": 0.0, "fmax": 30.0}},
+        # bands never produces events; csv export errors -> ok False
+        {"cmd": "bands", "files": [wav_path], "csv": str(tmp_path / "no.csv"),
+         "config": {"nperseg": 512}},
+        {"cmd": "shutdown"},
+    ]
+    stdin = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    stdout = io.StringIO()
+    assert cli_mod._serve(stdin, stdout) == 0
+    out = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    assert out[0]["ok"] and "Successfully" in out[0]["csv"]
+    assert os.path.exists(good_csv)
+    assert out[1]["ok"] is False and out[1]["csv"].startswith("Error")
+
+    # doctor: a failed backend probe reports UNREACHABLE and exits 1
+    monkeypatch.setattr(cli_mod, "_probe_backend_reachable",
+                        lambda timeout: (False, "probe timed out (test)"))
+    # the probe only runs when the process is NOT pinned to CPU
+    # (conftest pins it); unpin just for this call — the UNREACHABLE
+    # branch returns before any backend initialization
+    import jax
+    jax.config.update("jax_platforms", None)
+    try:
+        rc = cli_mod.main(["doctor", "--init-timeout", "5"])
+    finally:
+        jax.config.update("jax_platforms", "cpu")
+    outerr = capsys.readouterr()
+    assert rc == 1
+    assert "UNREACHABLE" in outerr.out
+    assert "PROBLEMS FOUND" in outerr.out
+
+    # gui without PyQt5: friendly pointer to the CLI, exit code 2
+    try:
+        import PyQt5  # noqa: F401
+        pytest.skip("PyQt5 unexpectedly present")
+    except ImportError:
+        pass
+    rc = cli_mod.main(["gui"])
+    assert rc == 2
+    assert "requires PyQt5" in capsys.readouterr().err
