@@ -443,8 +443,16 @@ class AnalysisSession:
         return self.rois
 
     def merge_rois(self, container: Event) -> List[Event]:
-        self.last_detected_events = sorted(ev.merge_contained_rois(
-            self.last_detected_events, container))
+        # NO outer sort: a no-op merge (nothing contained) leaves the list
+        # order untouched in the reference (PlotEngine.py:578-580 early
+        # return); only a fired merge sorts (:598, which
+        # merge_contained_rois reproduces). Re-sorting on a no-op silently
+        # changed hover resolution over OVERLAPPING patches — the hover
+        # scan is first-match in insertion order (:524-529) — so a later
+        # Merge could act on a different container than the reference's
+        # (caught by the 366-step differential walk, seed 7021, step 42).
+        self.last_detected_events = ev.merge_contained_rois(
+            self.last_detected_events, container)
         self.rois = list(self.last_detected_events)
         return self.rois
 

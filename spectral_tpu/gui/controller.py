@@ -157,11 +157,16 @@ class RoiEditorController:
 
     def merge_hovered(self) -> bool:
         """Union every patch geometrically contained in the hovered patch
-        (PlotEngine.py:567-599)."""
+        (PlotEngine.py:567-599). A no-op merge (nothing contained) keeps
+        the hover highlight and triggers no redraw — the reference's
+        early return at :578-580; only a fired merge clears it (:602)."""
         if self.hover is None:
             return False
+        before = list(self.session.last_detected_events)
         container = self.patches()[self.hover]
         self.session.merge_rois(container)
+        if self.session.last_detected_events == before:
+            return False
         self.hover = None
         self.on_change()
         return True

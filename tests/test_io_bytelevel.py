@@ -9,7 +9,11 @@ NO use of write_abf2_fixture / write_nix_fixture. The behavior being cloned
 is SweepManager.py:21-149 (pyabf / neo.NixIO loading).
 """
 
+import os
 import struct
+
+FUZZ_SCALE = int(os.environ.get("SPECTRAL_TPU_FUZZ_TRIALS", "0")) or 1
+FUZZ_SEED = int(os.environ.get("SPECTRAL_TPU_FUZZ_SEED", "0"))
 
 import numpy as np
 import pytest
@@ -463,9 +467,9 @@ def test_abf_byteflip_fuzz(tmp_path, builder):
         base = _valid_abf2_blob()
     else:
         base = _abf1_bytes(np.array([[120, -340, 560, -780]], "<i2").ravel())
-    rng = np.random.RandomState(1234)
+    rng = np.random.RandomState(1234 + FUZZ_SEED)
     p = tmp_path / "fuzz.abf"
-    for trial in range(150):
+    for trial in range(150 * FUZZ_SCALE):
         blob = bytearray(base)
         for _ in range(int(rng.randint(1, 9))):
             pos = int(rng.randint(0, len(blob)))

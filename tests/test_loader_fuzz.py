@@ -6,7 +6,13 @@ The loaders are the framework's untrusted-input boundary (the reference
 delegates to pyabf/neo, which harden this for it; our pure-Python
 parsers must enforce it themselves)."""
 
+import os
 import struct
+
+# soak knobs (same contract as test_reference_differential): scale trial
+# counts and shift every RNG for out-of-suite robustness soaks.
+FUZZ_SCALE = int(os.environ.get("SPECTRAL_TPU_FUZZ_TRIALS", "0")) or 1
+FUZZ_SEED = int(os.environ.get("SPECTRAL_TPU_FUZZ_SEED", "0"))
 
 import numpy as np
 import pytest
@@ -41,9 +47,9 @@ def test_wav_random_byte_corruption(tmp_path):
     p = tmp_path / "w.wav"
     write_wav(str(p), np.sin(np.arange(400) * 0.1).astype(np.float32), 1000.0)
     good = bytearray(p.read_bytes())
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(0 + FUZZ_SEED)
     n_ok = [0]
-    for trial in range(300):
+    for trial in range(300 * FUZZ_SCALE):
         buf = bytearray(good)
         for _ in range(rng.randint(1, 4)):
             buf[rng.randint(len(buf))] = rng.randint(256)
@@ -63,14 +69,14 @@ def test_abf_truncation_and_corruption(tmp_path):
         pytest.skip("no ABF fixture builder exposed")
     sig = (np.sin(np.arange(500) * 0.05) * 1000).astype(np.int16)
     good = bytearray(maker(sig))
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(1 + FUZZ_SEED)
     n_ok = [0]
     reg_loader = lambda path: abf_mod.load_abf(path, SweepRegistry())  # noqa
     for cut in range(0, len(good), max(1, len(good) // 97)):
         q = tmp_path / "cut.abf"
         q.write_bytes(bytes(good[:cut]))
         _fuzz_load(reg_loader, str(q), n_ok)
-    for trial in range(200):
+    for trial in range(200 * FUZZ_SCALE):
         buf = bytearray(good)
         for _ in range(rng.randint(1, 4)):
             buf[rng.randint(len(buf))] = rng.randint(256)
@@ -84,7 +90,7 @@ def test_npz_corruption(tmp_path):
     p = tmp_path / "g.npz"
     np.savez(str(p), raw=np.zeros(100, np.float32), fs=1000.0)
     good = bytearray(p.read_bytes())
-    rng = np.random.RandomState(2)
+    rng = np.random.RandomState(2 + FUZZ_SEED)
     for trial in range(100):
         buf = bytearray(good)
         for _ in range(rng.randint(1, 4)):
@@ -105,9 +111,9 @@ def test_h5_corruption(tmp_path):
     p = tmp_path / "g.h5"
     write_nix_fixture(str(p), [{"raw": np.zeros(100, np.float32)}])
     good = bytearray(p.read_bytes())
-    rng = np.random.RandomState(3)
+    rng = np.random.RandomState(3 + FUZZ_SEED)
     n_ok = [0]
-    for trial in range(150):
+    for trial in range(150 * FUZZ_SCALE):
         buf = bytearray(good)
         for _ in range(rng.randint(1, 4)):
             buf[rng.randint(len(buf))] = rng.randint(256)

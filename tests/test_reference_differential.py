@@ -687,11 +687,11 @@ def test_roi_add_hover_merge_differential_fuzz():
                     ctl.merge_hovered()
             finally:
                 ref.qt_stub.QMenu.next_choice = None
-            # hover bookkeeping differs after a no-op merge (the reference
-            # keeps the highlight, we clear it); resync via a neutral probe
-            xf = free_x()
-            if xf is not None:
-                _hover(engine, ctl, ax, xf)
+            # hover bookkeeping matches through BOTH merge outcomes: a
+            # no-op merge keeps the highlight (reference early return,
+            # :578-580), a fired merge clears it (:602)
+            r, o = _hover_state(engine, ctl)
+            assert r == o, (step, "post-merge hover", r, o)
 
         assert _ref_patches(engine) == sorted(map(tuple, ctl.patches())), \
             (step, op)
