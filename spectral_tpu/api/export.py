@@ -65,7 +65,15 @@ def export_events_csv(filepath: str, session) -> str:
                     sweep_str = idx
             rows.append([i + 1, source_file, sweep_str, start, end, ibi])
 
-        with open(filepath, "w", newline="") as fh:
+        # explicit utf-8: the Source File column carries arbitrary
+        # basenames, and the platform default encoding (locale-dependent)
+        # turns a non-ASCII recording name into an export failure under
+        # C/POSIX locales (headless servers, cron). surrogateescape makes
+        # names that arrived through an ASCII filesystem encoding
+        # (os.fsdecode surrogates) round-trip to their original on-disk
+        # bytes instead of refusing to encode.
+        with open(filepath, "w", newline="", encoding="utf-8",
+                  errors="surrogateescape") as fh:
             w = csv.writer(fh)
             w.writerow(CSV_HEADER)
             w.writerows(rows)

@@ -228,7 +228,10 @@ def _detect_each(args) -> int:
             print("Error: No burst data to export.")
             return 1
         import csv as _csv
-        with open(args.csv, "w", newline="") as fh:
+        # utf-8 regardless of locale (Source File carries arbitrary
+        # names; surrogateescape round-trips ASCII-locale fsdecode)
+        with open(args.csv, "w", newline="", encoding="utf-8",
+                  errors="surrogateescape") as fh:
             w = _csv.writer(fh)
             w.writerow(["Burst ID", "Source File", "Sweep",
                         "Start Time (s)", "End Time (s)",
@@ -588,6 +591,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # Status lines echo user-supplied paths; under a C/POSIX locale an
+    # ascii stdout would raise UnicodeEncodeError on the first non-ASCII
+    # name. Degrade the rendering (backslash escapes), never the command.
+    for _stream in (sys.stdout, sys.stderr):
+        if hasattr(_stream, "reconfigure"):
+            try:
+                _stream.reconfigure(errors="backslashreplace")
+            except (ValueError, OSError):
+                pass
     args = build_parser().parse_args(argv)
     try:
         return _dispatch(args)
@@ -596,6 +608,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     except ValueError as e:
         # domain errors (mixed sampling rates, bad --window, unsupported
         # file types, ...) exit cleanly instead of dumping a traceback
+        sys.exit(f"error: {e}")
+    except OSError as e:
+        # filesystem errors on user-supplied paths (a directory named
+        # like a recording, name too long, permission denied, ...) are
+        # environment problems, not crashes
         sys.exit(f"error: {e}")
 
 
@@ -835,6 +852,18 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "serve":
+        # Pin the wire protocol to utf-8 regardless of locale: under a
+        # C/POSIX locale sys.stdin decodes ascii, so a client sending a
+        # non-ASCII path would raise UnicodeDecodeError inside the read
+        # loop itself — killing the worker the protocol promises errors
+        # never kill. errors="replace" turns malformed bytes into a JSON
+        # parse failure -> per-request error response instead.
+        for stream in (sys.stdin, sys.stdout):
+            if hasattr(stream, "reconfigure"):
+                try:
+                    stream.reconfigure(encoding="utf-8", errors="replace")
+                except (ValueError, OSError):
+                    pass   # detached/unsupported stream: keep as-is
         return _serve(sys.stdin, sys.stdout,
                       max_sessions=args.max_sessions,
                       request_timeout=args.timeout,

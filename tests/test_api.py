@@ -1224,3 +1224,80 @@ def test_cli_serve_csv_arm_and_doctor_unreachable(tmp_path, capsys,
     rc = cli_mod.main(["gui"])
     assert rc == 2
     assert "requires PyQt5" in capsys.readouterr().err
+
+
+def _c_locale_env():
+    """Environment that forces Python's platform default encoding to ASCII
+    (PEP 538 coercion and PEP 540 UTF-8 mode both disabled) — the headless
+    cron/server locale that turns missing encoding= into crashes."""
+    env = dict(os.environ)
+    env.update(LC_ALL="C", LANG="C",
+               PYTHONCOERCECLOCALE="0", PYTHONUTF8="0")
+    return env
+
+
+def test_csv_export_utf8_regardless_of_locale(tmp_path):
+    """A recording with a non-ASCII filename exports to CSV under a C/POSIX
+    locale (the Source File column is written as utf-8 explicitly; the
+    platform-default encoding used to raise UnicodeEncodeError)."""
+    import subprocess
+    import sys as _sys
+    fs = 1000.0
+    wav_path = str(tmp_path / "münchen_α.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=20.0) * 0.5, fs)
+    out_csv = str(tmp_path / "out.csv")
+    r = subprocess.run(
+        [_sys.executable, "-m", "spectral_tpu.cli", "--cpu", "detect",
+         wav_path, "--csv", out_csv],
+        env=_c_locale_env(), capture_output=True, text=False, timeout=600)
+    assert r.returncode == 0, r.stderr.decode("utf-8", "replace")
+    with open(out_csv, encoding="utf-8") as fh:
+        body = fh.read()
+    assert "münchen_α" in body
+    assert "Error" not in body
+
+
+def test_cli_serve_utf8_stdin_under_c_locale(tmp_path):
+    """A serve request containing non-ASCII bytes must produce a JSON
+    response, not kill the worker with UnicodeDecodeError from the locale
+    codec on stdin (the read loop itself used to raise before the
+    per-request error handling could run)."""
+    import json
+    import subprocess
+    import sys as _sys
+    fs = 1000.0
+    wav_path = str(tmp_path / "plain.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=20.0) * 0.5, fs)
+    reqs = [
+        {"cmd": "ping"},
+        # non-ASCII path: the request is VALID utf-8 but the C locale's
+        # ascii codec cannot decode it
+        {"cmd": "render", "files": [str(tmp_path / "nicht_da_ü.wav")],
+         "out": str(tmp_path / "x.png")},
+        {"cmd": "ping"},
+        {"cmd": "shutdown"},
+    ]
+    payload = "".join(json.dumps(r, ensure_ascii=False) + "\n"
+                      for r in reqs).encode("utf-8")
+    r = subprocess.run(
+        [_sys.executable, "-m", "spectral_tpu.cli", "--cpu", "serve"],
+        input=payload, env=_c_locale_env(), capture_output=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr.decode("utf-8", "replace")
+    lines = [ln for ln in r.stdout.decode("utf-8").splitlines() if ln]
+    resps = [json.loads(ln) for ln in lines]
+    assert len(resps) == 4, resps
+    assert resps[0].get("pong") and resps[2].get("pong")
+    assert resps[1]["ok"] is False        # missing file -> error response
+    assert resps[3].get("bye")
+
+
+def test_cli_directory_as_input_exits_cleanly(tmp_path, capsys):
+    """A directory named like a recording is an environment error, not a
+    traceback (OSError joins the CLI's clean domain-error exits)."""
+    from spectral_tpu import cli as cli_mod
+    d = tmp_path / "dir.wav"
+    d.mkdir()
+    with pytest.raises(SystemExit) as ei:
+        cli_mod.main(["--cpu", "info", str(d)])
+    assert "Is a directory" in str(ei.value)
