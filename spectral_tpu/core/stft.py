@@ -60,6 +60,13 @@ def frame_signal(x: Array, nperseg: int, hop: int) -> Array:
     width g, then each frame is nperseg/g consecutive row-groups starting
     every hop/g rows — built from static strided slices + concat.
     """
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        # int/bool waveforms (e.g. raw 16-bit PCM handed straight to the
+        # API): promote BEFORE any arithmetic. Downstream constants take
+        # the frames' dtype, so an integer input used to truncate the
+        # window/DFT matrices to integers — silently wrong results on the
+        # matmul route (scipy likewise computes on a float copy)
+        x = x.astype(jnp.float32)
     n = x.shape[-1]
     nf = num_frames(n, nperseg, hop)
     if nf <= 0:

@@ -247,6 +247,10 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
             "use core.stft.power_spectrogram")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        # same promotion rule as core.stft.frame_signal: integer PCM must
+        # become float BEFORE the windowed DFT, not inside mixed dots
+        x = x.astype(jnp.float32)
     nperseg, hop = cfg.nperseg, cfg.hop_
     g, S, P = _gcd_dims(cfg)
     # frames in a block extend at most q_max frame-rows past it (gcd

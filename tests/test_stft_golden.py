@@ -237,3 +237,27 @@ def test_gcd1_framing_embeds_no_index_constants():
     const_bytes = sum(np.asarray(c).nbytes for c in closed.consts
                       if hasattr(c, "nbytes") or isinstance(c, np.ndarray))
     assert const_bytes < 1 << 16, const_bytes
+
+
+def test_integer_input_promotes_before_arithmetic():
+    """Raw integer PCM handed straight to the API computes on a float32
+    copy (scipy semantics). The matmul route used to cast the DFT
+    matrices to the INPUT's integer dtype — int16 in, silently-garbage
+    int16 'PSD' out."""
+    fs = 1000.0
+    xf = (np.sin(2 * np.pi * 40 * np.arange(4000) / fs) * 1000
+          ).astype(np.float32)
+    xi = xf.astype(np.int16)
+    xif = xi.astype(np.float32)           # exact float image of the ints
+    cfg = SpecConfig(nperseg=256, hop=128)
+    for um in (False, True):
+        pi = np.asarray(stft_mod.power_spectrogram(
+            jnp.asarray(xi), fs, cfg, use_matmul=um))
+        pf = np.asarray(stft_mod.power_spectrogram(
+            jnp.asarray(xif), fs, cfg, use_matmul=um))
+        assert pi.dtype == np.float32
+        np.testing.assert_array_equal(pi, pf)
+    from spectral_tpu.core.stft import power_spectrogram_fm
+    pfm = np.asarray(power_spectrogram_fm(jnp.asarray(xi), fs, cfg,
+                                          use_matmul=True))
+    assert pfm.dtype == np.float32

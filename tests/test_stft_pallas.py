@@ -244,3 +244,18 @@ def test_matmul_precision_fallback_is_accurate(monkeypatch):
     monkeypatch.delattr(jax.lax, "DotAlgorithmPreset")
     assert (matmul_precision(SpecConfig(precision="fast"))
             == jax.lax.Precision.HIGHEST)
+
+
+def test_pallas_integer_input_promotes():
+    """Integer PCM promotes to float32 before the in-kernel windowed DFT
+    (same rule as core.stft.frame_signal)."""
+    fs = 1000.0
+    xf = (np.sin(2 * np.pi * 40 * np.arange(4096) / fs) * 1000
+          ).astype(np.float32)
+    xi = xf.astype(np.int16)
+    cfg = SpecConfig(nperseg=256, hop=128)
+    pi = np.asarray(stft_psd_pallas(jnp.asarray(xi), fs, cfg))
+    pf = np.asarray(stft_psd_pallas(jnp.asarray(xi.astype(np.float32)),
+                                    fs, cfg))
+    assert pi.dtype == np.float32
+    np.testing.assert_array_equal(pi, pf)
