@@ -60,6 +60,7 @@ def frame_signal(x: Array, nperseg: int, hop: int) -> Array:
     width g, then each frame is nperseg/g consecutive row-groups starting
     every hop/g rows — built from static strided slices + concat.
     """
+    x = jnp.asarray(x)     # accept array-likes (lists, tuples) like numpy
     if not jnp.issubdtype(x.dtype, jnp.inexact):
         # int/bool waveforms (e.g. raw 16-bit PCM handed straight to the
         # API): promote BEFORE any arithmetic. Downstream constants take
@@ -682,6 +683,7 @@ def spectrogram(x: Array, fs: float, cfg: SpecConfig,
     normalization. f/t are host numpy (static given shapes); Sxx is a device
     array of shape (..., n_masked_freqs, nframes).
     """
+    x = jnp.asarray(x)     # accept array-likes (lists, tuples) like scipy
     cfg = effective_config(cfg, x.shape[-1])
     f = freq_axis(cfg, fs)
     t = time_axis(cfg, fs, x.shape[-1])

@@ -261,3 +261,17 @@ def test_integer_input_promotes_before_arithmetic():
     pfm = np.asarray(power_spectrogram_fm(jnp.asarray(xi), fs, cfg,
                                           use_matmul=True))
     assert pfm.dtype == np.float32
+
+
+def test_array_like_input_accepted():
+    """Plain Python sequences work like they do with scipy (jnp.asarray
+    at the public entries)."""
+    fs = 100.0
+    cfg = SpecConfig(nperseg=64, hop=32)
+    xs = list(np.sin(np.arange(300) * 0.3))
+    p = np.asarray(stft_mod.power_spectrogram(xs, fs, cfg))
+    f, t, sxx = stft_mod.spectrogram(xs, fs, cfg)
+    ref = np.asarray(stft_mod.power_spectrogram(
+        jnp.asarray(xs, jnp.float32), fs, cfg))
+    np.testing.assert_array_equal(p, ref)
+    assert sxx.shape == (ref.shape[1], ref.shape[0])
