@@ -53,6 +53,36 @@ def num_frames(n: int, nperseg: int, hop: int) -> int:
     return (n - nperseg) // hop + 1
 
 
+def ensure_real_waveform(x: Array) -> Array:
+    """Coerce a public-API waveform to a real, >=32-bit float array.
+
+    Accepts array-likes (lists/tuples) like numpy. bool/int PCM and
+    sub-32-bit floats (float16/bfloat16) promote to float32 BEFORE any
+    arithmetic: downstream window/DFT constants take the waveform's
+    dtype, so a narrow input used to run the whole contraction in that
+    dtype — int16 gave garbage, bfloat16 ~7e-3 relative error, far
+    outside the 1e-3 dB contract (scipy likewise computes on a float
+    copy). float64 passes through (the x64 validation runs rely on it).
+    Complex waveforms are refused with a clear error: the reference
+    analyzes real sweeps only (PlotEngine.py:113), and mode='complex'
+    concerns the OUTPUT of stft(), not its input — the matmul engines
+    would otherwise emit complex "power" silently.
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 0:
+        raise ValueError("waveform must have at least one axis (got a "
+                         "scalar); pass a 1-D signal or a (..., n) batch")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError(
+            f"real-valued waveform required, got {x.dtype} (complex "
+            "STFT output is cfg.mode='complex'; complex inputs are not "
+            "supported)")
+    if (not jnp.issubdtype(x.dtype, jnp.inexact)
+            or jnp.finfo(x.dtype).bits < 32):
+        x = x.astype(jnp.float32)
+    return x
+
+
 def frame_signal(x: Array, nperseg: int, hop: int) -> Array:
     """Extract overlapping frames: (..., n) -> (..., nframes, nperseg).
 
@@ -60,14 +90,7 @@ def frame_signal(x: Array, nperseg: int, hop: int) -> Array:
     width g, then each frame is nperseg/g consecutive row-groups starting
     every hop/g rows — built from static strided slices + concat.
     """
-    x = jnp.asarray(x)     # accept array-likes (lists, tuples) like numpy
-    if not jnp.issubdtype(x.dtype, jnp.inexact):
-        # int/bool waveforms (e.g. raw 16-bit PCM handed straight to the
-        # API): promote BEFORE any arithmetic. Downstream constants take
-        # the frames' dtype, so an integer input used to truncate the
-        # window/DFT matrices to integers — silently wrong results on the
-        # matmul route (scipy likewise computes on a float copy)
-        x = x.astype(jnp.float32)
+    x = ensure_real_waveform(x)
     n = x.shape[-1]
     nf = num_frames(n, nperseg, hop)
     if nf <= 0:
@@ -341,6 +364,7 @@ def detrend_frames(frames: Array, detrend: str, nperseg: int) -> Array:
 
 def _prep_frames(x: Array, cfg: SpecConfig) -> Array:
     """Pad (center mode), frame, detrend. Returns (..., nframes, nperseg)."""
+    x = ensure_real_waveform(x)   # before the pad's x.ndim / dtype use
     if cfg.center:
         p = cfg.nperseg // 2
         pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
@@ -523,6 +547,7 @@ def _dense_dft(x: Array, cfg: SpecConfig, freq_major: bool = False,
     element is the identical dot product, so values stay bitwise equal
     to slicing the full result."""
     prec = matmul_precision(cfg)
+    x = ensure_real_waveform(x)   # before the pad's x.ndim / dtype use
     raw = frame_signal(
         x if not cfg.center else jnp.pad(
             x, [(0, 0)] * (x.ndim - 1) + [(cfg.nperseg // 2,) * 2],
@@ -683,7 +708,7 @@ def spectrogram(x: Array, fs: float, cfg: SpecConfig,
     normalization. f/t are host numpy (static given shapes); Sxx is a device
     array of shape (..., n_masked_freqs, nframes).
     """
-    x = jnp.asarray(x)     # accept array-likes (lists, tuples) like scipy
+    x = ensure_real_waveform(x)   # array-likes, dtype promotion, complex ban
     cfg = effective_config(cfg, x.shape[-1])
     f = freq_axis(cfg, fs)
     t = time_axis(cfg, fs, x.shape[-1])

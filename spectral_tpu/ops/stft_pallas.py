@@ -84,8 +84,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spectral_tpu.config import SpecConfig
 from spectral_tpu.core.stft import (dft_matrices, dft_matrices_device,
-                                    num_frames, onesided_weights,
-                                    use_device_dft)
+                                    ensure_real_waveform, num_frames,
+                                    onesided_weights, use_device_dft)
 
 Array = jax.Array
 
@@ -247,10 +247,9 @@ def stft_psd_pallas(x: Array, fs: float, cfg: SpecConfig,
             "use core.stft.power_spectrogram")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if not jnp.issubdtype(x.dtype, jnp.inexact):
-        # same promotion rule as core.stft.frame_signal: integer PCM must
-        # become float BEFORE the windowed DFT, not inside mixed dots
-        x = x.astype(jnp.float32)
+    # same coercion rule as the core engines: int/bool/half promote to
+    # f32 before the windowed DFT, complex refuses, array-likes accepted
+    x = ensure_real_waveform(x)
     nperseg, hop = cfg.nperseg, cfg.hop_
     g, S, P = _gcd_dims(cfg)
     # frames in a block extend at most q_max frame-rows past it (gcd

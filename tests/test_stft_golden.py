@@ -275,3 +275,55 @@ def test_array_like_input_accepted():
         jnp.asarray(xs, jnp.float32), fs, cfg))
     np.testing.assert_array_equal(p, ref)
     assert sxx.shape == (ref.shape[1], ref.shape[0])
+
+
+def test_half_precision_input_promotes_to_f32():
+    """float16/bfloat16 waveforms compute on a float32 copy on EVERY
+    engine. The matmul route used to run the whole contraction in the
+    input's dtype (~7e-3 relative error for bfloat16 — far outside the
+    1e-3 dB contract); the rFFT route raised a raw XLA error."""
+    fs = 1000.0
+    x = np.sin(2 * np.pi * 40 * np.arange(4000) / fs).astype(np.float32)
+    cfg = SpecConfig(nperseg=256, hop=128)
+    from spectral_tpu.core.stft import power_spectrogram_fm
+    for dt in (jnp.float16, jnp.bfloat16):
+        xh = jnp.asarray(x, dt)                 # lossy narrow capture
+        ref32 = np.asarray(stft_mod.power_spectrogram(
+            xh.astype(jnp.float32), fs, cfg, use_matmul=True))
+        for um in (False, True):
+            p = np.asarray(stft_mod.power_spectrogram(
+                xh, fs, cfg, use_matmul=um))
+            assert p.dtype == np.float32
+        pm = np.asarray(stft_mod.power_spectrogram(
+            xh, fs, cfg, use_matmul=True))
+        np.testing.assert_array_equal(pm, ref32)
+        # like-for-like on the freq-major route (its CPU einsum retiles
+        # vs the frame-major gemm, ~1e-8 reassociation noise)
+        pfm = np.asarray(power_spectrogram_fm(xh, fs, cfg, use_matmul=True))
+        pfm32 = np.asarray(power_spectrogram_fm(
+            xh.astype(jnp.float32), fs, cfg, use_matmul=True))
+        np.testing.assert_array_equal(pfm, pfm32)
+
+
+def test_complex_input_refused_cleanly():
+    """Complex waveforms raise a clear ValueError at every public entry
+    (the matmul engines would otherwise emit complex 'power' silently;
+    the reference analyzes real sweeps only)."""
+    import pytest
+    fs = 1000.0
+    xc = jnp.asarray(np.random.RandomState(0).randn(1024), jnp.complex64)
+    cfg = SpecConfig(nperseg=256, hop=128)
+    for um in (False, True):
+        with pytest.raises(ValueError, match="real-valued waveform"):
+            stft_mod.power_spectrogram(xc, fs, cfg, use_matmul=um)
+    with pytest.raises(ValueError, match="real-valued waveform"):
+        stft_mod.spectrogram(xc, fs, cfg)
+    from spectral_tpu.ops.stft_pallas import stft_psd_pallas
+    with pytest.raises(ValueError, match="real-valued waveform"):
+        stft_psd_pallas(xc[None], fs, SpecConfig(nperseg=256, hop=64))
+
+
+def test_scalar_input_refused_cleanly():
+    import pytest
+    with pytest.raises(ValueError, match="at least one axis"):
+        stft_mod.power_spectrogram(3.0, 100.0, SpecConfig(nperseg=64, hop=32))
