@@ -195,7 +195,12 @@ class AnalysisSession:
         infos = []
         fs_set = set()
         for name in names:
-            entry = self.registry.data[name]
+            entry = self.registry.data.get(name)
+            if entry is None:
+                known = self.registry.names()
+                raise ValueError(
+                    f"unknown sweep {name!r}; loaded sweeps: "
+                    f"{known[:12]}{'...' if len(known) > 12 else ''}")
             # entry.fs for EVERY signal, including raw ones whose fs_raw
             # differs: reference-faithful — GUI.plot_selected:393-414 uses
             # definitive_fs = manager.data[name]['fs'] as the declared

@@ -1301,3 +1301,15 @@ def test_cli_directory_as_input_exits_cleanly(tmp_path, capsys):
     with pytest.raises(SystemExit) as ei:
         cli_mod.main(["--cpu", "info", str(d)])
     assert "Is a directory" in str(ei.value)
+
+
+def test_plot_sweeps_unknown_name_clean_error():
+    """A bad sweep name raises a ValueError naming the loaded sweeps, not
+    a bare KeyError from the registry dict (headless-API surface)."""
+    s = AnalysisSession()
+    s.registry.register("sweep0", SweepEntry(
+        filepath="x.wav", sweep_idx=0, fs=100.0, fs_raw=100.0,
+        raw=np.zeros(100, np.float32), processed=None))
+    with pytest.raises(ValueError, match="unknown sweep 'nope'.*sweep0"):
+        s.plot_sweeps(["nope"], SpecConfig(nperseg=32, hop=16),
+                      ViewSettings())
