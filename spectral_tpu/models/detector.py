@@ -25,6 +25,19 @@ Event = Tuple[float, float]
 _viterbi_jit = jax.jit(hmm.viterbi)
 
 
+def _check_finite_features(X: np.ndarray) -> None:
+    """Refuse non-finite feature matrices like the reference stack does
+    (hmmlearn -> sklearn check_array raises on NaN/Inf at
+    PlotEngine.py:432 model.fit). Without this an overflowed float32
+    PSD — e.g. a ~1e18-amplitude waveform, whose power exceeds f32 max —
+    flowed NaN through KMeans/EM and silently reported ZERO events."""
+    if not np.isfinite(X).all():
+        raise ValueError(
+            "features contain NaN/Inf; if the input waveform is finite, "
+            "its power overflows float32 analysis — rescale the signal "
+            "(the analysis is scale-invariant)")
+
+
 @jax.jit
 def _viterbi_packed(params: hmm.HMMParams, X):
     """Refined-model decode in one dispatch + ONE readback: states and the
@@ -145,6 +158,7 @@ class BurstDetector:
         if t.size == 0:
             return []
         feats_np = np.asarray(features, np.float32)
+        _check_finite_features(feats_np)
 
         with self._device_ctx(feats_np.size):
             X = jnp.asarray(feats_np)
@@ -179,6 +193,7 @@ class BurstDetector:
             raise ValueError("No manual regions provided to learn from.")
         t = np.asarray(t)
         X = np.asarray(features, dtype=np.float32)
+        _check_finite_features(X)
 
         precise_bursts: List[Event] = []
         for roi_start_t, roi_end_t in rois:

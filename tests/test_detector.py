@@ -159,3 +159,21 @@ def test_warmup_precompiles_and_detect_matches():
 
     # background form returns immediately and never raises
     BurstDetector().warmup(T + 8, 2, background=True)
+
+
+def test_nonfinite_features_refused_like_hmmlearn():
+    """Inf/NaN features raise a clear ValueError (hmmlearn's sklearn
+    check_array contract at PlotEngine.py:432) instead of flowing NaN
+    through KMeans/EM and silently reporting zero events — the failure
+    mode of a ~1e18-amplitude waveform whose power overflows float32."""
+    rng = np.random.RandomState(0)
+    T = 64
+    t = np.arange(T) / 10.0
+    feats = rng.randn(T, 2).astype(np.float32)
+    for bad in (np.inf, np.nan):
+        f_bad = feats.copy()
+        f_bad[10, 0] = bad
+        with pytest.raises(ValueError, match="NaN/Inf"):
+            BurstDetector().unsupervised_detect(t, f_bad)
+        with pytest.raises(ValueError, match="NaN/Inf"):
+            BurstDetector().learn_and_detect(t, f_bad, [(1.0, 4.0)])
