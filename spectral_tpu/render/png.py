@@ -14,11 +14,30 @@ encoding on host. Three backends, fastest available wins:
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Optional
 
 import numpy as np
+
+
+def _write_atomic(path: str, data: bytes) -> None:
+    """Same-directory temp + os.replace: a process killed mid-export never
+    leaves a truncated file that looks like a finished PNG (the 10k-clip
+    pipeline writes thousands of these; its per-clip fault isolation can
+    only catch raised errors, not a SIGKILL mid-write)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 _native = None
 _native_checked = False
@@ -93,8 +112,7 @@ def encode_png(arr, path: Optional[str] = None, compress_level: int = 6
             data = encode_png_pure(arr, compress_level)
 
     if path is not None:
-        with open(path, "wb") as fh:
-            fh.write(data)
+        _write_atomic(path, data)
         return None
     return data
 
@@ -132,8 +150,7 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
             data = _encode_png_palette_pure(indices, palette, compress_level)
 
     if path is not None:
-        with open(path, "wb") as fh:
-            fh.write(data)
+        _write_atomic(path, data)
         return None
     return data
 

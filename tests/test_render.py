@@ -354,3 +354,33 @@ def test_encoder_fallback_tiers_pixel_identical(monkeypatch, tmp_path):
     assert png_mod.encode_png(rgb, str(p)) is None
     np.testing.assert_array_equal(png_mod.decode_png(str(p)),
                                   png_mod.decode_png(png_mod.encode_png(rgb)))
+
+
+def test_png_writes_are_atomic(tmp_path, monkeypatch):
+    """File writes go through same-dir temp + os.replace: no .tmp residue
+    on success, and a failure mid-write leaves NO file at the target path
+    (a killed 10k-clip export must not leave truncated 'finished' PNGs)."""
+    import os
+    from spectral_tpu.render import png as png_mod
+    arr = np.zeros((4, 5, 3), np.uint8)
+    p = tmp_path / "ok.png"
+    png_mod.encode_png(arr, str(p))
+    assert p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+    idx = np.zeros((4, 5), np.uint8)
+    pal = np.zeros((2, 3), np.uint8)
+    p2 = tmp_path / "pal.png"
+    png_mod.encode_png_palette(idx, pal, str(p2))
+    assert p2.exists()
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+    # failure injection: replace raises -> target absent, temp cleaned up
+    def boom(src, dst):
+        raise OSError("disk full")
+    monkeypatch.setattr(png_mod.os, "replace", boom)
+    p3 = tmp_path / "fail.png"
+    with pytest.raises(OSError, match="disk full"):
+        png_mod.encode_png(arr, str(p3))
+    assert not p3.exists()
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
