@@ -14,6 +14,7 @@ encoding on host. Three backends, fastest available wins:
 
 from __future__ import annotations
 
+import itertools
 import os
 import struct
 import zlib
@@ -22,12 +23,19 @@ from typing import Optional
 import numpy as np
 
 
+_tmp_counter = itertools.count()
+
+
 def _write_atomic(path: str, data: bytes) -> None:
     """Same-directory temp + os.replace: a process killed mid-export never
     leaves a truncated file that looks like a finished PNG (the 10k-clip
     pipeline writes thousands of these; its per-clip fault isolation can
-    only catch raised errors, not a SIGKILL mid-write)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    only catch raised errors, not a SIGKILL mid-write). The temp name is
+    unique per (process, call): encode POOL THREADS handed duplicate clip
+    stems would otherwise share one temp file — interleaved writes, then
+    FileNotFoundError on the second replace (last-writer-wins, cleanly,
+    is the contract for duplicate output paths)."""
+    tmp = f"{path}.tmp.{os.getpid()}.{next(_tmp_counter)}"
     try:
         with open(tmp, "wb") as fh:
             fh.write(data)

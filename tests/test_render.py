@@ -384,3 +384,21 @@ def test_png_writes_are_atomic(tmp_path, monkeypatch):
         png_mod.encode_png(arr, str(p3))
     assert not p3.exists()
     assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+def test_concurrent_writes_to_same_path_are_safe():
+    """Duplicate clip stems make encode-pool threads race on ONE output
+    path; each write must use a unique temp so the survivor is a VALID
+    PNG (itertools.count suffix) and no thread raises."""
+    import concurrent.futures as cf
+    import os
+    import tempfile
+    from spectral_tpu.render import png as png_mod
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/same.png"
+        arrs = [np.full((16, 16, 3), v, np.uint8) for v in range(32)]
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(lambda a: png_mod.encode_png(a, path), arrs))
+        data = open(path, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and data[-8:-4] == b"IEND"
+        assert not [f for f in os.listdir(d) if ".tmp." in f]
