@@ -553,6 +553,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", action="store_true",
                    help="shard each batch over ALL local devices (one "
                         "'data' mesh axis; batch must divide evenly)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip clips whose PNG already exists in the output "
+                        "directory (writes are atomic, so presence proves "
+                        "completeness) — restartable dataset jobs")
     _add_spec_args(p, combine=False)
 
     p = sub.add_parser("info", help="list sweeps in files")
@@ -826,14 +830,25 @@ def _dispatch(args) -> int:
         if args.shard:
             from spectral_tpu.parallel.mesh import make_mesh
             mesh = make_mesh()
+        n_already = 0
+        if args.resume:
+            n_already = sum(
+                1 for f in args.files if os.path.exists(os.path.join(
+                    args.out_dir,
+                    os.path.splitext(os.path.basename(f))[0] + ".png")))
         stats = export_spectrograms(
-            wav_clip_source(args.files, on_error=args.on_error), fs, cfg,
+            wav_clip_source(args.files, on_error=args.on_error,
+                            skip_existing_in=(args.out_dir if args.resume
+                                              else None)),
+            fs, cfg,
             args.out_dir, clip_samples=int(args.clip_seconds * fs),
             batch=args.batch, colormap=args.cmap,
             compress_level=args.compress_level,
             pixel_format=args.pixel_format, on_error=args.on_error,
-            mesh=mesh)
+            mesh=mesh, resume=args.resume)
         suffix = f"; {stats.failed} failed" if stats.failed else ""
+        if args.resume:
+            suffix += f" (resume: {n_already} already existed)"
         print(f"Exported {stats.pngs_written} spectrogram PNG(s) "
               f"({stats.seconds_audio:.0f} s of audio) to "
               f"{args.out_dir}{suffix}")

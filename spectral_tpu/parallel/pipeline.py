@@ -36,6 +36,7 @@ class PipelineStats:
     pngs_written: int = 0
     seconds_audio: float = 0.0
     failed: int = 0              # encode failures isolated by on_error="skip"
+    skipped: int = 0             # resume=True: outputs that already existed
     # per-stage breakdown (seconds; encode_s is summed worker CPU-seconds,
     # the others are wall time on their stage's thread)
     stage_s: float = 0.0         # producer: staging + async dispatch
@@ -112,7 +113,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         pixel_format: str = "palette",
                         on_error: str = "raise",
                         mesh=None, batch_axis: str = "data",
-                        encode_executor: str = "thread"
+                        encode_executor: str = "thread",
+                        resume: bool = False
                         ) -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
 
@@ -144,6 +146,14 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     native and PIL encoders) or 'process' (sidesteps the GIL entirely for
     the filter/pack Python overhead at the cost of pickling each image to
     the pool — wins when encode is the bottleneck and images are small).
+
+    resume=True skips clips whose '{name}.png' already exists in out_dir
+    (counted in stats.skipped) BEFORE they are staged or computed, so a
+    restarted 10k-clip job pays only for what is missing. Safe because
+    every PNG write is atomic (render.png._write_atomic): a file's
+    presence proves it is complete, never a truncated casualty of the
+    previous run. Pair with wav_clip_source(skip_existing_in=out_dir) to
+    also skip the DECODE of finished clips.
 
     The returned stats carry a per-stage breakdown
     (:meth:`PipelineStats.breakdown`): producer staging/dispatch, blocking
@@ -252,9 +262,19 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                 continue
         return False
 
+    clip_it = iter(clips)
+    if resume:
+        def _resume_filter(it):
+            for name, x in it:
+                if os.path.exists(os.path.join(out_dir, f"{name}.png")):
+                    stats.skipped += 1   # single-writer field (producer)
+                    continue
+                yield name, x
+        clip_it = _resume_filter(clip_it)
+
     def producer():
         try:
-            for names, lens, xb in _batched(iter(clips), batch, clip_samples):
+            for names, lens, xb in _batched(clip_it, batch, clip_samples):
                 # async dispatch: upload + compute overlap with consumer
                 t0 = time.time()
                 xd = jnp.asarray(xb) if in_sharding is None \
@@ -388,17 +408,26 @@ def _resolve(future, stats: PipelineStats, on_error: str) -> None:
         stats.failed += 1
 
 
-def wav_clip_source(paths: Sequence[str], on_error: str = "raise"
+def wav_clip_source(paths: Sequence[str], on_error: str = "raise",
+                    skip_existing_in: "str | None" = None
                     ) -> Iterator[Tuple[str, np.ndarray]]:
     """Decode WAV files into (stem, mono) pairs.
 
     Mono 16-bit PCM files are yielded as RAW int16 (the pipeline stages
     them with half the upload bytes and normalizes on device); everything
     else decodes to float32. on_error='skip' logs and skips undecodable
-    files instead of killing the whole dataset export."""
+    files instead of killing the whole dataset export.
+
+    skip_existing_in: a directory; files whose '{stem}.png' already exists
+    there are skipped WITHOUT decoding (the resume fast path — pair with
+    export_spectrograms(resume=True), which re-checks at staging time)."""
     import struct
     from spectral_tpu.io.wav import read_wav, read_wav_int16
     for p in paths:
+        if skip_existing_in is not None and os.path.exists(os.path.join(
+                skip_existing_in,
+                os.path.splitext(os.path.basename(p))[0] + ".png")):
+            continue
         try:
             try:
                 x, _fs = read_wav_int16(p)

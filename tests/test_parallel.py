@@ -823,3 +823,70 @@ def test_export_pipeline_stored_png_level0(tmp_path):
     assert s0 >= s1
     raw = 129 * (num_frames(n, 256, 64) + 1)   # indices + filter bytes
     assert s0 < raw * 1.02 + 1024
+
+
+def test_export_pipeline_resume_skips_existing(tmp_path):
+    """resume=True: existing PNGs are never recomputed or rewritten
+    (atomic writes make presence == completeness); missing ones are.
+    The wav source's skip_existing_in fast path also skips the decode."""
+    import os
+    from spectral_tpu.parallel.pipeline import (export_spectrograms,
+                                                wav_clip_source)
+    from spectral_tpu.io.wav import write_wav
+    fs = 8000.0
+    n = 8000
+    rng = np.random.RandomState(2)
+    clips = [(f"r{i}", rng.randn(n).astype(np.float32)) for i in range(5)]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    out = tmp_path / "out"
+    export_spectrograms(iter(clips), fs, cfg, str(out),
+                        clip_samples=n, batch=2)
+    mtimes = {f: os.path.getmtime(out / f) for f in os.listdir(out)}
+
+    # full rerun: everything skipped, nothing touched
+    stats = export_spectrograms(iter(clips), fs, cfg, str(out),
+                                clip_samples=n, batch=2, resume=True)
+    assert stats.skipped == 5 and stats.pngs_written == 0
+    assert stats.clips == 0 and stats.seconds_audio == 0
+    assert {f: os.path.getmtime(out / f) for f in os.listdir(out)} == mtimes
+
+    # partial: delete two -> exactly those two are re-exported
+    (out / "r1.png").unlink()
+    (out / "r4.png").unlink()
+    stats = export_spectrograms(iter(clips), fs, cfg, str(out),
+                                clip_samples=n, batch=2, resume=True)
+    assert stats.skipped == 3 and stats.pngs_written == 2
+    assert sorted(os.listdir(out)) == [f"r{i}.png" for i in range(5)]
+
+    # wav source decode-skip: only missing stems are decoded at all
+    wavs = []
+    for i in range(3):
+        p = tmp_path / f"w{i}.wav"
+        write_wav(str(p), rng.randn(n).astype(np.float32), int(fs))
+        wavs.append(str(p))
+    wav_out = tmp_path / "wout"
+    wav_out.mkdir()
+    (wav_out / "w0.png").write_bytes(b"sentinel")   # pre-existing
+    got = [name for name, _ in wav_clip_source(
+        wavs, skip_existing_in=str(wav_out))]
+    assert got == ["w1", "w2"]
+    assert (wav_out / "w0.png").read_bytes() == b"sentinel"
+
+
+def test_cli_export_specs_resume(tmp_path):
+    from spectral_tpu.cli import main
+    from spectral_tpu.io.wav import write_wav
+    import os
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.wav"
+        write_wav(str(p), rng.randn(4000).astype(np.float32), 4000)
+        paths.append(str(p))
+    out = str(tmp_path / "specs")
+    assert main(["--cpu", "export-specs", *paths, "-o", out,
+                 "--clip-seconds", "1", "--log"]) == 0
+    os.unlink(os.path.join(out, "c1.png"))
+    assert main(["--cpu", "export-specs", *paths, "-o", out,
+                 "--clip-seconds", "1", "--log", "--resume"]) == 0
+    assert sorted(os.listdir(out)) == ["c0.png", "c1.png", "c2.png"]
