@@ -313,6 +313,7 @@ class AnalysisSession:
                 f_disp = f_disp[band[0]:band[1]]
             self.last_f, self.last_t, self.last_sxx = f_disp, t, sxx
             self.last_image = img
+            self._check_power_overflow(img)
             if self.warm_detection:
                 self.detector.warmup(len(t), 2)
             return SpectrogramResult(f_disp, t, sxx, img)
@@ -340,6 +341,7 @@ class AnalysisSession:
         img = np.asarray(normalize(jnp.asarray(sxx), cfg.log_scale,
                                    global_max))
         self.last_image = img
+        self._check_power_overflow(img)
         # warm-start interactive detection: precompile the fused
         # fit+patch+Viterbi for this plot's feature shape (T, 2) in the
         # background, so the first Auto-Detect click after a plot pays no
@@ -348,6 +350,31 @@ class AnalysisSession:
         if self.warm_detection:
             self.detector.warmup(len(t), 2)
         return SpectrogramResult(f, t, sxx, img)
+
+    def _check_power_overflow(self, img: np.ndarray) -> None:
+        """Refuse a display image wrecked by f32 power overflow.
+
+        The reference computes in float64, where no plausible recording
+        overflows; our f32 compute overflows |X|^2 to inf at waveform
+        amplitudes around 1e19, and the linear normalize then renders
+        inf/inf = NaN pixels — silent garbage. Distinguish the two ways a
+        non-finite pixel can appear: non-finite SAMPLES propagate exactly
+        like the reference's (pinned by the NaN/Inf differential test, so
+        they pass through untouched), while a non-finite pixel from an
+        all-finite waveform can only be our overflow artifact — raise with
+        the fix, which the metamorphic invariants guarantee is lossless
+        for every normalized output (display image, detected events,
+        relative band powers are all unit-invariant; power-of-two
+        prescaling is bitwise exact)."""
+        if img.size and not np.isfinite(img).all() \
+                and np.isfinite(self.spec_data_source).all():
+            amax = float(np.abs(self.spec_data_source).max())
+            raise ValueError(
+                f"spectral power overflows float32 (waveform amplitude "
+                f"~{amax:.3g}): rescale the recording by a power of two "
+                f"(e.g. x * 2**-40) before loading — the normalized "
+                f"display, detected events and relative band powers are "
+                f"invariant to the unit change")
 
     def _store_psd_cache(self, cfg, fs, f, t, psd) -> None:
         """Keep the pre-mask/pre-mel PSD device-resident for detection:

@@ -1313,3 +1313,29 @@ def test_plot_sweeps_unknown_name_clean_error():
     with pytest.raises(ValueError, match="unknown sweep 'nope'.*sweep0"):
         s.plot_sweeps(["nope"], SpecConfig(nperseg=32, hop=16),
                       ViewSettings())
+
+
+def test_f32_power_overflow_refused_with_rescale_hint():
+    """A finite waveform whose spectral power overflows float32 must raise
+    an actionable error (the reference's f64 math never overflows; silent
+    NaN pixels are our artifact) — while non-finite SAMPLES keep the
+    reference's pixel-for-pixel NaN propagation (no raise)."""
+    s = AnalysisSession(warm_detection=False)
+    big = (1e19 * np.random.default_rng(0).standard_normal(4096)
+           ).astype(np.float32)
+    s.registry.register("big_sweep0", SweepEntry(
+        filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=big, processed=None))
+    with pytest.raises(ValueError, match="power of two"):
+        s.plot_sweeps(["big_sweep0"], SpecConfig(nperseg=256),
+                      ViewSettings())
+
+    s2 = AnalysisSession(warm_detection=False)
+    bad = np.zeros(4096, np.float32)
+    bad[1000] = np.nan
+    s2.registry.register("nan_sweep0", SweepEntry(
+        filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=bad, processed=None))
+    res = s2.plot_sweeps(["nan_sweep0"], SpecConfig(nperseg=256),
+                         ViewSettings())
+    assert np.isnan(res.image).any()  # reference propagation, untouched
