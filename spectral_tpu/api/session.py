@@ -311,9 +311,11 @@ class AnalysisSession:
             sxx, img = arr[0], arr[1]
             if band is not None:
                 f_disp = f_disp[band[0]:band[1]]
+            # validate BEFORE mutating display state: a raise must leave
+            # the previous plot (and its exportable image) intact
+            self._check_power_overflow(img)
             self.last_f, self.last_t, self.last_sxx = f_disp, t, sxx
             self.last_image = img
-            self._check_power_overflow(img)
             if self.warm_detection:
                 self.detector.warmup(len(t), 2)
             return SpectrogramResult(f_disp, t, sxx, img)
@@ -332,16 +334,18 @@ class AnalysisSession:
         sxx = np.asarray(psd).T  # freq-major
         if cfg.fmin is not None or cfg.fmax is not None:
             f, sxx = mask_band_rows(f, sxx, cfg.fmin, cfg.fmax)
-        self.last_f, self.last_t, self.last_sxx = f, t, sxx
         if sxx.size == 0:  # PlotEngine.py:122-124
+            self.last_f, self.last_sxx = f, sxx
             self.last_t = np.array([])
             self.last_image = None
             return SpectrogramResult(f, np.array([]), sxx,
                                      np.zeros_like(sxx))
         img = np.asarray(normalize(jnp.asarray(sxx), cfg.log_scale,
                                    global_max))
-        self.last_image = img
+        # validate BEFORE mutating display state (see the fast path)
         self._check_power_overflow(img)
+        self.last_f, self.last_t, self.last_sxx = f, t, sxx
+        self.last_image = img
         # warm-start interactive detection: precompile the fused
         # fit+patch+Viterbi for this plot's feature shape (T, 2) in the
         # background, so the first Auto-Detect click after a plot pays no

@@ -1323,12 +1323,22 @@ def test_f32_power_overflow_refused_with_rescale_hint():
     s = AnalysisSession(warm_detection=False)
     big = (1e19 * np.random.default_rng(0).standard_normal(4096)
            ).astype(np.float32)
+    s.registry.register("ok_sweep0", SweepEntry(
+        filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=np.sin(0.3 * np.arange(4096)).astype(np.float32),
+        processed=None))
     s.registry.register("big_sweep0", SweepEntry(
         filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
         raw=big, processed=None))
+    s.plot_sweeps(["ok_sweep0"], SpecConfig(nperseg=256), ViewSettings())
     with pytest.raises(ValueError, match="power of two"):
         s.plot_sweeps(["big_sweep0"], SpecConfig(nperseg=256),
                       ViewSettings())
+    # post-raise display state is CLEARED (plot_sweeps clears at entry,
+    # reference PlotEngine.clear :68-76), never the NaN-pixel garbage:
+    # an export after the error refuses cleanly instead of writing it
+    assert s.last_image is None
+    assert s.export_png("/nonexistent-dir/x.png").startswith("Error")
 
     s2 = AnalysisSession(warm_detection=False)
     bad = np.zeros(4096, np.float32)
