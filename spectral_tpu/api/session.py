@@ -306,14 +306,17 @@ class AnalysisSession:
             prog = _plot_program(cfg, fs, band, global_max is not None)
             psd, packed = prog(x, jnp.asarray(
                 global_max if global_max is not None else 0.0, jnp.float32))
-            self._store_psd_cache(cfg, fs, f, t, psd)
             arr = np.asarray(packed)
             sxx, img = arr[0], arr[1]
             if band is not None:
                 f_disp = f_disp[band[0]:band[1]]
-            # validate BEFORE mutating display state: a raise must leave
-            # the previous plot (and its exportable image) intact
-            self._check_power_overflow(img)
+            # validate the PSD (not the image: nan_to_num in the dB map
+            # and the global-max clip both launder inf into finite
+            # pixels) BEFORE caching or publishing anything — a raise
+            # leaves the session in the cleared at-plot-start state with
+            # no overflowed PSD in the detection cache
+            self._check_power_overflow(sxx)
+            self._store_psd_cache(cfg, fs, f, t, psd)
             self.last_f, self.last_t, self.last_sxx = f_disp, t, sxx
             self.last_image = img
             if self.warm_detection:
@@ -323,27 +326,30 @@ class AnalysisSession:
         # legacy host-mask path: zero frames, an empty band, or a
         # non-contiguous (two-sided fftfreq) mask
         psd = power_spectrogram(x, fs, cfg)  # (T, F)
-        self._store_psd_cache(cfg, fs, f, t, psd)
+        psd_full = psd                       # pre-mel, for the detection cache
         if cfg.n_mels:
             from spectral_tpu.core.mel import mel_filterbank
             fb = mel_filterbank(cfg.n_mels, psd.shape[-1], fs, cfg.mel_fmin,
                                 cfg.mel_fmax, cfg.mel_htk)
             psd = jnp.matmul(psd, jnp.asarray(fb.T, psd.dtype),
                              precision=jax.lax.Precision.HIGHEST)
+        f_full = f  # pre-mask/pre-mel rfft axis, paired with psd_full
         f = f_disp  # mel centers when a mel stage ran, rfft bins otherwise
         sxx = np.asarray(psd).T  # freq-major
         if cfg.fmin is not None or cfg.fmax is not None:
             f, sxx = mask_band_rows(f, sxx, cfg.fmin, cfg.fmax)
         if sxx.size == 0:  # PlotEngine.py:122-124
+            self._store_psd_cache(cfg, fs, f_full, t, psd_full)
             self.last_f, self.last_sxx = f, sxx
             self.last_t = np.array([])
             self.last_image = None
             return SpectrogramResult(f, np.array([]), sxx,
                                      np.zeros_like(sxx))
+        # validate the PSD before caching or publishing (see the fast path)
+        self._check_power_overflow(sxx)
         img = np.asarray(normalize(jnp.asarray(sxx), cfg.log_scale,
                                    global_max))
-        # validate BEFORE mutating display state (see the fast path)
-        self._check_power_overflow(img)
+        self._store_psd_cache(cfg, fs, f_full, t, psd_full)
         self.last_f, self.last_t, self.last_sxx = f, t, sxx
         self.last_image = img
         # warm-start interactive detection: precompile the fused
@@ -355,22 +361,26 @@ class AnalysisSession:
             self.detector.warmup(len(t), 2)
         return SpectrogramResult(f, t, sxx, img)
 
-    def _check_power_overflow(self, img: np.ndarray) -> None:
-        """Refuse a display image wrecked by f32 power overflow.
+    def _check_power_overflow(self, sxx: np.ndarray) -> None:
+        """Refuse a plot whose PSD was wrecked by f32 power overflow.
 
         The reference computes in float64, where no plausible recording
         overflows; our f32 compute overflows |X|^2 to inf at waveform
-        amplitudes around 1e19, and the linear normalize then renders
-        inf/inf = NaN pixels — silent garbage. Distinguish the two ways a
-        non-finite pixel can appear: non-finite SAMPLES propagate exactly
-        like the reference's (pinned by the NaN/Inf differential test, so
-        they pass through untouched), while a non-finite pixel from an
-        all-finite waveform can only be our overflow artifact — raise with
-        the fix, which the metamorphic invariants guarantee is lossless
-        for every normalized output (display image, detected events,
-        relative band powers are all unit-invariant; power-of-two
-        prescaling is bitwise exact)."""
-        if img.size and not np.isfinite(img).all() \
+        amplitudes around 1e19, and everything downstream of the inf is
+        silent garbage: the linear normalize renders inf/inf = NaN
+        pixels, the dB map's nan_to_num and the global-max clip launder
+        the inf into finite-but-wrong pixels, and the band-power ratios
+        go inf/inf. Checking the PSD itself (not the image) catches all
+        of those. Distinguish the two ways inf can appear: non-finite
+        SAMPLES propagate exactly like the reference's (pinned by the
+        NaN/Inf differential test, so they pass through untouched),
+        while a non-finite PSD from an all-finite waveform can only be
+        our overflow artifact — raise with the fix, which the
+        metamorphic invariants guarantee is lossless for every
+        normalized output (display image, detected events, relative
+        band powers are all unit-invariant; power-of-two prescaling is
+        bitwise exact)."""
+        if sxx.size and not np.isfinite(sxx).all() \
                 and np.isfinite(self.spec_data_source).all():
             amax = float(np.abs(self.spec_data_source).max())
             raise ValueError(

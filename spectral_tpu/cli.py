@@ -163,7 +163,21 @@ def _detect_each_batched(s, names, args):
             fmin = cfg.fmin if cfg.fmin is not None else 0.0
             fmax = cfg.fmax if cfg.fmax is not None else float(f[-1])
             feats = np.asarray(ev_mod.features_from_psd(f, psd, fmin, fmax))
-            results = batch_unsupervised_detect(t, feats)
+            # per-clip fault isolation: a NaN/Inf feature row (overflowed
+            # f32 power, non-finite samples) skips THAT sweep with the
+            # sequential path's message instead of failing the group —
+            # batch_unsupervised_detect refuses whole batches otherwise
+            finite = np.isfinite(feats.reshape(len(group), -1)).all(axis=1)
+            bad_err = ValueError(
+                "features contain NaN/Inf; if the input waveform is "
+                "finite, its power overflows float32 analysis — rescale "
+                "the signal (the analysis is scale-invariant)")
+            for nm in (nm for nm, ok in zip(group, finite) if not ok):
+                out[nm] = bad_err
+            group = [nm for nm, ok in zip(group, finite) if ok]
+            if not group:
+                continue
+            results = batch_unsupervised_detect(t, feats[finite])
         except ValueError as e:
             for nm in group:
                 out[nm] = e
@@ -205,10 +219,13 @@ def _detect_each(args) -> int:
             events = got
         else:
             s.reset_model()
-            s.plot_sweeps([name], _make_config(args),
-                          ViewSettings(mode_proc="Spectrogram",
-                                       mode_raw="Spectrogram"))
             try:
+                # plot inside the per-sweep guard: a sweep whose PSD
+                # overflows f32 (session overflow check) must skip like
+                # any other per-sweep failure, not abort the whole fleet
+                s.plot_sweeps([name], _make_config(args),
+                              ViewSettings(mode_proc="Spectrogram",
+                                           mode_raw="Spectrogram"))
                 events = s.unsupervised_detect()
             except ValueError as e:       # e.g. sweep too short to train on
                 print(f"{name}\tskipped: {e}", file=sys.stderr)

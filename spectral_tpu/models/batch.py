@@ -51,6 +51,18 @@ def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
     """
     feats = np.asarray(feats, np.float32)
     B, T, D = feats.shape
+    if not np.isfinite(feats).all():
+        # same refusal as the sequential flow
+        # (models/detector.py::_check_finite_features): NaN features flow
+        # through KMeans/EM without error and silently decode ZERO events.
+        # Callers that want per-clip fault isolation (cli
+        # _detect_each_batched) filter non-finite clips out first.
+        bad = np.where(~np.isfinite(feats).reshape(B, -1).all(axis=1))[0]
+        raise ValueError(
+            f"features contain NaN/Inf (clips {bad.tolist()[:8]}"
+            f"{'...' if bad.size > 8 else ''}); if the input waveforms "
+            "are finite, their power overflows float32 analysis — "
+            "rescale the signals (the analysis is scale-invariant)")
     if T < n_states:
         # same guard and message as the sequential flow
         # (models/detector.py::unsupervised_detect) so `detect --each

@@ -1349,3 +1349,57 @@ def test_f32_power_overflow_refused_with_rescale_hint():
     res = s2.plot_sweeps(["nan_sweep0"], SpecConfig(nperseg=256),
                          ViewSettings())
     assert np.isnan(res.image).any()  # reference propagation, untouched
+
+
+def test_overflow_guard_covers_log_scale_and_global_max():
+    """The guard checks the PSD, not the image: the dB map's nan_to_num
+    and the global-max clip both launder inf into finite pixels, so an
+    image-level check silently passes garbage on the GUI's log-scale
+    checkbox path and on shared-scale batch renders."""
+    big = (1e19 * np.random.default_rng(0).standard_normal(4096)
+           ).astype(np.float32)
+    for kwargs in ({"log_scale": True}, {}):
+        s = AnalysisSession(warm_detection=False)
+        s.registry.register("big_sweep0", SweepEntry(
+            filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+            raw=big, processed=None))
+        gm = 1.0 if not kwargs else None
+        with pytest.raises(ValueError, match="power of two"):
+            s.plot_sweeps(["big_sweep0"], SpecConfig(nperseg=256, **kwargs),
+                          ViewSettings(), global_max=gm)
+
+
+def _write_float_wav(path, x, fs):
+    """Minimal IEEE-float32 WAV (format tag 3) — write_wav clips to 16-bit
+    PCM, which cannot carry overflow-scale amplitudes."""
+    import struct
+    payload = np.asarray(x, "<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, int(fs), int(fs) * 4, 4, 32)
+    path.write_bytes(
+        struct.pack("<4sI4s", b"RIFF", 20 + len(fmt) + len(payload), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(payload)) + payload)
+
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_detect_each_skips_overflowing_sweep(tmp_path, capsys, batched):
+    """One overflowing sweep in a fleet skips with a per-sweep stderr line
+    (like any other per-sweep failure) instead of aborting the whole
+    --each run; the healthy sweeps still report their events."""
+    from spectral_tpu import cli as cli_mod
+    fs = 1000.0
+    good = tmp_path / "good.wav"
+    write_wav(str(good), _bursty(fs=fs, dur=15.0, bursts=((4, 8),)) * 0.5, fs)
+    big = tmp_path / "big.wav"
+    _write_float_wav(big, 1e19 * np.random.default_rng(0)
+                     .standard_normal(int(15 * fs)), fs)
+    argv = ["--cpu", "detect", "--each", str(big), str(good),
+            "--nperseg", "256", "--scipy-compat"]
+    if batched:
+        argv.append("--batched")
+    rc = cli_mod.main(argv)
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "big_sweep0\tskipped:" in err
+    assert "rescale" in err or "power of two" in err
+    assert any(line.startswith("good_sweep0\t") for line in out.splitlines())

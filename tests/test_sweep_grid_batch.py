@@ -230,3 +230,18 @@ def test_sweep_grid_zero_padded_nfft():
         np.testing.assert_allclose(np.asarray(out), ref, rtol=0,
                                    atol=ref.max() * 1e-6,
                                    err_msg=str(cfg.nperseg))
+
+
+def test_batch_detect_refuses_nonfinite_features():
+    """Parity with the sequential detector's _check_finite_features: NaN
+    features flow through KMeans/EM without error and silently decode
+    zero events, so the batched entry must refuse too, naming the bad
+    clips."""
+    import pytest
+    from spectral_tpu.models.batch import batch_unsupervised_detect
+    rng = np.random.default_rng(0)
+    t = np.arange(32, dtype=np.float64) * 0.1
+    feats = rng.standard_normal((3, 32, 2)).astype(np.float32)
+    feats[1, 5, 0] = np.nan
+    with pytest.raises(ValueError, match=r"clips \[1\]"):
+        batch_unsupervised_detect(t, feats)
