@@ -39,7 +39,7 @@ def _preflight_backend() -> None:
     number beats no artifact). BENCH_INIT_TIMEOUT (s, default 900) bounds
     each attempt; BENCH_INIT_RETRIES (default 1) adds retries; 0 disables
     the preflight entirely (trust the default backend)."""
-    import subprocess
+    from spectral_tpu.utils.backend import probe_backend_init
     timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "900"))
     retries = int(os.environ.get("BENCH_INIT_RETRIES", "1"))
     if timeout <= 0:
@@ -55,20 +55,11 @@ def _preflight_backend() -> None:
             # a wedged chip client blocks successors until it fully dies
             # (CLAUDE.md); an immediate retry would hit the same wedge
             time.sleep(60)
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('ok')"],
-                timeout=timeout, capture_output=True, text=True)
-            if r.returncode == 0 and "ok" in r.stdout:
-                return
-            err = (r.stderr or "").strip().splitlines()
-            print(f"bench preflight: backend init failed "
-                  f"(attempt {attempt + 1}): "
-                  f"{err[-1] if err else 'unknown'}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"bench preflight: backend init exceeded {timeout:.0f}s "
-                  f"(attempt {attempt + 1})", file=sys.stderr)
+        ok, detail = probe_backend_init(timeout)
+        if ok:
+            return
+        print(f"bench preflight: {detail} (attempt {attempt + 1})",
+              file=sys.stderr)
     print("bench preflight: accelerator unavailable — falling back to CPU",
           file=sys.stderr)
     import jax

@@ -260,22 +260,12 @@ def _detect_each(args) -> int:
 
 
 def _probe_backend_reachable(timeout: float):
-    """(reachable, detail): probe accelerator backend init in a SUBPROCESS
-    bounded by `timeout` seconds. A diagnosis tool must not block 25-50 min
-    in-process on a downed tunnel (the observed failure mode of the axon
-    backend), and a killed subprocess leaves this process's backend state
-    untouched."""
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            timeout=timeout, capture_output=True, text=True)
-        if r.returncode == 0 and "ok" in r.stdout:
-            return True, ""
-        lines = (r.stderr or "").strip().splitlines()
-        return False, lines[-1] if lines else "unknown init failure"
-    except subprocess.TimeoutExpired:
-        return False, f"backend init still blocked after {timeout:.0f}s"
+    """(reachable, detail): bounded subprocess probe of accelerator init —
+    shared with bench.py's preflight (utils/backend.py) so the two triage
+    tools cannot drift. A diagnosis tool must not block 25-50 min
+    in-process on a downed tunnel."""
+    from spectral_tpu.utils.backend import probe_backend_init
+    return probe_backend_init(timeout)
 
 
 def _serve(stdin, stdout, *, max_sessions: int = 16,
@@ -572,8 +562,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'data' mesh axis; batch must divide evenly)")
     p.add_argument("--resume", action="store_true",
                    help="skip clips whose PNG already exists in the output "
-                        "directory (writes are atomic, so presence proves "
-                        "completeness) — restartable dataset jobs")
+                        "directory (writes are atomic, so after a killed "
+                        "process presence proves completeness; survive "
+                        "power loss too with --durable) — restartable "
+                        "dataset jobs")
+    p.add_argument("--durable", action="store_true",
+                   help="fsync each PNG before its atomic rename "
+                        "(~1.6 ms/file): resume-safe even across power "
+                        "loss / kernel crash, not just a killed process")
     _add_spec_args(p, combine=False)
 
     p = sub.add_parser("info", help="list sweeps in files")
@@ -862,7 +858,7 @@ def _dispatch(args) -> int:
             batch=args.batch, colormap=args.cmap,
             compress_level=args.compress_level,
             pixel_format=args.pixel_format, on_error=args.on_error,
-            mesh=mesh, resume=args.resume)
+            mesh=mesh, resume=args.resume, durable=args.durable)
         suffix = f"; {stats.failed} failed" if stats.failed else ""
         if args.resume:
             suffix += f" (resume: {n_already} already existed)"

@@ -114,7 +114,8 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                         on_error: str = "raise",
                         mesh=None, batch_axis: str = "data",
                         encode_executor: str = "thread",
-                        resume: bool = False
+                        resume: bool = False,
+                        durable: bool = False
                         ) -> PipelineStats:
     """Stream (name, signal) pairs through the device pipeline into PNGs.
 
@@ -149,11 +150,15 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
 
     resume=True skips clips whose '{name}.png' already exists in out_dir
     (counted in stats.skipped) BEFORE they are staged or computed, so a
-    restarted 10k-clip job pays only for what is missing. Safe because
-    every PNG write is atomic (render.png._write_atomic): a file's
-    presence proves it is complete, never a truncated casualty of the
-    previous run. Pair with wav_clip_source(skip_existing_in=out_dir) to
-    also skip the DECODE of finished clips.
+    restarted 10k-clip job pays only for what is missing. Every PNG write
+    is atomic (render.png._write_atomic), so after a KILLED PROCESS a
+    file's presence proves it is complete, never a truncated casualty of
+    the previous run. After a power loss / kernel crash that guarantee
+    needs durable=True (per-file fsync before the rename, ~1.6 ms/PNG):
+    without it the filesystem may commit the rename before the data and
+    resume would trust an empty/partial file. Pair with
+    wav_clip_source(skip_existing_in=out_dir) to also skip the DECODE of
+    finished clips.
 
     The returned stats carry a per-stage breakdown
     (:meth:`PipelineStats.breakdown`): producer staging/dispatch, blocking
@@ -337,10 +342,10 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                 if palette_mode:
                     futures.append(pool.submit(_timed_encode_palette,
                                                host[i], palette_arr, path,
-                                               compress_level))
+                                               compress_level, durable))
                 else:
                     futures.append(pool.submit(_timed_encode, host[i], path,
-                                               compress_level))
+                                               compress_level, durable))
                 stats.clips += 1
                 stats.seconds_audio += lens[i] / fs
             for f in list(futures):
@@ -382,19 +387,20 @@ def _log_throughput(stats: PipelineStats, elapsed: float) -> None:
         stats.failed, stats.seconds_audio, elapsed, ahpm)
 
 
-def _timed_encode(arr, path, compress_level) -> float:
+def _timed_encode(arr, path, compress_level, fsync=False) -> float:
     """Module-level (process-pool picklable) timed RGB(A) encode; returns
     elapsed encode seconds."""
     from spectral_tpu.render.png import encode_png
     t0 = time.time()
-    encode_png(arr, path, compress_level)
+    encode_png(arr, path, compress_level, fsync=fsync)
     return time.time() - t0
 
 
-def _timed_encode_palette(indices, palette, path, compress_level) -> float:
+def _timed_encode_palette(indices, palette, path, compress_level,
+                          fsync=False) -> float:
     from spectral_tpu.render.png import encode_png_palette
     t0 = time.time()
-    encode_png_palette(indices, palette, path, compress_level)
+    encode_png_palette(indices, palette, path, compress_level, fsync=fsync)
     return time.time() - t0
 
 

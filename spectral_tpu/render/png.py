@@ -26,7 +26,7 @@ import numpy as np
 _tmp_counter = itertools.count()
 
 
-def _write_atomic(path: str, data: bytes) -> None:
+def _write_atomic(path: str, data: bytes, fsync: bool = False) -> None:
     """Same-directory temp + os.replace: a process killed mid-export never
     leaves a truncated file that looks like a finished PNG (the 10k-clip
     pipeline writes thousands of these; its per-clip fault isolation can
@@ -34,11 +34,23 @@ def _write_atomic(path: str, data: bytes) -> None:
     unique per (process, call): encode POOL THREADS handed duplicate clip
     stems would otherwise share one temp file — interleaved writes, then
     FileNotFoundError on the second replace (last-writer-wins, cleanly,
-    is the contract for duplicate output paths)."""
+    is the contract for duplicate output paths).
+
+    Durability boundary: without fsync this is atomic against PROCESS
+    death only. After a power loss / kernel crash, ext4's delayed
+    allocation can commit the rename before the data blocks, leaving an
+    empty or partial file under the final name — which a later
+    resume/skip-existing run would trust as complete. fsync=True (the
+    exporters' durable=True) closes that at ~1.6 ms/file (measured
+    ext4), kept opt-in because the export encode budget is ~14-19
+    ms/PNG and most interrupted exports are kills, not power cuts."""
     tmp = f"{path}.tmp.{os.getpid()}.{next(_tmp_counter)}"
     try:
         with open(tmp, "wb") as fh:
             fh.write(data)
+            if fsync:
+                fh.flush()
+                os.fsync(fh.fileno())
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -96,8 +108,8 @@ def encode_png_pure(arr: np.ndarray, compress_level: int = 6) -> bytes:
             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
-def encode_png(arr, path: Optional[str] = None, compress_level: int = 6
-               ) -> Optional[bytes]:
+def encode_png(arr, path: Optional[str] = None, compress_level: int = 6,
+               fsync: bool = False) -> Optional[bytes]:
     """Encode uint8 (H, W[, C]) pixels to PNG. Writes to ``path`` if given,
     else returns the bytes. Uses the fastest available backend."""
     arr = _normalize_array(np.asarray(arr))
@@ -120,14 +132,15 @@ def encode_png(arr, path: Optional[str] = None, compress_level: int = 6
             data = encode_png_pure(arr, compress_level)
 
     if path is not None:
-        _write_atomic(path, data)
+        _write_atomic(path, data, fsync)
         return None
     return data
 
 
 def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
                        path: Optional[str] = None,
-                       compress_level: int = 6) -> Optional[bytes]:
+                       compress_level: int = 6,
+                       fsync: bool = False) -> Optional[bytes]:
     """Encode a uint8 (H, W) index image + (N<=256, 3) RGB palette to an
     indexed-color (PLTE) PNG — ~1/3 the deflate input of RGB at identical
     colors; the export fast path for colormapped spectrograms."""
@@ -158,7 +171,7 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
             data = _encode_png_palette_pure(indices, palette, compress_level)
 
     if path is not None:
-        _write_atomic(path, data)
+        _write_atomic(path, data, fsync)
         return None
     return data
 

@@ -402,3 +402,20 @@ def test_concurrent_writes_to_same_path_are_safe():
         data = open(path, "rb").read()
         assert data[:8] == b"\x89PNG\r\n\x1a\n" and data[-8:-4] == b"IEND"
         assert not [f for f in os.listdir(d) if ".tmp." in f]
+
+
+def test_fsync_write_is_identical_and_decodable(tmp_path):
+    """durable/fsync changes WHEN bytes are durable, never WHAT is
+    written: byte-identical output, and the flag plumbs through both
+    encode entry points and the export pipeline's --durable knob."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    a, b = tmp_path / "plain.png", tmp_path / "sync.png"
+    png_mod.encode_png_palette(img, pal, str(a))
+    png_mod.encode_png_palette(img, pal, str(b), fsync=True)
+    assert a.read_bytes() == b.read_bytes()
+    rgb = np.stack([img] * 3, axis=-1)
+    c, d = tmp_path / "plain_rgb.png", tmp_path / "sync_rgb.png"
+    png_mod.encode_png(rgb, str(c))
+    png_mod.encode_png(rgb, str(d), fsync=True)
+    assert c.read_bytes() == d.read_bytes()
