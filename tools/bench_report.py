@@ -69,9 +69,22 @@ def main() -> int:
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    class _FlushingStages(dict):
+        """Persist the report after EVERY stage: this suite runs
+        unattended in the tunnel-recovery queue, where a transient
+        UNAVAILABLE in stage 12 of 15 must not cost the 11 finished
+        stages. Atomic same-dir replace so a crash mid-flush cannot
+        truncate a previously good report."""
+        def __setitem__(self, key, value):
+            super().__setitem__(key, value)
+            tmp = args.out + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(report, fh, indent=2)
+            os.replace(tmp, args.out)
+
     report = {"backend": jax.default_backend(),
               "n_devices": len(jax.devices()),
-              "timestamp": time.time(), "stages": {}}
+              "timestamp": time.time(), "stages": _FlushingStages()}
     S = report["stages"]
 
     fs = 16000.0
