@@ -261,3 +261,37 @@ def render_session_figure(session, path: Optional[str] = None, dpi: int = 150,
         view.fig.savefig(path, format="png", dpi=dpi,
                          transparent=transparent)
     return view.fig
+
+
+def render_single_signal(name: str, signal, fs: float, use_log: bool = False,
+                         path: Optional[str] = None, dpi: int = 150):
+    """Labeled single-axis time-domain plot of one signal.
+
+    Parity with PlotEngine.plot_single_signal (:215-227): fresh axes,
+    t = arange(n)/fs, default line, "Time (s)" / "Amplitude" labels,
+    optional log y-scale. The reference never calls it internally (its
+    batch export draws its own styled line, ExportManager.py:166-189 —
+    mirrored in api/export.py), but it is part of PlotEngine's public
+    surface, so a user migrating scripts finds it here. `name` is
+    accepted for signature parity; like the reference, it does not
+    appear in the drawing.
+
+    Returns the matplotlib Figure; writes PNG to `path` if given. For a
+    fast undecorated waveform raster use render.waveform instead.
+    """
+    import numpy as _np
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib.figure import Figure
+
+    fig = Figure(constrained_layout=True, dpi=dpi)
+    ax = fig.add_subplot(111)
+    t = _np.arange(len(signal)) / fs
+    ax.plot(t, _np.asarray(signal))
+    ax.set_xlabel("Time (s)")
+    ax.set_ylabel("Amplitude")
+    if use_log:
+        ax.set_yscale("log")
+    if path is not None:
+        fig.savefig(path, format="png", dpi=dpi)
+    return fig

@@ -134,3 +134,20 @@ def test_xlim_policy_combine_vs_single():
     s.plot_sweeps(["rec_sweep0", "rec_sweep1"], cfg, ViewSettings(combine=True))
     fig = render_session_figure(s, dpi=72)
     assert fig.axes[0].get_xlim() == pytest.approx((0.0, dur))
+
+
+def test_render_single_signal_parity(tmp_path):
+    """PlotEngine.plot_single_signal (:215-227) equivalent: labeled axes,
+    t = arange/fs, optional log y-scale, PNG written when a path is given."""
+    from spectral_tpu.render.figure import render_single_signal
+    x = np.sin(np.linspace(0, 20, 2000)).astype(np.float32) + 2.0
+    p = tmp_path / "single.png"
+    fig = render_single_signal("rec_sweep0", x, 1000.0, path=str(p))
+    ax = fig.axes[0]
+    assert ax.get_xlabel() == "Time (s)" and ax.get_ylabel() == "Amplitude"
+    assert ax.get_yscale() == "linear"
+    line_x = ax.lines[0].get_xdata()
+    assert line_x[-1] == (len(x) - 1) / 1000.0
+    assert p.exists() and p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    fig2 = render_single_signal("n", x, 1000.0, use_log=True)
+    assert fig2.axes[0].get_yscale() == "log"
