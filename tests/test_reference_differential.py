@@ -1122,3 +1122,27 @@ def test_decorated_figure_artists_match_reference():
             assert (ra, rb) == (oa, ob)
             assert rc == oc          # rgba incl. the 0.5 alpha
             assert rz == oz == 10
+
+
+def test_plot_single_signal_matches_reference():
+    """PlotEngine.plot_single_signal (:215-227) vs render_single_signal:
+    the reference's OWN executing code sets the axes; ours must agree on
+    labels, line data, and the log-scale branch."""
+    from spectral_tpu.render.figure import render_single_signal
+    rng = np.random.RandomState(5)
+    sig = np.abs(rng.randn(4000)).astype(np.float32) + 0.5
+    engine = reference_exec.make_engine()
+    for use_log in (False, True):
+        engine.plot_single_signal("rec_sweep0", sig, FS, use_log=use_log)
+        # clear() re-creates the 2-row layout and add_subplot(111) appends:
+        # the single-signal axes is the LAST one on the reference figure
+        ref_ax = engine.fig.axes[-1]
+        fig = render_single_signal("rec_sweep0", sig, FS, use_log=use_log)
+        ax = fig.axes[0]
+        assert ax.get_xlabel() == ref_ax.get_xlabel()
+        assert ax.get_ylabel() == ref_ax.get_ylabel()
+        assert ax.get_yscale() == ref_ax.get_yscale()
+        np.testing.assert_array_equal(ax.lines[0].get_xdata(),
+                                      ref_ax.lines[0].get_xdata())
+        np.testing.assert_array_equal(ax.lines[0].get_ydata(),
+                                      ref_ax.lines[0].get_ydata())
