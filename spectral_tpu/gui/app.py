@@ -232,7 +232,7 @@ def build_window():
                 a.axes.draw_artist(a)
 
         def _xdata(self, event):
-            """PlotEngine._get_correct_xdata (:46-61): when the event is
+            """PlotEngine._get_correct_xdata (PlotEngine.py:46-61): when the event is
             inside an axes but carries no data coordinate, recover it by
             inverse-transforming the pixel position."""
             ax = getattr(event, "inaxes", None)

@@ -3,8 +3,8 @@
 The core render path produces raw pixels (device colormap -> PNG). For parity
 with the reference's *figures* — the 2-row shared-x layout with a signal plot
 over the spectrogram, axis labels, legend, colorbar and burst overlays
-(PlotEngine._create_axes :63-66, plot_extra :78-108, _plot_spectrogram
-:134-145, plot_detection_lines :655-667) — this module decorates an
+(PlotEngine.py:63-66 _create_axes, :78-108 plot_extra, PlotEngine.py:134-145
+_plot_spectrogram, PlotEngine.py:655-667 plot_detection_lines) — this module decorates an
 AnalysisSession's state with matplotlib (Agg). matplotlib is an optional
 dependency of exactly this module.
 
@@ -267,7 +267,7 @@ def render_single_signal(name: str, signal, fs: float, use_log: bool = False,
                          path: Optional[str] = None, dpi: int = 150):
     """Labeled single-axis time-domain plot of one signal.
 
-    Parity with PlotEngine.plot_single_signal (:215-227): fresh axes,
+    Parity with PlotEngine.plot_single_signal (PlotEngine.py:215-227): fresh axes,
     t = arange(n)/fs, default line, "Time (s)" / "Amplitude" labels,
     optional log y-scale. The reference never calls it internally (its
     batch export draws its own styled line, ExportManager.py:166-189 —
