@@ -1,0 +1,90 @@
+"""Communication-pattern guards on the compiled sharded programs.
+
+Pixel/value parity tests cannot catch a sharding regression: if an
+in_spec change makes XLA all-gather the whole batch onto every device,
+the numbers still match — only the HLO (and the ICI bill at scale)
+reveals it. These tests compile the sharded entry points on the 8-device
+CPU mesh and assert the collective inventory the designs promise:
+
+* dp export pipeline — embarrassingly parallel, ZERO collectives;
+* share_max pipeline — the shared normalization base is the only
+  cross-device value: all-reduces of SCALARS, nothing else;
+* sharded EM step — one tupled all-reduce of the sufficient statistics
+  (shapes bounded by (K, K)); the (B, T, D) data is never gathered.
+
+(How-to-Scale-Your-Model discipline: pick shardings so the collectives
+ride tiny reductions, then pin that in a test.)
+"""
+
+import re
+
+import numpy as np
+import pytest
+import jax
+
+from spectral_tpu.config import SpecConfig
+from spectral_tpu.models import hmm
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device test mesh")
+
+_COLLECTIVE = re.compile(
+    r"=\s*(\(?[^)=]*\)?)\s*(all-gather|all-reduce|all-to-all|"
+    r"reduce-scatter|collective-permute)(?:-start)?\(")
+_SHAPE = re.compile(r"[a-z0-9]+\[([\d,]*)\]")
+
+
+def _collectives(compiled_text):
+    """[(op, [shape dims...])] for every collective op definition."""
+    out = []
+    for m in _COLLECTIVE.finditer(compiled_text):
+        shapes = [tuple(int(d) for d in g.split(",") if d)
+                  for g in _SHAPE.findall(m.group(1))]
+        out.append((m.group(2), shapes))
+    return out
+
+
+def _mesh():
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+
+
+def test_dp_export_pipeline_has_zero_collectives():
+    from spectral_tpu.parallel.sharding import shard_pipeline
+    fn = shard_pipeline(_mesh(), 1000.0,
+                        SpecConfig.north_star(256, 128, log_scale=True))
+    x = jax.ShapeDtypeStruct((16, 4000), np.float32)
+    txt = fn.lower(x).compile().as_text()
+    assert _collectives(txt) == []
+
+
+def test_share_max_pipeline_reduces_only_scalars():
+    from spectral_tpu.parallel.sharding import shard_pipeline
+    fn = shard_pipeline(_mesh(), 1000.0,
+                        SpecConfig.north_star(256, 128, log_scale=True),
+                        share_max=True)
+    x = jax.ShapeDtypeStruct((16, 4000), np.float32)
+    cols = _collectives(fn.lower(x).compile().as_text())
+    assert cols, "share_max must communicate the shared base"
+    for op, shapes in cols:
+        assert op == "all-reduce", cols
+        assert all(s == () for s in shapes), \
+            f"share_max should reduce scalars, got {cols}"
+
+
+def test_sharded_em_step_reduces_only_sufficient_stats():
+    from spectral_tpu.parallel.distributed_em import make_sharded_em_step
+    step = make_sharded_em_step(_mesh())
+    K, D, B, T = 4, 2, 16, 64
+    p = hmm.HMMParams(jax.ShapeDtypeStruct((K,), np.float32),
+                      jax.ShapeDtypeStruct((K, K), np.float32),
+                      jax.ShapeDtypeStruct((K, D), np.float32),
+                      jax.ShapeDtypeStruct((K, D), np.float32))
+    X = jax.ShapeDtypeStruct((B, T, D), np.float32)
+    cols = _collectives(step.lower(p, X).compile().as_text())
+    assert cols, "the sharded E-step must all-reduce its statistics"
+    for op, shapes in cols:
+        assert op == "all-reduce", cols
+        for s in shapes:
+            assert np.prod(s, dtype=int) <= K * K, \
+                f"collective moves more than sufficient stats: {cols}"
