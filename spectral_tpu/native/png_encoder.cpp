@@ -28,10 +28,19 @@ namespace {
 // deflate `n` bytes with an explicit strategy (compress2 cannot set one).
 int deflate_buf(const uint8_t* src, size_t n, int level, int strategy,
                 std::vector<uint8_t>& out, uLongf* out_len) {
+  // zlib's avail_in/avail_out are 32-bit uInt: a >4 GiB raw image would
+  // silently truncate into a VALID deflate stream of the first n mod 2^32
+  // bytes — a corrupt PNG reported as success. Refuse instead (the single
+  // deflate() call below depends on the whole input fitting one pass).
+  if (n > 0xFFFFFFFFull - 1024) return -1;
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
   if (deflateInit2(&zs, level, Z_DEFLATED, 15, 8, strategy) != Z_OK)
     return -3;
+  if (deflateBound(&zs, static_cast<uLong>(n)) > 0xFFFFFFFFull) {
+    deflateEnd(&zs);
+    return -1;
+  }
   out.resize(deflateBound(&zs, static_cast<uLong>(n)));
   zs.next_in = const_cast<Bytef*>(src);
   zs.avail_in = static_cast<uInt>(n);
@@ -57,7 +66,8 @@ void put_chunk(std::vector<uint8_t>& out, const char tag[4],
   put_be32(out, static_cast<uint32_t>(n));
   size_t tag_pos = out.size();
   out.insert(out.end(), tag, tag + 4);
-  out.insert(out.end(), payload, payload + n);
+  if (n)  // IEND passes (nullptr, 0); a nullptr iterator range is UB
+    out.insert(out.end(), payload, payload + n);
   uint32_t crc = crc32(0L, Z_NULL, 0);
   crc = crc32(crc, out.data() + tag_pos, static_cast<uInt>(4 + n));
   put_be32(out, crc);
@@ -95,8 +105,9 @@ long png_encode_pal(const uint8_t* pixels, int h, int w,
 
   uLongf comp_cap = 0;
   std::vector<uint8_t> comp;
-  if (deflate_buf(raw.data(), raw_len, level, Z_RLE, comp, &comp_cap) != 0)
-    return -3;
+  if (int drc = deflate_buf(raw.data(), raw_len, level, Z_RLE, comp,
+                            &comp_cap))
+    return drc;
 
   std::vector<uint8_t> png;
   png.reserve(comp_cap + 1024);
@@ -147,9 +158,9 @@ long png_encode(const uint8_t* pixels, int h, int w, int c, int level,
 
   uLongf comp_cap = 0;
   std::vector<uint8_t> comp;
-  if (deflate_buf(raw.data(), raw_len, level, Z_DEFAULT_STRATEGY, comp,
-                  &comp_cap) != 0)
-    return -3;
+  if (int drc = deflate_buf(raw.data(), raw_len, level, Z_DEFAULT_STRATEGY,
+                            comp, &comp_cap))
+    return drc;
 
   std::vector<uint8_t> png;
   png.reserve(comp_cap + 128);
