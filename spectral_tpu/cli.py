@@ -784,9 +784,24 @@ def _dispatch(args) -> int:
         # scipy-compat mode (hop = nperseg - nperseg//8)
         chunk = max(-(-cfg.nperseg // hop) * hop,
                     int(args.chunk_seconds * fs) // hop * hop)
+        def _overflow_exit(values_finite: bool):
+            """Same contract as the session plot path
+            (api/session._check_power_overflow): a FINITE recording whose
+            f32 power overflows must refuse with the lossless rescale
+            hint instead of emitting inf/NaN analytics or pixels;
+            non-finite SAMPLES propagate like the reference's math."""
+            if not values_finite and np.isfinite(sig).all():
+                sys.exit("error: spectral power overflows float32 "
+                         f"(waveform amplitude ~{np.abs(sig).max():.3g}): "
+                         "rescale the recording by a power of two (e.g. "
+                         "x * 2**-40) — relative band powers and the "
+                         "normalized display are invariant to the change")
+
         if args.bands:
             bp, total = stream_band_powers(np.asarray(sig, np.float32), fs,
                                            cfg, chunk)
+            _overflow_exit(np.isfinite(total)
+                           and all(np.isfinite(v) for v in bp.values()))
             print(json.dumps({k: round(v, 6) for k, v in bp.items()},
                              ensure_ascii=False, indent=2))
             print(f"Total absolute power: {total:.6g}")
@@ -810,6 +825,9 @@ def _dispatch(args) -> int:
             if f_ax.size == 0:
                 sys.exit("error: the requested --fmin/--fmax band contains "
                          "no frequency rows at this sampling rate")
+        # one device-side reduction; the npz/PNG writers below would
+        # otherwise persist inf PSDs / laundered dB pixels silently
+        _overflow_exit(bool(jnp.all(jnp.isfinite(sxx_d))))
         if args.out.endswith(".npz"):
             psd_np = np.ascontiguousarray(np.asarray(sxx_d).T)   # (T, Fb)
             np.savez(args.out, psd=psd_np, f=f_ax,

@@ -1403,3 +1403,31 @@ def test_detect_each_skips_overflowing_sweep(tmp_path, capsys, batched):
     assert "big_sweep0\tskipped:" in err
     assert "rescale" in err or "power of two" in err
     assert any(line.startswith("good_sweep0\t") for line in out.splitlines())
+
+
+def test_stream_refuses_overflow_but_propagates_nan_samples(tmp_path,
+                                                            capsys):
+    """The stream CLI honors the same overflow contract as the session
+    plot path: finite input + overflowed f32 power exits with the rescale
+    hint (both --bands and npz/PNG outputs), while non-finite SAMPLES
+    keep reference propagation (npz written, inf/NaN inside)."""
+    from spectral_tpu import cli as cli_mod
+    fs = 1000.0
+    big = tmp_path / "big.wav"
+    _write_float_wav(big, 1e19 * np.random.default_rng(0)
+                     .standard_normal(8000), fs)
+    for extra in (["--bands"], ["-o", str(tmp_path / "o.npz")]):
+        with pytest.raises(SystemExit) as ei:
+            cli_mod.main(["--cpu", "stream", str(big), "--nperseg", "256",
+                          "--chunk-seconds", "2"] + extra)
+        assert "rescale" in str(ei.value)
+
+    nanwav = tmp_path / "nan.wav"
+    x = np.zeros(8000, np.float32)
+    x[4000] = np.nan
+    _write_float_wav(nanwav, x, fs)
+    out = tmp_path / "nan.npz"
+    rc = cli_mod.main(["--cpu", "stream", str(nanwav), "--nperseg", "256",
+                       "--chunk-seconds", "2", "-o", str(out)])
+    assert rc == 0
+    assert np.isnan(np.load(out)["psd"]).any()
