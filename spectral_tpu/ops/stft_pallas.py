@@ -476,6 +476,9 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
                                                    cfg.log_scale)
         )(jnp.swapaxes(psd, -1, -2), pmin, pmax)
         out = {"psd": psd, "image": img}
+        # free per-clip health flag: the in-kernel extrema already reduced
+        # the PSD (inf overflows and NaN samples both poison pmax)
+        out["finite"] = jnp.isfinite(pmin) & jnp.isfinite(pmax)
         if colormap:
             out["rgb_packed"] = apply_colormap_packed(img, colormap,
                                                       flip_rows=True)

@@ -36,6 +36,9 @@ class PipelineStats:
     pngs_written: int = 0
     seconds_audio: float = 0.0
     failed: int = 0              # encode failures isolated by on_error="skip"
+    nonfinite: int = 0           # clips whose spectrum was NaN/Inf (subset
+    #                              of failed): overflowed f32 power or
+    #                              non-finite samples — no PNG is written
     skipped: int = 0             # resume=True: outputs that already existed
     # per-stage breakdown (seconds; encode_s is summed worker CPU-seconds,
     # the others are wall time on their stage's thread)
@@ -219,11 +222,14 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
             return x.astype(jnp.float32) * (1.0 / 32768.0)
         return x
 
-    if palette_mode:
-        core = lambda x: colormap_index_packed(            # noqa: E731
-            base(dev_in(x))["image"], flip_rows=not img_flipped)
-    else:
-        core = lambda x: base(dev_in(x))["rgb_packed"]     # noqa: E731
+    def core(x):
+        out = base(dev_in(x))
+        if palette_mode:
+            pix = colormap_index_packed(out["image"],
+                                        flip_rows=not img_flipped)
+        else:
+            pix = out["rgb_packed"]
+        return pix, out["finite"]
 
     in_sharding = None
     if mesh is not None:
@@ -238,7 +244,7 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
         except AttributeError:  # pragma: no cover - older jax
             from jax.experimental.shard_map import shard_map
         fn = jax.jit(shard_map(core, mesh=mesh, in_specs=P(batch_axis),
-                               out_specs=P(batch_axis)))
+                               out_specs=(P(batch_axis), P(batch_axis))))
         in_sharding = NamedSharding(mesh, P(batch_axis))
     else:
         fn = jax.jit(core)
@@ -284,9 +290,9 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                 t0 = time.time()
                 xd = jnp.asarray(xb) if in_sharding is None \
                     else jax.device_put(xb, in_sharding)
-                packed = fn(xd)
+                packed, finite = fn(xd)
                 stats.stage_s += time.time() - t0
-                if not _put((names, lens, packed)):
+                if not _put((names, lens, packed, finite)):
                     return
         except BaseException as e:  # re-raised in the consumer
             producer_error.append(e)
@@ -322,10 +328,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
             item = stage_q.get()
             if item is None:
                 break
-            names, lens, packed = item
+            names, lens, packed, finite_d = item
             # blocks on this batch's device->host transfer only
             t0 = time.time()
             raw = np.asarray(packed)
+            finite = np.asarray(finite_d)
             stats.d2h_s += time.time() - t0
             stats.d2h_bytes += raw.nbytes
             t0 = time.time()
@@ -338,6 +345,21 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
             stats.unpack_s += time.time() - t0
             stats.batches += 1
             for i, name in enumerate(names):
+                # per-clip health from the device (inf power overflow or
+                # NaN samples): never write a garbage PNG that resume
+                # would later trust as finished
+                if not finite[i]:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"clip {name!r}: spectrogram contains NaN/Inf "
+                            "(non-finite samples, or finite samples whose "
+                            "power overflows float32 — rescale by a power "
+                            "of two; the normalized image is invariant)")
+                    stats.nonfinite += 1
+                    stats.failed += 1
+                    stats.clips += 1
+                    stats.seconds_audio += lens[i] / fs
+                    continue
                 path = os.path.join(out_dir, f"{name}.png")
                 if palette_mode:
                     futures.append(pool.submit(_timed_encode_palette,

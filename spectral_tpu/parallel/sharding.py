@@ -101,6 +101,11 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
         # flipped image is bitwise the flip of the unflipped one
         img = normalize_batch(base_fm, cfg.log_scale, share_max)
         out["image"] = img
+        # per-clip health of the DISPLAYED spectrum (pre-normalize: the dB
+        # map's nan_to_num launders inf into finite pixels) — consumers
+        # that ignore it pay nothing (XLA DCEs the reduction); the export
+        # pipeline uses it to skip/raise instead of writing garbage PNGs
+        out["finite"] = jnp.all(jnp.isfinite(base_fm), axis=(-2, -1))
         if colormap:
             out["rgb_packed"] = apply_colormap_packed(
                 img, colormap, flip_rows=not flip_image)

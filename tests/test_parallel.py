@@ -890,3 +890,36 @@ def test_cli_export_specs_resume(tmp_path):
     assert main(["--cpu", "export-specs", *paths, "-o", out,
                  "--clip-seconds", "1", "--log", "--resume"]) == 0
     assert sorted(os.listdir(out)) == ["c0.png", "c1.png", "c2.png"]
+
+
+def test_export_pipeline_isolates_nonfinite_clips(tmp_path):
+    """A clip whose spectrum is NaN/Inf (overflowed f32 power, or NaN
+    samples) must never produce a garbage PNG a resume run would trust:
+    on_error='skip' counts it (stats.nonfinite) and writes nothing;
+    on_error='raise' names the clip. Healthy clips in the same batch are
+    unaffected."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    fs = 8000.0
+    n = 4000
+    rng = np.random.RandomState(1)
+    nan_clip = rng.randn(n).astype(np.float32)
+    nan_clip[100] = np.nan
+    clips = [("ok0", rng.randn(n).astype(np.float32)),
+             ("overflow", (1e19 * rng.randn(n)).astype(np.float32)),
+             ("nansample", nan_clip),
+             ("ok1", rng.randn(n).astype(np.float32))]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "a"),
+                                clip_samples=n, batch=2, on_error="skip")
+    assert stats.nonfinite == 2 and stats.failed == 2
+    assert stats.pngs_written == 2 and stats.clips == 4
+    import os
+    assert sorted(os.listdir(tmp_path / "a")) == ["ok0.png", "ok1.png"]
+    with pytest.raises(ValueError, match="overflow.*NaN/Inf|NaN/Inf"):
+        export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "b"),
+                            clip_samples=n, batch=2)
+    # rgba path shares the flag
+    stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "c"),
+                                clip_samples=n, batch=2, on_error="skip",
+                                pixel_format="rgba")
+    assert stats.nonfinite == 2 and stats.pngs_written == 2
