@@ -122,11 +122,12 @@ def _add_spec_args(p, combine: bool = True):
                        help="concatenate all sweeps (reference combine mode)")
 
 
-def _detect_each_batched(s, names, args):
+def _detect_each_batched(s, names, base_cfg):
     """Fleet mode: group same-(length, fs) sweeps — the normal shape of a
     multi-sweep ABF/NIX recording — and run each group's EM fit + escape
     patch + Viterbi as ONE vmapped device dispatch (models/batch.py)
     instead of one round trip per sweep. Returns {name: events | error}.
+    Shared by `detect --each --batched` and serve's `detect_batch`.
 
     Same flow per clip as the sequential path (proc-preferred source,
     authoritative entry fs, cfg.fmin/fmax feature band, short-signal
@@ -151,7 +152,7 @@ def _detect_each_batched(s, names, args):
         sigs[name] = x
         groups.setdefault((len(x), e.fs), []).append(name)
     for (n, fs), group in groups.items():
-        cfg = effective_config(_make_config(args), n)
+        cfg = effective_config(base_cfg, n)
         f = freq_axis(cfg, fs)
         t = time_axis(cfg, fs, n)
         try:
@@ -208,7 +209,8 @@ def _detect_each(args) -> int:
             sys.exit(f"error: {e}")
     if not names:
         sys.exit("no sweeps loaded")
-    batched = _detect_each_batched(s, names, args) if args.batched else None
+    batched = (_detect_each_batched(s, names, _make_config(args))
+               if args.batched else None)
     rows = []
     for name in names:
         if batched is not None:
@@ -284,6 +286,10 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
        "clip_seconds": 10.0?, "config": {...}?} — N clips rendered through
       ONE batched device dispatch per batch (the overlapped export
       pipeline), not N session round-trips.
+      {"cmd": "detect_batch", "files": [...], "config": {...}?} — every
+      sweep of the files, same-(length, fs) groups each detected in ONE
+      vmapped device dispatch (`detect --each --batched` as a warm
+      request); response {"results": {name: {events} | {error}}}.
       {"cmd": "ping"} -> liveness; {"cmd": "shutdown"} -> exit 0.
     Response: one JSON object per line: {"ok": true, ...result} or
       {"ok": false, "error": "..."}; errors never kill the worker.
@@ -355,6 +361,18 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
                 compress_level=int(req.get("compress_level", 1)))
             return {"ok": True, "written": stats.pngs_written,
                     "seconds_audio": stats.seconds_audio}
+        if cmd == "detect_batch":
+            # fleet detection: every sweep of the cached session's files,
+            # same-(length, fs) groups vmapped into ONE device dispatch
+            # each (the serve-side twin of `detect --each --batched`);
+            # per-sweep failures isolate as {"error": ...} entries
+            s = get_session(req["files"], cache)
+            cfg = SpecConfig(**req.get("config", {}))
+            results = _detect_each_batched(s, s.registry.names(), cfg)
+            return {"ok": True, "results": {
+                name: ({"error": str(v)} if isinstance(v, Exception)
+                       else {"events": v})
+                for name, v in results.items()}}
         if cmd in ("render", "detect", "learn", "bands"):
             s = get_session(req["files"], cache)
             cfg = SpecConfig(**req.get("config", {}))

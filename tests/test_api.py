@@ -1431,3 +1431,31 @@ def test_stream_refuses_overflow_but_propagates_nan_samples(tmp_path,
                        "--chunk-seconds", "2", "-o", str(out)])
     assert rc == 0
     assert np.isnan(np.load(out)["psd"]).any()
+
+
+def test_cli_serve_detect_batch(tmp_path):
+    """serve's detect_batch: every sweep of the request's files detected
+    through the vmapped fleet path, per-sweep errors isolated as entries
+    (not request failures)."""
+    import io
+    import json
+    from spectral_tpu.cli import _serve
+    fs = 1000.0
+    good = str(tmp_path / "g.wav")
+    write_wav(good, _bursty(fs=fs, dur=15.0, bursts=((4, 8),)) * 0.5, fs)
+    bad = tmp_path / "b.wav"
+    _write_float_wav(bad, 1e19 * np.random.default_rng(0)
+                     .standard_normal(15000), fs)
+    reqs = [
+        {"cmd": "detect_batch", "files": [good, str(bad)],
+         "config": {"nperseg": 256, "fmin": 0.0, "fmax": 30.0}},
+        {"cmd": "shutdown"},
+    ]
+    stdin = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out[0]["ok"]
+    res = out[0]["results"]
+    assert res["g_sweep0"]["events"]          # bursty file finds events
+    assert "rescale" in res["b_sweep0"]["error"]
