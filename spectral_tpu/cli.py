@@ -660,7 +660,13 @@ def _dispatch(args) -> int:
         from spectral_tpu.io.registry import SweepRegistry
         r = SweepRegistry()
         for f in args.files:
-            for n in r.load_file(f):
+            names = r.load_file(f)
+            if not names:
+                # a parseable file with nothing loadable (e.g. a NIX file
+                # whose sweeps all lack a sampling rate, or an HDF5 file
+                # with no 1-D datasets) must say so, not print nothing
+                print(f"{f}: 0 sweeps")
+            for n in names:
                 e = r.data[n]
                 nraw = len(e.raw) if e.raw is not None else 0
                 nproc = len(e.processed) if e.processed is not None else 0

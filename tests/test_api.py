@@ -257,6 +257,20 @@ def test_cli_info_and_batch(tmp_path, capsys):
     assert ink2[int(img2.shape[1] * 0.75):].any()
 
 
+def test_cli_info_zero_sweep_file_says_so(tmp_path, capsys):
+    """A parseable file yielding no loadable sweeps (here: an HDF5 NIX
+    layout with no groups level and no fs attrs) must print an explicit
+    '0 sweeps' line, not silence."""
+    h5py = pytest.importorskip("h5py")
+    from spectral_tpu.cli import main
+    p = str(tmp_path / "empty.h5")
+    with h5py.File(p, "w") as f:
+        f.create_group("data/blk/data_arrays")
+    assert main(["info", p]) == 0
+    out = capsys.readouterr().out
+    assert f"{p}: 0 sweeps" in out
+
+
 def test_gui_graceful_without_qt(capsys):
     from spectral_tpu.cli import main
     # PyQt5 absent in this image: the gui subcommand must fail helpfully
