@@ -315,7 +315,7 @@ class AnalysisSession:
             # pixels) BEFORE caching or publishing anything — a raise
             # leaves the session in the cleared at-plot-start state with
             # no overflowed PSD in the detection cache
-            self._check_power_overflow(sxx)
+            self._check_power_health(sxx)
             self._store_psd_cache(cfg, fs, f, t, psd)
             self.last_f, self.last_t, self.last_sxx = f_disp, t, sxx
             self.last_image = img
@@ -346,7 +346,7 @@ class AnalysisSession:
             return SpectrogramResult(f, np.array([]), sxx,
                                      np.zeros_like(sxx))
         # validate the PSD before caching or publishing (see the fast path)
-        self._check_power_overflow(sxx)
+        self._check_power_health(sxx)
         img = np.asarray(normalize(jnp.asarray(sxx), cfg.log_scale,
                                    global_max))
         self._store_psd_cache(cfg, fs, f_full, t, psd_full)
@@ -361,8 +361,8 @@ class AnalysisSession:
             self.detector.warmup(len(t), 2)
         return SpectrogramResult(f, t, sxx, img)
 
-    def _check_power_overflow(self, sxx: np.ndarray) -> None:
-        """Refuse a plot whose PSD was wrecked by f32 power overflow.
+    def _check_power_health(self, sxx: np.ndarray) -> None:
+        """Refuse a plot whose PSD was wrecked by f32 overflow/underflow.
 
         The reference computes in float64, where no plausible recording
         overflows; our f32 compute overflows |X|^2 to inf at waveform
@@ -389,6 +389,30 @@ class AnalysisSession:
                 f"(e.g. x * 2**-40) before loading — the normalized "
                 f"display, detected events and relative band powers are "
                 f"invariant to the unit change")
+        # The symmetric failure: |X|^2 of a tiny-but-real waveform
+        # (amplitude below ~1e-19) UNDERFLOWS f32 to exact zero, and the
+        # degenerate-normalize gate then renders an all-zero image with
+        # all-zero band ratios — silently, where the reference's f64
+        # succeeds (measured: amplitude 1e-25 -> scipy f64 PSD ~2.6e-52,
+        # our f32 PSD 0.0). Only TOTAL underflow diverges: a partially
+        # underflowed PSD renders identically to f64 under the 1e-12
+        # display floor and the min-max rescale. Gate on a tiny nonzero
+        # DETRENDED amplitude so signals that legitimately zero out (true
+        # digital silence, pure DC under constant detrend — f64 gives
+        # zero PSD for those too) keep their reference-faithful zeros
+        # image, and any normal-amplitude signal can never trip the
+        # check no matter how its band slice looks.
+        if sxx.size and not sxx.any() \
+                and np.isfinite(self.spec_data_source).all():
+            x = self.spec_data_source
+            adet = float(np.abs(x - x.mean(dtype=np.float64)).max())
+            if 0.0 < adet < 1e-10:
+                raise ValueError(
+                    f"spectral power underflows float32 (waveform "
+                    f"amplitude ~{adet:.3g}): rescale the recording by a "
+                    f"power of two (e.g. x * 2**80) before loading — the "
+                    f"normalized display, detected events and relative "
+                    f"band powers are invariant to the unit change")
 
     def _store_psd_cache(self, cfg, fs, f, t, psd) -> None:
         """Keep the pre-mask/pre-mel PSD device-resident for detection:

@@ -808,11 +808,14 @@ def _dispatch(args) -> int:
         # scipy-compat mode (hop = nperseg - nperseg//8)
         chunk = max(-(-cfg.nperseg // hop) * hop,
                     int(args.chunk_seconds * fs) // hop * hop)
-        def _overflow_exit(values_finite: bool):
+        def _overflow_exit(values_finite: bool, any_nonzero: bool = True):
             """Same contract as the session plot path
-            (api/session._check_power_overflow): a FINITE recording whose
+            (api/session._check_power_health): a FINITE recording whose
             f32 power overflows must refuse with the lossless rescale
-            hint instead of emitting inf/NaN analytics or pixels;
+            hint instead of emitting inf/NaN analytics or pixels, and a
+            tiny-but-real recording whose power UNDERFLOWS f32 to total
+            zero must refuse (rescale up) instead of writing all-zero
+            analytics/pixels the reference's f64 would not produce;
             non-finite SAMPLES propagate like the reference's math."""
             if not values_finite and np.isfinite(sig).all():
                 sys.exit("error: spectral power overflows float32 "
@@ -820,12 +823,23 @@ def _dispatch(args) -> int:
                          "rescale the recording by a power of two (e.g. "
                          "x * 2**-40) — relative band powers and the "
                          "normalized display are invariant to the change")
+            if not any_nonzero and np.isfinite(sig).all():
+                adet = float(np.abs(
+                    sig - sig.mean(dtype=np.float64)).max())
+                if 0.0 < adet < 1e-10:
+                    sys.exit("error: spectral power underflows float32 "
+                             f"(waveform amplitude ~{adet:.3g}): rescale "
+                             "the recording by a power of two (e.g. "
+                             "x * 2**80) — relative band powers and the "
+                             "normalized display are invariant to the "
+                             "change")
 
         if args.bands:
             bp, total = stream_band_powers(np.asarray(sig, np.float32), fs,
                                            cfg, chunk)
             _overflow_exit(np.isfinite(total)
-                           and all(np.isfinite(v) for v in bp.values()))
+                           and all(np.isfinite(v) for v in bp.values()),
+                           any_nonzero=total != 0.0)
             print(json.dumps({k: round(v, 6) for k, v in bp.items()},
                              ensure_ascii=False, indent=2))
             print(f"Total absolute power: {total:.6g}")
@@ -851,7 +865,8 @@ def _dispatch(args) -> int:
                          "no frequency rows at this sampling rate")
         # one device-side reduction; the npz/PNG writers below would
         # otherwise persist inf PSDs / laundered dB pixels silently
-        _overflow_exit(bool(jnp.all(jnp.isfinite(sxx_d))))
+        _overflow_exit(bool(jnp.all(jnp.isfinite(sxx_d))),
+                       any_nonzero=bool(jnp.any(sxx_d != 0)))
         if args.out.endswith(".npz"):
             psd_np = np.ascontiguousarray(np.asarray(sxx_d).T)   # (T, Fb)
             np.savez(args.out, psd=psd_np, f=f_ax,

@@ -477,8 +477,16 @@ def pallas_pipeline_fn(fs: float, cfg: SpecConfig, *,
         )(jnp.swapaxes(psd, -1, -2), pmin, pmax)
         out = {"psd": psd, "image": img}
         # free per-clip health flag: the in-kernel extrema already reduced
-        # the PSD (inf overflows and NaN samples both poison pmax)
-        out["finite"] = jnp.isfinite(pmin) & jnp.isfinite(pmax)
+        # the PSD (inf overflows and NaN samples both poison pmax). Total
+        # f32 UNDERFLOW (pmax == 0 from a tiny-but-real detrended clip)
+        # also trips it — same contract as the XLA path's flag
+        # (parallel/sharding.py) — so a blank PNG is never written where
+        # the reference's f64 draws a real image; exact silence/DC
+        # (detrended amplitude 0) stays healthy.
+        adet = jnp.max(jnp.abs(xb - jnp.mean(xb, axis=-1, keepdims=True)),
+                       axis=-1)
+        underflow = (pmax == 0) & (adet > 0) & (adet < 1e-10)
+        out["finite"] = jnp.isfinite(pmin) & jnp.isfinite(pmax) & ~underflow
         if colormap:
             out["rgb_packed"] = apply_colormap_packed(img, colormap,
                                                       flip_rows=True)

@@ -352,9 +352,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
                     if on_error == "raise":
                         raise ValueError(
                             f"clip {name!r}: spectrogram contains NaN/Inf "
-                            "(non-finite samples, or finite samples whose "
-                            "power overflows float32 — rescale by a power "
-                            "of two; the normalized image is invariant)")
+                            "or totally underflowed float32 (non-finite "
+                            "samples, or finite samples whose power "
+                            "overflows/underflows float32 — rescale by a "
+                            "power of two; the normalized image is "
+                            "invariant)")
                     stats.nonfinite += 1
                     stats.failed += 1
                     stats.clips += 1

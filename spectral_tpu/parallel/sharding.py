@@ -104,8 +104,19 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
         # per-clip health of the DISPLAYED spectrum (pre-normalize: the dB
         # map's nan_to_num launders inf into finite pixels) — consumers
         # that ignore it pay nothing (XLA DCEs the reduction); the export
-        # pipeline uses it to skip/raise instead of writing garbage PNGs
-        out["finite"] = jnp.all(jnp.isfinite(base_fm), axis=(-2, -1))
+        # pipeline uses it to skip/raise instead of writing garbage PNGs.
+        # Besides inf/NaN (f32 power overflow, non-finite samples) the
+        # flag also trips on TOTAL f32 underflow: a tiny-but-real clip
+        # (detrended amplitude under ~1e-10) whose |X|^2 underflows every
+        # bin to zero would export a blank image the reference's f64
+        # never produces. True silence / pure DC (detrended amplitude
+        # exactly 0, where f64 is zero too) stays healthy.
+        adet = jnp.max(jnp.abs(xb - jnp.mean(xb, axis=-1, keepdims=True)),
+                       axis=-1)
+        underflow = (~jnp.any(base_fm != 0, axis=(-2, -1))
+                     & (adet > 0) & (adet < 1e-10))
+        out["finite"] = (jnp.all(jnp.isfinite(base_fm), axis=(-2, -1))
+                         & ~underflow)
         if colormap:
             out["rgb_packed"] = apply_colormap_packed(
                 img, colormap, flip_rows=not flip_image)

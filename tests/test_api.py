@@ -1365,6 +1365,44 @@ def test_f32_power_overflow_refused_with_rescale_hint():
     assert np.isnan(res.image).any()  # reference propagation, untouched
 
 
+def test_f32_power_underflow_refused_with_rescale_hint():
+    """The symmetric silent failure: a tiny-but-real waveform (amplitude
+    ~1e-25) whose f32 power underflows to EXACT zero would render an
+    all-zero image with all-zero band ratios where the reference's f64
+    succeeds (scipy f64 PSD ~2.6e-52). Total underflow must refuse with
+    the rescale-UP hint; signals whose zero PSD is reference-faithful
+    (true digital silence, pure DC under constant detrend) must keep
+    rendering the degenerate zeros image."""
+    rng = np.random.default_rng(0)
+    tiny = (1e-25 * rng.standard_normal(4096)).astype(np.float32)
+    s = AnalysisSession(warm_detection=False)
+    s.registry.register("tiny_sweep0", SweepEntry(
+        filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=tiny, processed=None))
+    for kwargs in ({"log_scale": True}, {}):
+        with pytest.raises(ValueError, match="underflows.*power of two"):
+            s.plot_sweeps(["tiny_sweep0"], SpecConfig(nperseg=256, **kwargs),
+                          ViewSettings())
+    # the hinted fix renders (and the normalized image is then the same
+    # as the well-scaled signal's: power-of-two scaling is lossless)
+    s.registry.register("fixed_sweep0", SweepEntry(
+        filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=tiny * 2.0 ** 80, processed=None))
+    res = s.plot_sweeps(["fixed_sweep0"], SpecConfig(nperseg=256),
+                        ViewSettings())
+    assert res.image.max() == 1.0
+
+    for name, x in (("silence", np.zeros(4096, np.float32)),
+                    ("dc", np.full(4096, 0.25, np.float32))):
+        s2 = AnalysisSession(warm_detection=False)
+        s2.registry.register(f"{name}_sweep0", SweepEntry(
+            filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+            raw=x, processed=None))
+        res = s2.plot_sweeps([f"{name}_sweep0"], SpecConfig(nperseg=256),
+                             ViewSettings())
+        assert not res.image.any()          # reference-faithful zeros
+
+
 def test_overflow_guard_covers_log_scale_and_global_max():
     """The guard checks the PSD, not the image: the dB map's nan_to_num
     and the global-max clip both launder inf into finite pixels, so an
@@ -1445,6 +1483,31 @@ def test_stream_refuses_overflow_but_propagates_nan_samples(tmp_path,
                        "--chunk-seconds", "2", "-o", str(out)])
     assert rc == 0
     assert np.isnan(np.load(out)["psd"]).any()
+
+
+def test_stream_refuses_underflow_but_keeps_true_silence(tmp_path):
+    """Symmetric underflow contract on the stream CLI: a tiny-but-real
+    recording whose f32 power underflows to total zero exits with the
+    rescale-UP hint (both --bands and npz outputs); true digital silence
+    keeps its reference-faithful all-zero analytics."""
+    from spectral_tpu import cli as cli_mod
+    fs = 1000.0
+    tiny = tmp_path / "tiny.wav"
+    _write_float_wav(tiny, (1e-25 * np.random.default_rng(0)
+                            .standard_normal(8000)).astype(np.float32), fs)
+    for extra in (["--bands"], ["-o", str(tmp_path / "o.npz")]):
+        with pytest.raises(SystemExit) as ei:
+            cli_mod.main(["--cpu", "stream", str(tiny), "--nperseg", "256",
+                          "--chunk-seconds", "2"] + extra)
+        assert "underflows" in str(ei.value) and "2**80" in str(ei.value)
+
+    silent = tmp_path / "zero.wav"
+    _write_float_wav(silent, np.zeros(8000, np.float32), fs)
+    out = tmp_path / "z.npz"
+    rc = cli_mod.main(["--cpu", "stream", str(silent), "--nperseg", "256",
+                       "--chunk-seconds", "2", "-o", str(out)])
+    assert rc == 0
+    assert not np.load(out)["psd"].any()
 
 
 def test_cli_serve_detect_batch(tmp_path):

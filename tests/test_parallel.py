@@ -923,3 +923,29 @@ def test_export_pipeline_isolates_nonfinite_clips(tmp_path):
                                 clip_samples=n, batch=2, on_error="skip",
                                 pixel_format="rgba")
     assert stats.nonfinite == 2 and stats.pngs_written == 2
+
+
+def test_export_pipeline_isolates_underflowed_clips(tmp_path):
+    """Total f32 underflow (tiny-but-real clip -> every PSD bin exactly
+    zero -> blank image where the reference's f64 draws a real one) trips
+    the same per-clip health flag as overflow; true digital silence and
+    pure DC (reference-faithful zero spectra) still export."""
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    fs = 8000.0
+    n = 4000
+    rng = np.random.RandomState(1)
+    clips = [("tiny", (1e-25 * rng.randn(n)).astype(np.float32)),
+             ("silence", np.zeros(n, np.float32)),
+             ("dc", np.full(n, 0.25, np.float32)),
+             ("ok", rng.randn(n).astype(np.float32))]
+    cfg = SpecConfig.north_star(256, 64, log_scale=True)
+    stats = export_spectrograms(iter(clips), fs, cfg, str(tmp_path / "a"),
+                                clip_samples=n, batch=2, on_error="skip")
+    assert stats.nonfinite == 1 and stats.failed == 1
+    assert stats.pngs_written == 3
+    import os
+    assert sorted(os.listdir(tmp_path / "a")) == [
+        "dc.png", "ok.png", "silence.png"]
+    with pytest.raises(ValueError, match="underflow"):
+        export_spectrograms([("tiny", clips[0][1])], fs, cfg,
+                            str(tmp_path / "b"), clip_samples=n, batch=2)

@@ -197,6 +197,21 @@ def test_pallas_pipeline_matches_xla_pipeline():
     b = np.asarray(ref["rgb_packed"]).ravel()
     assert (a != b).mean() < 5e-3
 
+    # the per-clip health flag agrees with the XLA path's contract:
+    # overflow (inf) and TOTAL underflow (tiny-but-real clip) unhealthy;
+    # normal, exact-silence, and pure-DC clips healthy
+    rng = np.random.RandomState(4)
+    xb2 = jnp.asarray(np.stack([
+        rng.randn(16000).astype(np.float32),
+        (1e19 * rng.randn(16000)).astype(np.float32),
+        (1e-25 * rng.randn(16000)).astype(np.float32),
+        np.zeros(16000, np.float32),
+        np.full(16000, 0.25, np.float32)]))
+    want = [True, False, False, True, True]
+    assert list(np.asarray(pallas_pipeline_fn(fs, cfg)(xb2)["finite"])) == want
+    assert list(np.asarray(
+        batched_spectrogram_fn(fs, cfg, use_matmul=True)(xb2)["finite"])) == want
+
 
 @pytest.mark.parametrize("nperseg,hop,n", [
     (2048, 512, 60000),    # first freq-tiled size (FT < Fp)
