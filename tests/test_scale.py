@@ -99,3 +99,35 @@ def test_inf_pixel_matches_elementwise_reference():
     out = np.asarray(normalize(jnp.asarray(sxx32), log_scale=True))
     ref = _ref_normalize(sxx32.astype(np.float64), log_scale=True)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_db_rescale_ends_in_clamp_jaxpr_guard():
+    """Structural guard for a chip-only behavior: on TPU the dB min-max
+    rescale's reciprocal-multiply can overshoot the max pixel to
+    1.0000001, so core/scale clips the rescaled image to [0, 1] after
+    the division (before the degenerate-range select). On CPU the
+    division lands at exactly 1.0, so no value test here can catch
+    losing that clip — pin the jaxpr instead (same style as the EM
+    precision guard): in program order, the clip's elementwise max+min
+    pair must occur AFTER the final division (the rescale) of
+    normalize(log_scale=True). jnp.clip lowers to max-then-min, not a
+    clamp primitive."""
+    import jax
+
+    def flat_prims(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            inner = eqn.params.get("jaxpr")
+            if inner is not None:
+                flat_prims(getattr(inner, "jaxpr", inner), out)
+            else:
+                out.append(eqn.primitive.name)
+        return out
+
+    jx = jax.make_jaxpr(lambda s: normalize(s, True, None))(jnp.ones((4, 5)))
+    prims = flat_prims(jx.jaxpr, [])
+    assert "div" in prims, prims
+    last_div = len(prims) - 1 - prims[::-1].index("div")
+    tail = prims[last_div + 1:]
+    assert "max" in tail and "min" in tail, (
+        "normalize(log_scale=True) must clip AFTER the rescale division "
+        f"(TPU 1-ulp overshoot guard); ops after the last div: {tail}")
