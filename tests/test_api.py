@@ -1004,6 +1004,56 @@ def test_plot_fast_path_matches_legacy_host_path(monkeypatch):
     np.testing.assert_allclose(r1.image, r2.image, rtol=1e-5, atol=1e-6)
 
 
+def test_plot_legacy_host_path_mel_matches_fast(monkeypatch):
+    """The legacy host-mask flow's mel stage (api/session.py legacy
+    branch) must match the fused program's mel output — it only runs for
+    zero-frame/empty-band/two-sided plots, so force it."""
+    import dataclasses
+
+    import spectral_tpu.core.stft as stft_mod
+    cfg = dataclasses.replace(
+        SpecConfig.north_star(256, 64, log_scale=True), n_mels=32)
+
+    s1 = _session_with_sweeps()
+    r1 = s1.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+
+    def refuse(*a, **kw):
+        raise ValueError("forced legacy path")
+
+    monkeypatch.setattr(stft_mod, "band_row_slice", refuse)
+    s2 = _session_with_sweeps()
+    r2 = s2.plot_sweeps(["rec_sweep0"], cfg, ViewSettings())
+    np.testing.assert_array_equal(r1.f, r2.f)
+    assert r1.sxx.shape[0] == 32
+    np.testing.assert_allclose(r1.sxx, r2.sxx, rtol=1e-6,
+                               atol=1e-9 * float(r2.sxx.max()))
+    np.testing.assert_allclose(r1.image, r2.image, rtol=1e-5, atol=1e-6)
+
+
+def test_plot_sweeps_dataless_entries():
+    """Entries with neither raw nor processed data: skipped inside a
+    combine (segment_map only lists real contributors), and a selection
+    of ONLY dataless sweeps returns None (reference: nothing to plot)."""
+    s = AnalysisSession(warm_detection=False)
+    s.registry.register("empty_sweep0", SweepEntry(
+        filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=None, processed=None))
+    assert s.plot_sweeps(["empty_sweep0"], SpecConfig(nperseg=256),
+                         ViewSettings()) is None
+    assert s.plot_sweeps(["empty_sweep0"], SpecConfig(nperseg=256),
+                         ViewSettings(combine=True)) is None
+
+    x = np.sin(0.3 * np.arange(4096)).astype(np.float32)
+    s.registry.register("real_sweep0", SweepEntry(
+        filepath="f", sweep_idx=0, fs=1000.0, fs_raw=1000.0,
+        raw=x, processed=None))
+    r = s.plot_sweeps(["empty_sweep0", "real_sweep0"],
+                      SpecConfig(nperseg=256),
+                      ViewSettings(combine=True))
+    assert r is not None
+    assert [seg.source_name for seg in s.segment_map] == ["real_sweep0"]
+
+
 def test_cli_grid(tmp_path):
     """`grid` computes the sweep grid in batched dispatches and writes one
     npz; each combo's PSD must equal the single-config computation."""

@@ -41,3 +41,24 @@ def test_derived_properties_follow_scipy_defaults():
     assert explicit.hop_ == 64
     assert explicit.noverlap_ == 192
     assert explicit.nfft_ == 512
+
+
+def test_invalid_enum_values_rejected():
+    """Constructor validation: bad detrend/scaling/mode raise at config
+    build time, not deep inside a traced program."""
+    import pytest
+    for kw in ({"detrend": "quadratic"}, {"scaling": "power"},
+               {"mode": "phase"}):
+        with pytest.raises(ValueError, match="unsupported"):
+            SpecConfig(nperseg=256, hop=64, **kw)
+
+
+def test_pipeline_rejects_unknown_enums(tmp_path):
+    import pytest
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    cfg = SpecConfig(nperseg=256, hop=64)
+    for kw in ({"pixel_format": "bmp"}, {"on_error": "retry"},
+               {"encode_executor": "fiber"}):
+        with pytest.raises(ValueError, match="unknown"):
+            export_spectrograms([], 1000.0, cfg, str(tmp_path),
+                                clip_samples=1000, **kw)

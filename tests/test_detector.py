@@ -126,6 +126,27 @@ def test_roi_with_fewer_than_two_points_skipped():
     assert any(35.0 <= s <= 55.0 for s, _ in events)
 
 
+def test_roi_with_fewer_frames_than_main_n_states_skipped():
+    """The reference's quirk guard compares the ROI's frame count against
+    the MAIN model's n_components (4), not the temp 2-state model's
+    (PlotEngine.py:391-393, reproduced in _find_burst_in_roi): a 3-frame
+    ROI passes the >=2-points gate but is still skipped."""
+    det = BurstDetector()
+    t = np.arange(100.0)
+    rng = np.random.RandomState(0)
+    feat = rng.randn(100, 2).astype(np.float32)
+    feat[40:50, 0] += 6.0
+    # 3 frames: >= 2 points, < n_states=4 -> _find_burst_in_roi returns
+    # None; with ONLY this ROI nothing learnable remains
+    with pytest.raises(ValueError, match="Could not identify"):
+        det.learn_and_detect(t, feat, [(10.0, 12.0)])
+    assert not det.is_model_refined
+    # alongside a valid ROI it is silently skipped, like the reference
+    events = det.learn_and_detect(t, feat, [(10.0, 12.0), (35.0, 55.0)])
+    assert det.is_model_refined
+    assert any(35.0 <= s <= 55.0 for s, _ in events)
+
+
 def test_reset_model():
     det = BurstDetector()
     det.is_model_refined = True

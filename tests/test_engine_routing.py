@@ -92,3 +92,31 @@ def test_streaming_defaults_auto_route(x, monkeypatch):
     mono_mm = np.asarray(st.power_spectrogram(x, 1000.0, cfg,
                                               use_matmul=True))
     np.testing.assert_allclose(out_tpu, mono_mm, rtol=1e-4, atol=1e-10)
+
+
+def test_center_true_fft_engine_matches_matmul_and_manual_pad(x):
+    """The rFFT engine's centered framing (core.stft._prep_frames pad
+    branch) ran only through the matmul route in the rest of the suite —
+    cross-check all three derivations: FFT engine == matmul engine ==
+    explicit reflect-pad + center=False, and the centered time axis is
+    k*hop/fs."""
+    import dataclasses
+    fs = 1000.0
+    cfg = SpecConfig(nperseg=256, hop=64, center=True)
+    fft = np.asarray(st.power_spectrogram(x, fs, cfg, use_matmul=False))
+    mm = np.asarray(st.power_spectrogram(x, fs, cfg, use_matmul=True))
+    np.testing.assert_allclose(fft, mm, rtol=2e-4, atol=1e-9)
+
+    p = cfg.nperseg // 2
+    xp = np.pad(x, (p, p), mode="reflect")
+    uncfg = dataclasses.replace(cfg, center=False)
+    manual = np.asarray(st.power_spectrogram(xp, fs, uncfg,
+                                             use_matmul=False))
+    np.testing.assert_array_equal(fft, manual)
+
+    t = st.time_axis(cfg, fs, len(x))
+    assert t.shape == (fft.shape[0],)
+    np.testing.assert_allclose(t, np.arange(len(t)) * cfg.hop_ / fs)
+    # uncentered axis starts at the frame CENTER instead
+    tu = st.time_axis(uncfg, fs, len(x))
+    assert tu[0] == cfg.nperseg / 2.0 / fs

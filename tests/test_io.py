@@ -298,3 +298,29 @@ def test_wav_empty_data_chunk_with_trailing_metadata(tmp_path):
                   + payload)
     x, fs = read_wav(str(p))
     assert fs == 1000.0 and x.size == 0
+
+
+def test_wav_odd_sized_chunk_word_alignment(tmp_path):
+    """RIFF chunks are word-aligned: an odd-sized chunk is followed by a
+    pad byte that is NOT part of the next chunk header. A WAV with an
+    odd-length LIST chunk before fmt/data must parse identically in both
+    the full reader and the header-only wav_info (losing the pad skip
+    shifts the walk by one byte and fabricates garbage chunk tags)."""
+    import struct
+    fs = 8000.0
+    x = (np.sin(0.05 * np.arange(1000)) * 0.5).astype(np.float64)
+    pcm = (np.clip(x, -1, 1) * 32767.0).round().astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, int(fs), int(fs) * 2, 2, 16)
+    junk = b"junkbyte5"                      # 9 bytes -> odd, pad follows
+    body = (struct.pack("<4sI", b"LIST", len(junk)) + junk + b"\x00"
+            + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sI", b"data", len(pcm)) + pcm)
+    p = str(tmp_path / "odd.wav")
+    with open(p, "wb") as fh:
+        fh.write(struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE")
+                 + body)
+    afmt, n_ch, got_fs, bits = wav_mod.wav_info(p)
+    assert (afmt, n_ch, got_fs, bits) == (1, 1, fs, 16)
+    y, fs2 = wav_mod.read_wav(p)
+    assert fs2 == fs and y.shape == (1000,)
+    np.testing.assert_allclose(y, x, atol=1.0 / 32767)

@@ -156,6 +156,38 @@ def test_block_streaming_carry_roundtrip():
         s.process_block(np.zeros(100, np.float32))
 
 
+def test_streamers_reset_reproduces_first_recording():
+    """reset() must return a streamer to its pristine state: re-feeding
+    the SAME chunks after reset yields bitwise the first pass's frames
+    (stale carry would corrupt the first frames of the next recording)."""
+    cfg = SpecConfig.north_star(512, 128)
+    fs = 1000.0
+    x = np.random.RandomState(3).randn(4096).astype(np.float32)
+
+    s = StreamingSTFT(fs, cfg, 1024)
+    def run(st):
+        out = []
+        for j in range(4):
+            psd, valid, _ = st.process(x[j * 1024:(j + 1) * 1024])
+            out.append(np.asarray(psd)[valid])
+        return np.concatenate(out)
+    a = run(s)
+    s.reset()
+    np.testing.assert_array_equal(run(s), a)
+
+    b = BlockStreamingSTFT(fs, cfg, chunk_size=1024, chunks_per_block=2)
+    def run_b(st):
+        out = []
+        for j in range(2):
+            psd, valid, _ = st.process_block(
+                x[j * st.block_size:(j + 1) * st.block_size])
+            out.append(np.asarray(psd)[valid])
+        return np.concatenate(out)
+    ba = run_b(b)
+    b.reset()
+    np.testing.assert_array_equal(run_b(b), ba)
+
+
 @pytest.mark.parametrize("cfg,chunk,cpb", [
     (SpecConfig.scipy_default(1024), 8960, 2),
     (SpecConfig.north_star(512, 128), 1024, 3),
