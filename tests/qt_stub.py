@@ -489,12 +489,28 @@ class _Canvas(_Widget):
         super().__init__()
         self.figure = figure
         self.handlers = {}
+        self.draw_calls = 0
+        self.restored = []
+        self.blit_calls = 0
 
     def mpl_connect(self, name, fn):
         self.handlers[name] = fn
 
     def draw(self):
-        pass
+        self.draw_calls += 1
+
+    # blitting surface (FigureCanvasAgg API): recording fakes so the
+    # window's blit fast path executes under the stub. Background tokens
+    # are opaque; pairing restore_region with the token from
+    # copy_from_bbox is exactly what the blit recipe requires.
+    def copy_from_bbox(self, bbox):
+        return ("bg", bbox)
+
+    def restore_region(self, bg):
+        self.restored.append(bg)
+
+    def blit(self, bbox):
+        self.blit_calls += 1
 
 
 class _Toolbar(_Widget):

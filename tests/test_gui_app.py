@@ -273,6 +273,33 @@ def test_mesh_survives_motion_events(win):
     assert mesh_before.axes is win.view.ax_spec  # still attached
 
 
+def test_blit_fast_path_repaints_overlays_without_full_draw(win, monkeypatch):
+    """The canonical blitting recipe (gui/app._on_draw + _repaint): once a
+    full draw has cached the background, every mouse-motion repaint must
+    restore THAT background, draw only the overlay artists, and blit —
+    never trigger another full canvas.draw (the ~360 ms pcolormesh cost
+    incremental redraws exist to avoid)."""
+    import matplotlib.axes
+    drawn = []
+    monkeypatch.setattr(matplotlib.axes.Axes, "draw_artist",
+                        lambda self, a: drawn.append(a))
+    _plot(win)
+    win.detect()
+    win.chk_edit.setChecked(True)
+    assert win._blit            # the stub canvas advertises the blit API
+    # a full draw fires draw_event -> background captured
+    win.canvas.handlers["draw_event"](qt_stub._Event(0.0, 1))
+    assert win._bg == ("bg", win.canvas.figure.bbox)
+    draws_before = win.canvas.draw_calls
+    drawn.clear()
+    move = win.canvas.handlers["motion_notify_event"]
+    move(qt_stub._Event(12.0, 1))     # hover onto a detected span
+    assert win.canvas.restored and win.canvas.restored[-1] is win._bg
+    assert win.canvas.blit_calls >= 1
+    assert win.canvas.draw_calls == draws_before     # no full redraw
+    assert set(drawn) >= set(win.view.overlay_artists())
+
+
 def test_hover_highlight_recolors_patch_artists(win):
     # PlotEngine.py:497-543: hovering a patch turns it blue -> red on BOTH
     # axes; leaving it restores blue. Round 2 tracked this in the controller
