@@ -177,6 +177,12 @@ def test_pallas_short_signal_zero_frames():
     cfg = SpecConfig.north_star(1024, 256)
     out = stft_psd_pallas(jnp.zeros(100), 16000.0, cfg)
     assert out.shape == (0, 513)
+    # batched + with_stats on the degenerate shape: empty PSD plus
+    # per-clip zero extrema (not a crash or a (0,)-shaped stat)
+    psd, pmin, pmax = stft_psd_pallas(jnp.zeros((3, 100)), 16000.0, cfg,
+                                      with_stats=True)
+    assert psd.shape == (3, 0, 513)
+    assert pmin.shape == pmax.shape == (3,)
 
 
 def test_pallas_pipeline_matches_xla_pipeline():
