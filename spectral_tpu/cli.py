@@ -274,7 +274,67 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
            request_timeout: Optional[float] = None,
            max_request_bytes: int = 1 << 20,
            max_rss_mb: float = 8192.0) -> int:
-    """JSONL request/response worker (the serving shape for deployments:
+    """JSONL request/response worker over a stream pair.
+
+    See _make_serve_loop for the protocol; this is the stdin/stdout
+    entry (one stream pair, EOF or shutdown ends the worker)."""
+    _make_serve_loop(max_sessions=max_sessions,
+                     request_timeout=request_timeout,
+                     max_request_bytes=max_request_bytes,
+                     max_rss_mb=max_rss_mb)(stdin, stdout)
+    return 0
+
+
+def _serve_tcp(host: str, port: int, *, ready=None,
+               max_sessions: int = 16,
+               request_timeout: Optional[float] = None,
+               max_request_bytes: int = 1 << 20,
+               max_rss_mb: float = 8192.0) -> int:
+    """The same JSONL worker over TCP (no pipe relay needed): clients
+    connect, speak the protocol, and disconnect; the warm state —
+    compiled programs AND the LRU session cache — persists across
+    connections, which is the point of a serving process. Connections
+    are served one at a time (the device is a serial resource; requests
+    from a second client queue in the TCP backlog). {"cmd": "shutdown"}
+    stops the server; a client dropping mid-response does not.
+
+    Binds host (default loopback — the protocol has no auth; front it
+    with a real proxy for anything beyond a trusted host). port 0 picks
+    an ephemeral port; `ready(actual_port)` is called once listening
+    (tests and supervisors use it to learn the port)."""
+    import socket
+    run = _make_serve_loop(max_sessions=max_sessions,
+                           request_timeout=request_timeout,
+                           max_request_bytes=max_request_bytes,
+                           max_rss_mb=max_rss_mb)
+    srv = socket.create_server((host, port))
+    actual = srv.getsockname()[1]
+    print(f"serving on {host}:{actual}", file=sys.stderr)
+    if ready is not None:
+        ready(actual)
+    try:
+        while True:
+            conn, _addr = srv.accept()
+            outcome = "eof"
+            with conn:
+                fin = conn.makefile("r", encoding="utf-8", errors="replace")
+                fout = conn.makefile("w", encoding="utf-8",
+                                     errors="replace")
+                try:
+                    outcome = run(fin, fout)
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    continue          # client vanished; keep serving
+            if outcome == "shutdown":
+                return 0
+    finally:
+        srv.close()
+
+
+def _make_serve_loop(*, max_sessions: int = 16,
+                     request_timeout: Optional[float] = None,
+                     max_request_bytes: int = 1 << 20,
+                     max_rss_mb: float = 8192.0):
+    """Build the JSONL worker loop (the serving shape for deployments:
     one warm process amortizes compile latency and session state across
     requests instead of paying them per CLI invocation).
 
@@ -429,43 +489,52 @@ def _serve(stdin, stdout, *, max_sessions: int = 16,
             raise box["exc"]
         return box["resp"], False
 
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            nbytes = len(line.encode("utf-8", "surrogatepass"))
-            if nbytes > max_request_bytes:   # BYTES, as the name promises:
-                # len(str) undercounts non-ASCII payloads by up to 4x
-                raise ValueError(
-                    f"request exceeds max_request_bytes "
-                    f"({nbytes} > {max_request_bytes})")
-            req = _json.loads(line)
-            if req.get("cmd") == "shutdown":
-                stdout.write(_json.dumps({"ok": True, "bye": True}) + "\n")
-                stdout.flush()
-                return 0
-            if not request_timeout:      # None or 0 = no timeout
-                resp = handle(req, sessions)
-            else:
-                resp, timed_out = handle_with_timeout(req, sessions)
-                if timed_out:
-                    # Abandon the stuck daemon thread WITH its state: it
-                    # keeps the old cache (and whatever session it was
-                    # mutating); the live loop starts from a fresh dict.
-                    sessions = collections.OrderedDict()
-                    resp = {"ok": False,
-                            "error": "TimeoutError: request exceeded "
-                                     f"{request_timeout}s"}
-        except Exception as e:  # a bad request must not kill the worker
-            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        stdout.write(_json.dumps(resp) + "\n")
-        stdout.flush()
-        # memory backstop: drop compiled programs AND cached sessions
-        # (their device-resident PSD caches are the other big holder)
-        if maybe_trim_caches(max_rss_mb):
-            sessions.clear()
-    return 0
+    def run(stdin, stdout) -> str:
+        """Drive one stream pair; returns 'shutdown' or 'eof' so a
+        multi-connection server (_serve_tcp) knows whether to keep
+        accepting. The warm state (sessions, compiled programs) lives in
+        the enclosing scope and survives across calls."""
+        nonlocal sessions
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                nbytes = len(line.encode("utf-8", "surrogatepass"))
+                if nbytes > max_request_bytes:  # BYTES, as the name says:
+                    # len(str) undercounts non-ASCII payloads by up to 4x
+                    raise ValueError(
+                        f"request exceeds max_request_bytes "
+                        f"({nbytes} > {max_request_bytes})")
+                req = _json.loads(line)
+                if req.get("cmd") == "shutdown":
+                    stdout.write(_json.dumps({"ok": True, "bye": True})
+                                 + "\n")
+                    stdout.flush()
+                    return "shutdown"
+                if not request_timeout:      # None or 0 = no timeout
+                    resp = handle(req, sessions)
+                else:
+                    resp, timed_out = handle_with_timeout(req, sessions)
+                    if timed_out:
+                        # Abandon the stuck daemon thread WITH its state:
+                        # it keeps the old cache (and whatever session it
+                        # was mutating); the live loop starts fresh.
+                        sessions = collections.OrderedDict()
+                        resp = {"ok": False,
+                                "error": "TimeoutError: request exceeded "
+                                         f"{request_timeout}s"}
+            except Exception as e:  # a bad request must not kill the worker
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            stdout.write(_json.dumps(resp) + "\n")
+            stdout.flush()
+            # memory backstop: drop compiled programs AND cached sessions
+            # (their device-resident PSD caches are the other big holder)
+            if maybe_trim_caches(max_rss_mb):
+                sessions.clear()
+        return "eof"
+
+    return run
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -606,6 +675,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop compiled-program caches and cached sessions "
                         "when process RSS crosses this (0 disables); keeps "
                         "a worker serving ever-new configs bounded")
+    p.add_argument("--tcp", type=int, default=None, metavar="PORT",
+                   help="listen on TCP instead of stdin/stdout (same JSONL "
+                        "protocol; warm state persists across connections; "
+                        "0 picks an ephemeral port). No auth — bind "
+                        "loopback (the default) or front with a proxy")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --tcp (default loopback)")
 
     p = sub.add_parser("doctor", help="environment self-check: backend, "
                                       "native components, numerical sanity")
@@ -943,17 +1019,19 @@ def _dispatch(args) -> int:
         # loop itself — killing the worker the protocol promises errors
         # never kill. errors="replace" turns malformed bytes into a JSON
         # parse failure -> per-request error response instead.
+        guards = dict(max_sessions=args.max_sessions,
+                      request_timeout=args.timeout,
+                      max_request_bytes=args.max_request_bytes,
+                      max_rss_mb=args.max_rss_mb)
+        if args.tcp is not None:
+            return _serve_tcp(args.host, args.tcp, **guards)
         for stream in (sys.stdin, sys.stdout):
             if hasattr(stream, "reconfigure"):
                 try:
                     stream.reconfigure(encoding="utf-8", errors="replace")
                 except (ValueError, OSError):
                     pass   # detached/unsupported stream: keep as-is
-        return _serve(sys.stdin, sys.stdout,
-                      max_sessions=args.max_sessions,
-                      request_timeout=args.timeout,
-                      max_request_bytes=args.max_request_bytes,
-                      max_rss_mb=args.max_rss_mb)
+        return _serve(sys.stdin, sys.stdout, **guards)
 
     if args.cmd == "doctor":
         import jax as _jax_cfg

@@ -1560,6 +1560,61 @@ def test_stream_refuses_underflow_but_keeps_true_silence(tmp_path):
     assert not np.load(out)["psd"].any()
 
 
+def test_cli_serve_tcp(tmp_path):
+    """serve --tcp: the same JSONL protocol over a socket. Warm state
+    (the session cache) persists across connections — a client can
+    disconnect and a later one still gets served — and shutdown stops
+    the server; a malformed request answers ok:false without killing it."""
+    import json
+    import socket
+    import threading
+    from spectral_tpu.cli import _serve_tcp
+    fs = 1000.0
+    wav = str(tmp_path / "t.wav")
+    write_wav(wav, _bursty(fs=fs, dur=15.0, bursts=((4, 8),)) * 0.5, fs)
+
+    port_box = {}
+    ready = threading.Event()
+
+    def set_port(p):
+        port_box["port"] = p
+        ready.set()
+
+    rc_box = {}
+
+    def server():
+        rc_box["rc"] = _serve_tcp("127.0.0.1", 0, ready=set_port)
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+    assert ready.wait(30.0)
+
+    def talk(reqs):
+        out = []
+        with socket.create_connection(("127.0.0.1", port_box["port"]),
+                                      timeout=60.0) as c:
+            f = c.makefile("rw", encoding="utf-8")
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+                f.flush()
+                out.append(json.loads(f.readline()))
+        return out
+
+    # connection 1: ping + detect + a malformed request
+    r = talk([{"cmd": "ping"},
+              {"cmd": "detect", "files": [wav],
+               "config": {"nperseg": 256, "fmin": 0.0, "fmax": 30.0}},
+              {"cmd": "nonsense"}])
+    assert r[0] == {"ok": True, "pong": True}
+    assert r[1]["ok"] and r[1]["events"]
+    assert not r[2]["ok"]
+    # connection 2 (after the first disconnected): still served, then stop
+    r = talk([{"cmd": "ping"}, {"cmd": "shutdown"}])
+    assert r[0]["ok"] and r[1] == {"ok": True, "bye": True}
+    th.join(30.0)
+    assert not th.is_alive() and rc_box["rc"] == 0
+
+
 def test_cli_serve_detect_batch(tmp_path):
     """serve's detect_batch: every sweep of the request's files detected
     through the vmapped fleet path, per-sweep errors isolated as entries
