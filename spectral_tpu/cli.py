@@ -350,7 +350,9 @@ def _make_serve_loop(*, max_sessions: int = 16,
       sweep of the files, same-(length, fs) groups each detected in ONE
       vmapped device dispatch (`detect --each --batched` as a warm
       request); response {"results": {name: {events} | {error}}}.
-      {"cmd": "ping"} -> liveness; {"cmd": "shutdown"} -> exit 0.
+      {"cmd": "ping"} -> liveness; {"cmd": "stats"} -> worker health
+      (requests/errors/timeouts/cache-trims served, cached sessions,
+      RSS); {"cmd": "shutdown"} -> exit 0.
     Response: one JSON object per line: {"ok": true, ...result} or
       {"ok": false, "error": "..."}; errors never kill the worker.
 
@@ -402,10 +404,22 @@ def _make_serve_loop(*, max_sessions: int = 16,
             cache.popitem(last=False)
         return s
 
+    counters = {"requests": 0, "errors": 0, "timeouts": 0, "trims": 0}
+
     def handle(req, cache):
         cmd = req.get("cmd")
         if cmd == "ping":
             return {"ok": True, "pong": True}
+        if cmd == "stats":
+            # operational introspection for supervisors/monitoring: the
+            # worker's own view of its health, no side effects
+            from spectral_tpu.utils.memory import rss_mb
+            return {"ok": True, "requests": counters["requests"],
+                    "errors": counters["errors"],
+                    "timeouts": counters["timeouts"],
+                    "cache_trims": counters["trims"],
+                    "sessions_cached": len(cache),
+                    "rss_mb": round(rss_mb(), 1)}
         if cmd == "render_batch":
             from spectral_tpu.io.wav import wav_info
             from spectral_tpu.parallel.pipeline import (export_spectrograms,
@@ -499,6 +513,7 @@ def _make_serve_loop(*, max_sessions: int = 16,
             line = line.strip()
             if not line:
                 continue
+            counters["requests"] += 1
             try:
                 nbytes = len(line.encode("utf-8", "surrogatepass"))
                 if nbytes > max_request_bytes:  # BYTES, as the name says:
@@ -521,17 +536,21 @@ def _make_serve_loop(*, max_sessions: int = 16,
                         # it keeps the old cache (and whatever session it
                         # was mutating); the live loop starts fresh.
                         sessions = collections.OrderedDict()
+                        counters["timeouts"] += 1
                         resp = {"ok": False,
                                 "error": "TimeoutError: request exceeded "
                                          f"{request_timeout}s"}
             except Exception as e:  # a bad request must not kill the worker
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            if not resp.get("ok"):
+                counters["errors"] += 1
             stdout.write(_json.dumps(resp) + "\n")
             stdout.flush()
             # memory backstop: drop compiled programs AND cached sessions
             # (their device-resident PSD caches are the other big holder)
             if maybe_trim_caches(max_rss_mb):
                 sessions.clear()
+                counters["trims"] += 1
         return "eof"
 
     return run

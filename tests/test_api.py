@@ -1600,14 +1600,19 @@ def test_cli_serve_tcp(tmp_path):
                 out.append(json.loads(f.readline()))
         return out
 
-    # connection 1: ping + detect + a malformed request
+    # connection 1: ping + detect + a malformed request + stats
     r = talk([{"cmd": "ping"},
               {"cmd": "detect", "files": [wav],
                "config": {"nperseg": 256, "fmin": 0.0, "fmax": 30.0}},
-              {"cmd": "nonsense"}])
+              {"cmd": "nonsense"},
+              {"cmd": "stats"}])
     assert r[0] == {"ok": True, "pong": True}
     assert r[1]["ok"] and r[1]["events"]
     assert not r[2]["ok"]
+    stats = r[3]
+    assert stats["ok"] and stats["requests"] == 4
+    assert stats["errors"] == 1 and stats["sessions_cached"] == 1
+    assert stats["rss_mb"] > 0
     # connection 2 (after the first disconnected): still served, then stop
     r = talk([{"cmd": "ping"}, {"cmd": "shutdown"}])
     assert r[0]["ok"] and r[1] == {"ok": True, "bye": True}
