@@ -151,3 +151,20 @@ def test_render_single_signal_parity(tmp_path):
     assert p.exists() and p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
     fig2 = render_single_signal("n", x, 1000.0, use_log=True)
     assert fig2.axes[0].get_yscale() == "log"
+
+
+def test_profiler_trace_hooks_roundtrip(tmp_path):
+    """The jax.profiler wrappers (aux tracing subsystem) actually start
+    and stop a trace and leave artifacts on disk (works on CPU too)."""
+    import jax.numpy as jnp
+    from spectral_tpu.utils.metrics import (start_profiler_trace,
+                                            stop_profiler_trace)
+    d = str(tmp_path / "trace")
+    assert start_profiler_trace(d)
+    jnp.square(jnp.arange(128.0)).block_until_ready()
+    stop_profiler_trace()
+    import os
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(d) for f in fs]
+    assert found, "profiler trace produced no artifacts"
+    # idempotent stop: never raises even with no active trace
+    stop_profiler_trace()
