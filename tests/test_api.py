@@ -1620,6 +1620,56 @@ def test_cli_serve_tcp(tmp_path):
     assert not th.is_alive() and rc_box["rc"] == 0
 
 
+def test_serve_client_tcp(tmp_path):
+    """ServeClient speaks the protocol end-to-end against a live TCP
+    worker: typed results, ServeError on ok=false, shutdown on close."""
+    import threading
+    from spectral_tpu.cli import _serve_tcp
+    from spectral_tpu.client import ServeClient, ServeError
+    fs = 1000.0
+    wav = str(tmp_path / "c.wav")
+    write_wav(wav, _bursty(fs=fs, dur=15.0, bursts=((4, 8),)) * 0.5, fs)
+
+    port_box, ready = {}, threading.Event()
+    th = threading.Thread(
+        target=lambda: _serve_tcp("127.0.0.1", 0, ready=lambda p: (
+            port_box.update(port=p), ready.set())),
+        daemon=True)
+    th.start()
+    assert ready.wait(30.0)
+
+    cfg = {"nperseg": 256, "fmin": 0.0, "fmax": 30.0}
+    with ServeClient.tcp(port_box["port"]) as c:
+        assert c.ping()
+        events = c.detect([wav], config=cfg)
+        assert events and all(isinstance(e, tuple) for e in events)
+        bands, total = c.bands([wav], config=cfg)
+        assert set(bands) and total > 0
+        out = str(tmp_path / "c.png")
+        assert "Successfully" in c.render([wav], out, config=cfg)
+        assert os.path.exists(out)
+        res = c.detect_batch([wav], config=cfg)
+        assert res["c_sweep0"]["events"]
+        with pytest.raises(ServeError, match="unknown cmd"):
+            c.request({"cmd": "nonsense"})
+        assert c.stats()["requests"] >= 5
+    # context exit didn't shut the server down (TCP default) — do so now
+    with ServeClient.tcp(port_box["port"]) as c2:
+        c2.close(shutdown=True)
+    th.join(30.0)
+    assert not th.is_alive()
+
+
+def test_serve_client_spawn():
+    """ServeClient.spawn owns a worker subprocess over pipes and tears
+    it down on close (the stdio transport end-to-end)."""
+    from spectral_tpu.client import ServeClient
+    with ServeClient.spawn(["--cpu"]) as c:
+        assert c.ping()
+        assert c.stats()["sessions_cached"] == 0
+    assert c._proc.returncode == 0        # clean shutdown, not a kill
+
+
 def test_cli_serve_detect_batch(tmp_path):
     """serve's detect_batch: every sweep of the request's files detected
     through the vmapped fleet path, per-sweep errors isolated as entries
