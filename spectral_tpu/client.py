@@ -119,6 +119,7 @@ class ServeClient:
                     self._proc.wait(timeout=30)
                 except subprocess.TimeoutExpired:
                     self._proc.kill()
+                    self._proc.wait(timeout=5)   # reap; no zombie
 
     def __enter__(self) -> "ServeClient":
         return self
