@@ -647,9 +647,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_spec_args(p, combine=False)
 
     p = sub.add_parser("export-specs",
-                       help="high-throughput dataset export: WAV clips -> "
-                            "spectrogram PNGs through the overlapped "
-                            "decode/device/encode pipeline")
+                       help="high-throughput dataset export: recordings "
+                            "(WAV clips, or ABF/NIX/NPZ one clip per "
+                            "sweep) -> spectrogram PNGs through the "
+                            "overlapped decode/device/encode pipeline")
     p.add_argument("files", nargs="+")
     p.add_argument("-o", "--out-dir", required=True)
     p.add_argument("--clip-seconds", type=float, default=10.0,
@@ -985,26 +986,42 @@ def _dispatch(args) -> int:
     if args.cmd == "export-specs":
         from spectral_tpu.io.wav import wav_info
         from spectral_tpu.parallel.pipeline import (export_spectrograms,
+                                                    registry_clip_source,
+                                                    registry_first_fs,
                                                     wav_clip_source)
         cfg = _make_config(args)      # --mels handled for every mode there
-        # fs from the first file's HEADER (the pipeline is single-rate by
-        # design; decoding the whole first clip for one field doubled its
-        # IO — wav_clip_source decodes it again anyway)
-        fs = wav_info(args.files[0])[2]
+        all_wav = all(f.lower().endswith(".wav") for f in args.files)
+        if all_wav:
+            # fs from the first file's HEADER (the pipeline is single-rate
+            # by design; decoding the whole first clip for one field
+            # doubled its IO — wav_clip_source decodes it again anyway)
+            fs = wav_info(args.files[0])[2]
+        else:
+            # ABF/NIX/NPZ datasets (the reference's own formats) go
+            # through the registry loaders, one sweep per clip
+            try:
+                fs = registry_first_fs(args.files[0])
+            except (OSError, ValueError, KeyError) as e:
+                sys.exit(f"error: {e}")
         mesh = None
         if args.shard:
             from spectral_tpu.parallel.mesh import make_mesh
             mesh = make_mesh()
         n_already = 0
-        if args.resume:
+        if args.resume and all_wav:
             n_already = sum(
                 1 for f in args.files if os.path.exists(os.path.join(
                     args.out_dir,
                     os.path.splitext(os.path.basename(f))[0] + ".png")))
+        source = (wav_clip_source(args.files, on_error=args.on_error,
+                                  skip_existing_in=(args.out_dir
+                                                    if args.resume
+                                                    else None))
+                  if all_wav else
+                  registry_clip_source(args.files, fs,
+                                       on_error=args.on_error))
         stats = export_spectrograms(
-            wav_clip_source(args.files, on_error=args.on_error,
-                            skip_existing_in=(args.out_dir if args.resume
-                                              else None)),
+            source,
             fs, cfg,
             args.out_dir, clip_samples=int(args.clip_seconds * fs),
             batch=args.batch, colormap=args.cmap,
@@ -1013,7 +1030,11 @@ def _dispatch(args) -> int:
             mesh=mesh, resume=args.resume, durable=args.durable)
         suffix = f"; {stats.failed} failed" if stats.failed else ""
         if args.resume:
-            suffix += f" (resume: {n_already} already existed)"
+            # wav datasets know the skip count up front (decode-free file
+            # stem check); registry datasets learn it from the pipeline's
+            # staging-time recheck
+            suffix += (f" (resume: {n_already if all_wav else stats.skipped}"
+                       f" already existed)")
         print(f"Exported {stats.pngs_written} spectrogram PNG(s) "
               f"({stats.seconds_audio:.0f} s of audio) to "
               f"{args.out_dir}{suffix}")

@@ -438,6 +438,77 @@ def _resolve(future, stats: PipelineStats, on_error: str) -> None:
         stats.failed += 1
 
 
+def registry_first_fs(path: str) -> float:
+    """Sampling rate of the first loadable sweep of `path` (any
+    registry-supported format). The export pipeline is single-rate by
+    design; this anchors the dataset's rate the way wav_info anchors it
+    for WAV datasets."""
+    from spectral_tpu.io.registry import SweepRegistry
+    r = SweepRegistry()
+    names = r.load_file(path)
+    if not names:
+        raise ValueError(f"{path}: no loadable sweeps")
+    _x, fs = r.get_signal(names[0], processed=True)
+    return float(fs)
+
+
+def registry_clip_source(paths: Sequence[str], fs: float,
+                         on_error: str = "raise"
+                         ) -> Iterator[Tuple[str, np.ndarray]]:
+    """Decode ANY registry-supported recording (ABF / NIX-HDF5 / WAV /
+    NPZ) into per-sweep (display_name, float32 signal) clips for
+    export_spectrograms — the reference's datasets are .abf/.h5, not WAV
+    (SweepManager.py:12-19), so the config-5 pipeline must eat them
+    directly. Signals follow the session's source rule
+    (processed-over-raw, registry.get_signal). Output PNGs are named
+    '{base}_sweep{i}.png'.
+
+    The pipeline is single-rate: sweeps whose rate differs from `fs`
+    raise (on_error='raise') or are skipped with a log line
+    (on_error='skip'), exactly like undecodable files. One registry per
+    FILE keeps host memory bounded on large datasets."""
+    import logging
+    from spectral_tpu.io.registry import SweepRegistry
+    log = logging.getLogger("spectral_tpu")
+    seen = set()
+    for p in paths:
+        r = SweepRegistry()
+        try:
+            names = r.load_file(p)
+        except (OSError, ValueError, KeyError) as e:
+            if on_error == "raise":
+                raise
+            log.warning("skipping undecodable recording %s: %s", p, e)
+            continue
+        for name in names:
+            try:
+                x, sweep_fs = r.get_signal(name, processed=True)
+            except KeyError as e:
+                if on_error == "raise":
+                    raise
+                log.warning("skipping sweep %s: %s", name, e)
+                continue
+            if float(sweep_fs) != float(fs):
+                if on_error == "raise":
+                    raise ValueError(
+                        f"{name}: sampling rate {sweep_fs:g} != dataset "
+                        f"rate {fs:g} (the export pipeline is single-rate;"
+                        f" export mismatched recordings separately)")
+                log.warning("skipping sweep %s: fs %g != dataset fs %g",
+                            name, sweep_fs, fs)
+                continue
+            if name in seen:
+                # two dataset files with the same stem (e.g. ds.h5 +
+                # ds.abf) produce the same '{base}_sweep{i}' names — the
+                # later clip's PNG silently overwrites the earlier one.
+                # Keep the last-write-wins registry semantics
+                # (SweepManager.data is a plain dict) but SAY so.
+                log.warning("duplicate sweep name %r (from %s): its PNG "
+                            "overwrites an earlier clip's output", name, p)
+            seen.add(name)
+            yield name, np.asarray(x, np.float32)
+
+
 def wav_clip_source(paths: Sequence[str], on_error: str = "raise",
                     skip_existing_in: "str | None" = None
                     ) -> Iterator[Tuple[str, np.ndarray]]:
@@ -453,11 +524,20 @@ def wav_clip_source(paths: Sequence[str], on_error: str = "raise",
     export_spectrograms(resume=True), which re-checks at staging time)."""
     import struct
     from spectral_tpu.io.wav import read_wav, read_wav_int16
+    seen = set()
     for p in paths:
-        if skip_existing_in is not None and os.path.exists(os.path.join(
-                skip_existing_in,
-                os.path.splitext(os.path.basename(p))[0] + ".png")):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if skip_existing_in is not None and os.path.exists(
+                os.path.join(skip_existing_in, stem + ".png")):
             continue
+        if stem in seen:
+            # same stem in two directories -> same '{stem}.png': the
+            # later clip silently overwrites the earlier one. Keep
+            # last-write-wins but SAY so.
+            import logging
+            logging.getLogger("spectral_tpu").warning(
+                "duplicate clip stem %r (from %s): its PNG overwrites "
+                "an earlier clip's output", stem, p)
         try:
             try:
                 x, _fs = read_wav_int16(p)
@@ -474,4 +554,5 @@ def wav_clip_source(paths: Sequence[str], on_error: str = "raise",
             logging.getLogger("spectral_tpu").warning(
                 "skipping undecodable clip %s: %s", p, e)
             continue
-        yield os.path.splitext(os.path.basename(p))[0], x
+        seen.add(stem)
+        yield stem, x

@@ -390,6 +390,83 @@ def test_cli_export_specs(tmp_path, capsys):
     assert img.shape == (129, 122, 3)      # palette default decodes to RGB
 
 
+def test_cli_export_specs_registry_formats(tmp_path, capsys):
+    """export-specs over the reference's own formats (NIX-HDF5 here):
+    one clip per sweep through registry_clip_source, processed-over-raw
+    source rule, mixed-rate sweeps skipped under --on-error skip, and
+    --resume skips finished sweep PNGs. PNG pixels must equal the same
+    signals exported via WAV (the source layer must not touch values)."""
+    pytest.importorskip("h5py")
+    from spectral_tpu.cli import main
+    from spectral_tpu.io.nix import write_nix_fixture
+    fs = 8000.0
+    rng = np.random.default_rng(5)
+    sig0 = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    sig1 = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    h5 = str(tmp_path / "rec.h5")
+    write_nix_fixture(h5, [{"proc_a": sig0}, {"proc_b": sig1}], fs=fs)
+    out = str(tmp_path / "specs")
+    args = ["-o", out, "--clip-seconds", "1", "--nperseg", "256",
+            "--hop", "64", "--log", "--batch", "2"]
+    assert main(["export-specs", h5, *args]) == 0
+    assert sorted(os.listdir(out)) == ["rec_sweep0.png", "rec_sweep1.png"]
+
+    # value parity with the WAV source layer: an IEEE-float WAV carries
+    # the identical f32 samples, so the PNGs must be byte-identical
+    # (the source layer must not touch values)
+    wav0 = tmp_path / "w0.wav"
+    _write_float_wav(wav0, sig0, fs)
+    out_w = str(tmp_path / "specs_w")
+    assert main(["export-specs", str(wav0), "-o", out_w,
+                 "--clip-seconds", "1", "--nperseg", "256", "--hop", "64",
+                 "--log", "--batch", "2"]) == 0
+    a = np.asarray(decode_png(os.path.join(out, "rec_sweep0.png")))
+    b = np.asarray(decode_png(os.path.join(out_w, "w0.png")))
+    np.testing.assert_array_equal(a, b)
+
+    # mixed-rate file: the 4 kHz sweep skips under --on-error skip
+    h5m = str(tmp_path / "mixed.h5")
+    write_nix_fixture(h5m, [{"proc_a": sig0}], fs=fs)
+    write_nix_fixture(str(tmp_path / "slow.h5"), [{"proc_s": sig1}],
+                      fs=4000.0)
+    out2 = str(tmp_path / "specs2")
+    assert main(["export-specs", h5m, str(tmp_path / "slow.h5"),
+                 "-o", out2, *args[2:], "--on-error", "skip"]) == 0
+    assert os.listdir(out2) == ["mixed_sweep0.png"]
+    # on_error=raise (the default): the rate mismatch aborts with a
+    # clean domain-error exit (main wraps ValueError), not a traceback
+    with pytest.raises(SystemExit) as ei:
+        main(["export-specs", h5m, str(tmp_path / "slow.h5"),
+              "-o", str(tmp_path / "specs3"), *args[2:]])
+    assert "single-rate" in str(ei.value)
+
+    # resume: everything already exported -> 0 new PNGs
+    capsys.readouterr()
+    assert main(["export-specs", h5, *args, "--resume"]) == 0
+    out_txt = capsys.readouterr().out
+    assert "Exported 0" in out_txt and "2 already existed" in out_txt
+
+    # name collision across dataset files (rec.h5 + rec.abf would both
+    # yield rec_sweep0): last write wins, but a warning SAYS so
+    import logging
+    from spectral_tpu.parallel.pipeline import registry_clip_source
+    h5b = str(tmp_path / "sub")
+    os.makedirs(h5b, exist_ok=True)
+    h5b = os.path.join(h5b, "rec.h5")
+    write_nix_fixture(h5b, [{"proc_a": sig1}], fs=fs)
+    logger = logging.getLogger("spectral_tpu")
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logger.addHandler(handler)
+    try:
+        clips = list(registry_clip_source([h5, h5b], fs))
+    finally:
+        logger.removeHandler(handler)
+    assert [n for n, _ in clips].count("rec_sweep0") == 2
+    assert any("duplicate sweep name" in m for m in records)
+
+
 def test_cli_stream_bands(tmp_path, capsys):
     from spectral_tpu.cli import main
     fs = 1000.0
