@@ -423,13 +423,21 @@ def _make_serve_loop(*, max_sessions: int = 16,
         if cmd == "render_batch":
             from spectral_tpu.io.wav import wav_info
             from spectral_tpu.parallel.pipeline import (export_spectrograms,
+                                                        registry_clip_source,
+                                                        registry_first_fs,
                                                         wav_clip_source)
             files = req["files"]
             cfg = SpecConfig(**req.get("config", {}))
-            fs = wav_info(files[0])[2]   # header-only: no full decode
+            all_wav = all(f.lower().endswith(".wav") for f in files)
+            if all_wav:
+                fs = wav_info(files[0])[2]   # header-only: no full decode
+                source = wav_clip_source(files)
+            else:    # ABF/NIX/NPZ datasets, one clip per sweep
+                fs = registry_first_fs(files[0])
+                source = registry_clip_source(files, fs)
             clip_s = float(req.get("clip_seconds", 10.0))
             stats = export_spectrograms(
-                wav_clip_source(files), fs, cfg, req["out_dir"],
+                source, fs, cfg, req["out_dir"],
                 clip_samples=int(clip_s * fs),
                 batch=min(len(files), int(req.get("batch", 64))),
                 compress_level=int(req.get("compress_level", 1)))

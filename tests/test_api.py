@@ -802,6 +802,23 @@ def test_cli_serve_render_batch(tmp_path):
     assert out[0]["ok"] and out[0]["written"] == 4
     assert sorted(os.listdir(out_dir)) == [f"clip{i}.png" for i in range(4)]
 
+    # registry formats too: an .h5 request renders one PNG per sweep
+    h5py = pytest.importorskip("h5py")
+    from spectral_tpu.io.nix import write_nix_fixture
+    h5 = str(tmp_path / "r.h5")
+    write_nix_fixture(
+        h5, [{"proc_a": _bursty(fs=fs, dur=10.0).astype(np.float32)}],
+        fs=fs)
+    out_dir2 = str(tmp_path / "h5pngs")
+    req2 = dict(req, files=[h5], out_dir=out_dir2)
+    stdin = io.StringIO(json.dumps(req2) + "\n"
+                        + json.dumps({"cmd": "shutdown"}) + "\n")
+    stdout = io.StringIO()
+    assert _serve(stdin, stdout) == 0
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out[0]["ok"] and out[0]["written"] == 1
+    assert os.listdir(out_dir2) == ["r_sweep0.png"]
+
 
 def test_cli_error_paths_exit_nonzero(tmp_path, capsys):
     """Failures must not exit 0: swallowed exporter 'Error ...' statuses
