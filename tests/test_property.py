@@ -149,3 +149,40 @@ def test_normalize_range_and_power_of_two_invariance(seed, log_scale):
     # power-of-two scaling is bitwise lossless through the display map
     out2 = np.asarray(normalize(jnp.asarray(sxx * 4.0), log_scale))
     np.testing.assert_array_equal(out, out2)
+
+
+# ---------------------------------------------------------------------------
+# untrusted-input boundary: structured-chunk WAV fuzz
+# ---------------------------------------------------------------------------
+
+_tags = st.sampled_from([b"fmt ", b"data", b"LIST", b"junk", b"\x00\x00\x00\x00"])
+_chunk = st.tuples(_tags, st.binary(max_size=24),
+                   st.one_of(st.none(),            # honest size
+                             st.integers(0, 0xFFFFFFFF)))  # lying size
+
+
+@settings(max_examples=120, deadline=None, derandomize=True)
+@given(st.lists(_chunk, max_size=5), st.binary(max_size=8))
+def test_wav_readers_reject_or_parse_never_crash(tmp_path_factory, chunks,
+                                                 trailer):
+    """Crash-freedom at the untrusted boundary: for ANY chunk structure
+    (including lying size fields, the 0xFFFFFFFF streamed-data
+    placeholder, truncations and trailing garbage) both WAV readers
+    either parse or raise ValueError — never struct.error/IndexError/
+    MemoryError, never a hang."""
+    import struct
+    from spectral_tpu.io.wav import read_wav, wav_info
+    body = b""
+    for tag, payload, lie in chunks:
+        size = len(payload) if lie is None else lie
+        body += struct.pack("<4sI", tag, size) + payload
+    body += trailer
+    p = str(tmp_path_factory.mktemp("wavfuzz") / "f.wav")
+    with open(p, "wb") as fh:
+        fh.write(struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE")
+                 + body)
+    for fn in (read_wav, wav_info):
+        try:
+            fn(p)
+        except ValueError:
+            pass
