@@ -615,3 +615,51 @@ def test_error_paths_show_reference_boxes(win, monkeypatch, tmp_path):
     win.plot_selected()
     kind, title, _ = qt_stub.QMessageBox.calls[-1]
     assert (kind, title) == ("critical", "Plot error")
+
+
+def test_error_boxes_and_tree_context_menu(win, tmp_path):
+    # load failure -> 'Load Error' critical box (GUI.py:342-343)
+    bad = str(tmp_path / "nope.wav")
+    qt_stub.QFileDialog.next_open_files = [bad]
+    win.add_files()
+    kind, title, text = qt_stub.QMessageBox.calls[-1]
+    assert (kind, title) == ("critical", "Load Error") and bad in text
+
+    # mixed sampling rates: combine box (GUI.py:243-245) and plot box
+    # (GUI.py:415-418), both with the reference's literal texts
+    win.session.registry.register("slow_sweep0", SweepEntry(
+        filepath="<synth>", sweep_idx=0, fs=FS / 2, fs_raw=FS / 2,
+        raw=np.zeros(1000, np.float32), processed=None))
+    win._add_tree_item("slow_sweep0")
+    for i in range(win.tree.topLevelItemCount()):
+        win.tree.topLevelItem(i).setSelected(True)
+    win.register_combined()
+    kind, title, _ = qt_stub.QMessageBox.calls[-1]
+    assert (kind, title) == ("critical", "Sampling Rate Mismatch")
+    win.plot_selected()
+    kind, title, text = qt_stub.QMessageBox.calls[-1]
+    assert kind == "critical" and "different sampling rates" in text
+
+    # no signal source selected (RAW unchecked, PROC-only sweep absent):
+    # status line, not a crash
+    for i in range(win.tree.topLevelItemCount()):
+        win.tree.topLevelItem(i).setSelected(i == 0)
+    win.chk_raw.setChecked(False)
+    win.chk_proc.setChecked(True)      # s_sweep0 has no processed stream
+    win.plot_selected()
+    assert "Nothing to plot" in win.status.text()
+
+    # tree context menu: Remove Selected drops rows but keeps the
+    # registry (GUI.py:345-348, :485-494); dismissing does nothing
+    n0 = win.tree.topLevelItemCount()
+    qt_stub.QMenu.next_choice = None
+    win.open_tree_context_menu(None)
+    assert win.tree.topLevelItemCount() == n0
+    qt_stub.QMenu.next_choice = "Remove Selected"
+    try:
+        win.open_tree_context_menu(None)
+    finally:
+        qt_stub.QMenu.next_choice = None
+    assert win.tree.topLevelItemCount() == n0 - 1
+    assert "s_sweep0" in win.session.registry.names()
+    assert "Removed selected" in win.status.text()
