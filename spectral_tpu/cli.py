@@ -685,6 +685,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fsync each PNG before its atomic rename "
                         "(~1.6 ms/file): resume-safe even across power "
                         "loss / kernel crash, not just a killed process")
+    p.add_argument("--encode-workers", type=int, default=4,
+                   help="parallel PNG encoders (scale with host cores "
+                        "when export is encode-bound; see OPERATIONS.md)")
+    p.add_argument("--encode-executor", choices=("thread", "process"),
+                   default="thread",
+                   help="'process' sidesteps the GIL for the encoder's "
+                        "Python overhead (forkserver pool; wins when "
+                        "encode binds and images are small)")
     _add_spec_args(p, combine=False)
 
     p = sub.add_parser("info", help="list sweeps in files")
@@ -1035,7 +1043,9 @@ def _dispatch(args) -> int:
             batch=args.batch, colormap=args.cmap,
             compress_level=args.compress_level,
             pixel_format=args.pixel_format, on_error=args.on_error,
-            mesh=mesh, resume=args.resume, durable=args.durable)
+            mesh=mesh, resume=args.resume, durable=args.durable,
+            encode_workers=args.encode_workers,
+            encode_executor=args.encode_executor)
         suffix = f"; {stats.failed} failed" if stats.failed else ""
         if args.resume:
             # wav datasets know the skip count up front (decode-free file
