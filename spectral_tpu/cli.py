@@ -729,6 +729,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "subprocess first (a downed tunnel otherwise "
                         "blocks init for 25-50 min before raising); "
                         "0 disables the probe")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable report (one JSON object) for "
+                        "fleet supervisors; exit code semantics unchanged")
 
     p = sub.add_parser("gui", help="launch the Qt GUI client (needs PyQt5)")
 
@@ -1092,19 +1095,32 @@ def _dispatch(args) -> int:
         return _serve(sys.stdin, sys.stdout, **guards)
 
     if args.cmd == "doctor":
+        as_json = getattr(args, "json", False)
+        report = {"ok": False}
+
+        def say(line: str) -> None:
+            if not as_json:
+                print(line)
+
+        def finish(code: int) -> int:
+            if as_json:
+                print(json.dumps(report))
+            return code
+
         import jax as _jax_cfg
         cpu_pinned = (args.cpu
                       or _jax_cfg.config.jax_platforms == "cpu")
         if args.init_timeout > 0 and not cpu_pinned:
             reachable, detail = _probe_backend_reachable(args.init_timeout)
             if not reachable:
-                print("backend:        UNREACHABLE — accelerator init "
-                      "failed (tunnel down?)")
-                print(f"                {detail}")
-                print("                rerun with --cpu for host-side "
-                      "checks")
-                print("doctor: PROBLEMS FOUND")
-                return 1
+                say("backend:        UNREACHABLE — accelerator init "
+                    "failed (tunnel down?)")
+                say(f"                {detail}")
+                say("                rerun with --cpu for host-side "
+                    "checks")
+                say("doctor: PROBLEMS FOUND")
+                report.update(backend="UNREACHABLE", detail=detail)
+                return finish(1)
         import jax
         import jax.numpy as jnp
         from spectral_tpu.config import SpecConfig
@@ -1113,18 +1129,23 @@ def _dispatch(args) -> int:
         from spectral_tpu.utils.cache import enable_compilation_cache
 
         ok = True
-        print(f"backend:        {jax.default_backend()} "
-              f"({len(jax.devices())} device(s): "
-              f"{', '.join(str(d) for d in jax.devices()[:4])})")
+        say(f"backend:        {jax.default_backend()} "
+            f"({len(jax.devices())} device(s): "
+            f"{', '.join(str(d) for d in jax.devices()[:4])})")
+        report.update(backend=jax.default_backend(),
+                      n_devices=len(jax.devices()))
         enable_compilation_cache()
-        print("compile cache:  enabled")
+        say("compile cache:  enabled")
         native_ok = png_native.available()
-        print(f"native encoder: {'ok (C++ zlib)' if native_ok else 'absent (PIL/stdlib fallback)'}")
+        report["native_encoder"] = bool(native_ok)
+        say(f"native encoder: {'ok (C++ zlib)' if native_ok else 'absent (PIL/stdlib fallback)'}")
         try:
             import PyQt5  # noqa: F401
-            print("gui client:     PyQt5 available")
+            report["gui_client"] = True
+            say("gui client:     PyQt5 available")
         except ImportError:
-            print("gui client:     PyQt5 absent (headless CLI only)")
+            report["gui_client"] = False
+            say("gui client:     PyQt5 absent (headless CLI only)")
 
         # numerical sanity: a pure tone must peak at its own bin
         fs_t, f0 = 16000.0, 1000.0
@@ -1136,8 +1157,10 @@ def _dispatch(args) -> int:
         peak = float(f[int(psd.mean(axis=0).argmax())])
         sane = abs(peak - f0) <= fs_t / 1024
         ok &= sane
-        print(f"sanity:         1 kHz tone peaks at {peak:.1f} Hz "
-              f"({'ok' if sane else 'FAIL'})")
+        report["sanity_tone_peak_hz"] = round(peak, 1)
+        report["sanity"] = bool(sane)
+        say(f"sanity:         1 kHz tone peaks at {peak:.1f} Hz "
+            f"({'ok' if sane else 'FAIL'})")
 
         if getattr(args, "probe_link", False):
             # Production triage for remote/tunneled runtimes: the dispatch
@@ -1153,8 +1176,9 @@ def _dispatch(args) -> int:
                 t0 = _time.time()
                 np.asarray(tiny(xz))
                 floors.append((_time.time() - t0) * 1000)
-            print(f"dispatch floor: {min(floors):.1f} ms "
-                  "(trivial program + 600-int32 readback, best of 5)")
+            report["dispatch_floor_ms"] = round(min(floors), 1)
+            say(f"dispatch floor: {min(floors):.1f} ms "
+                "(trivial program + 600-int32 readback, best of 5)")
             base = jnp.zeros((8 << 20) // 4, jnp.float32)  # 8 MB
             dbl = jax.jit(lambda v: v * 2)
             np.asarray(dbl(base))                      # warm compile+path
@@ -1165,11 +1189,13 @@ def _dispatch(args) -> int:
                 t0 = _time.time()
                 np.asarray(fresh)
                 rates.append(8.0 / (_time.time() - t0))
-            print(f"d2h bandwidth:  {max(rates):.1f} MB/s "
-                  "(8 MB f32 fetch, best of 3)")
+            report["d2h_mb_per_s"] = round(max(rates), 1)
+            say(f"d2h bandwidth:  {max(rates):.1f} MB/s "
+                "(8 MB f32 fetch, best of 3)")
 
-        print("doctor:", "all good" if ok else "PROBLEMS FOUND")
-        return 0 if ok else 1
+        report["ok"] = bool(ok)
+        say("doctor: " + ("all good" if ok else "PROBLEMS FOUND"))
+        return finish(0 if ok else 1)
 
     if args.cmd == "gui":
         from spectral_tpu.gui.app import main as gui_main

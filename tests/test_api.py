@@ -561,6 +561,14 @@ def test_cli_doctor(capsys):
     assert main(["doctor", "--probe-link"]) == 0
     out = capsys.readouterr().out
     assert "dispatch floor:" in out and "d2h bandwidth:" in out
+    # --json: ONE machine-readable object, no human lines
+    import json
+    assert main(["doctor", "--json", "--probe-link"]) == 0
+    out = capsys.readouterr().out
+    rep = json.loads(out)
+    assert out.count("\n") == 1
+    assert rep["ok"] and rep["sanity"] and rep["backend"]
+    assert "dispatch_floor_ms" in rep and "d2h_mb_per_s" in rep
 
 
 def test_cli_export_specs_on_error_skip(tmp_path, capsys):
