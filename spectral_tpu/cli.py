@@ -693,6 +693,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'process' sidesteps the GIL for the encoder's "
                         "Python overhead (forkserver pool; wins when "
                         "encode binds and images are small)")
+    p.add_argument("--stats-json", metavar="PATH", default=None,
+                   help="also write the run's stats + per-stage breakdown "
+                        "(device compute, D2H bytes/s, unpack, encode) as "
+                        "one JSON object — the ops artifact for tuning "
+                        "batch/workers/compression")
     _add_spec_args(p, combine=False)
 
     p = sub.add_parser("info", help="list sweeps in files")
@@ -1049,6 +1054,16 @@ def _dispatch(args) -> int:
             mesh=mesh, resume=args.resume, durable=args.durable,
             encode_workers=args.encode_workers,
             encode_executor=args.encode_executor)
+        if args.stats_json:
+            payload = {"clips": stats.clips, "batches": stats.batches,
+                       "pngs_written": stats.pngs_written,
+                       "failed": stats.failed,
+                       "nonfinite": stats.nonfinite,
+                       "skipped": stats.skipped,
+                       "seconds_audio": round(stats.seconds_audio, 3),
+                       "breakdown": stats.breakdown()}
+            with open(args.stats_json, "w") as fh:
+                json.dump(payload, fh, indent=1)
         suffix = f"; {stats.failed} failed" if stats.failed else ""
         if args.resume:
             # wav datasets know the skip count up front (decode-free file

@@ -386,6 +386,15 @@ def test_cli_export_specs(tmp_path, capsys):
                  "--batch", "2"]) == 0
     assert sorted(os.listdir(out)) == ["c0.png", "c1.png", "c2.png"]
     assert "Exported 3" in capsys.readouterr().out
+    # --stats-json: the ops artifact with the per-stage breakdown
+    import json as _json
+    sj = str(tmp_path / "stats.json")
+    assert main(["export-specs", *paths, "-o", str(tmp_path / "s2"),
+                 "--clip-seconds", "1", "--nperseg", "256", "--hop", "64",
+                 "--stats-json", sj]) == 0
+    rep = _json.load(open(sj))
+    assert rep["pngs_written"] == 3 and rep["clips"] == 3
+    assert "d2h_mb" in rep["breakdown"] and "wall_s" in rep["breakdown"]
     img = decode_png(os.path.join(out, "c0.png"))
     assert img.shape == (129, 122, 3)      # palette default decodes to RGB
 
