@@ -289,7 +289,8 @@ def _serve_tcp(host: str, port: int, *, ready=None,
                max_sessions: int = 16,
                request_timeout: Optional[float] = None,
                max_request_bytes: int = 1 << 20,
-               max_rss_mb: float = 8192.0) -> int:
+               max_rss_mb: float = 8192.0,
+               idle_timeout: Optional[float] = None) -> int:
     """The same JSONL worker over TCP (no pipe relay needed): clients
     connect, speak the protocol, and disconnect; the warm state —
     compiled programs AND the LRU session cache — persists across
@@ -317,13 +318,21 @@ def _serve_tcp(host: str, port: int, *, ready=None,
             conn, _addr = srv.accept()
             outcome = "eof"
             with conn:
+                if idle_timeout:
+                    # connections are served ONE at a time, so a client
+                    # that connects and then stalls mid-line would hold
+                    # the server forever; a read/write past the idle
+                    # bound raises TimeoutError (an OSError) below and
+                    # the connection is dropped — the next client is
+                    # served by the same warm worker
+                    conn.settimeout(idle_timeout)
                 fin = conn.makefile("r", encoding="utf-8", errors="replace")
                 fout = conn.makefile("w", encoding="utf-8",
                                      errors="replace")
                 try:
                     outcome = run(fin, fout)
                 except (BrokenPipeError, ConnectionResetError, OSError):
-                    continue          # client vanished; keep serving
+                    continue          # client vanished/stalled; keep serving
             if outcome == "shutdown":
                 return 0
     finally:
@@ -723,6 +732,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "loopback (the default) or front with a proxy")
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address for --tcp (default loopback)")
+    p.add_argument("--idle-timeout", type=float, default=0.0,
+                   help="--tcp only: drop a connection whose next "
+                        "read/write stalls longer than this (seconds; "
+                        "0 disables) — connections are served one at a "
+                        "time, so a stalled client otherwise holds the "
+                        "server")
 
     p = sub.add_parser("doctor", help="environment self-check: backend, "
                                       "native components, numerical sanity")
@@ -1100,7 +1115,9 @@ def _dispatch(args) -> int:
                       max_request_bytes=args.max_request_bytes,
                       max_rss_mb=args.max_rss_mb)
         if args.tcp is not None:
-            return _serve_tcp(args.host, args.tcp, **guards)
+            return _serve_tcp(args.host, args.tcp,
+                              idle_timeout=args.idle_timeout or None,
+                              **guards)
         for stream in (sys.stdin, sys.stdout):
             if hasattr(stream, "reconfigure"):
                 try:

@@ -1731,6 +1731,44 @@ def test_cli_serve_tcp(tmp_path):
     assert not th.is_alive() and rc_box["rc"] == 0
 
 
+def test_cli_serve_tcp_idle_timeout(tmp_path):
+    """A client that connects and stalls must not hold the sequential
+    server: with --idle-timeout its connection is dropped and the NEXT
+    client is served by the same warm worker."""
+    import json
+    import socket
+    import threading
+    import time
+    from spectral_tpu.cli import _serve_tcp
+
+    port_box, ready = {}, threading.Event()
+    th = threading.Thread(
+        target=lambda: _serve_tcp("127.0.0.1", 0, idle_timeout=0.5,
+                                  ready=lambda p: (
+                                      port_box.update(port=p), ready.set())),
+        daemon=True)
+    th.start()
+    assert ready.wait(30.0)
+
+    staller = socket.create_connection(("127.0.0.1", port_box["port"]),
+                                       timeout=30.0)
+    staller.sendall(b'{"cmd": "pi')          # partial line, then silence
+    time.sleep(1.2)                          # > idle_timeout
+
+    with socket.create_connection(("127.0.0.1", port_box["port"]),
+                                  timeout=30.0) as c:
+        f = c.makefile("rw", encoding="utf-8")
+        f.write(json.dumps({"cmd": "ping"}) + "\n")
+        f.flush()
+        assert json.loads(f.readline())["pong"]
+        f.write(json.dumps({"cmd": "shutdown"}) + "\n")
+        f.flush()
+        assert json.loads(f.readline())["bye"]
+    staller.close()
+    th.join(30.0)
+    assert not th.is_alive()
+
+
 def test_serve_client_tcp(tmp_path):
     """ServeClient speaks the protocol end-to-end against a live TCP
     worker: typed results, ServeError on ok=false, shutdown on close."""
