@@ -1799,9 +1799,16 @@ def test_serve_client_tcp(tmp_path):
         assert os.path.exists(out)
         res = c.detect_batch([wav], config=cfg)
         assert res["c_sweep0"]["events"]
+        learned = c.learn([wav], rois=[(3.0, 9.0)], config=cfg)
+        assert learned and learned[0][0] >= 2.0
+        bdir = str(tmp_path / "cb")
+        rb = c.render_batch([wav], bdir, clip_seconds=15.0,
+                            config={"nperseg": 256, "hop": 64,
+                                    "log_scale": True})
+        assert rb["written"] == 1 and os.listdir(bdir) == ["c.png"]
         with pytest.raises(ServeError, match="unknown cmd"):
             c.request({"cmd": "nonsense"})
-        assert c.stats()["requests"] >= 5
+        assert c.stats()["requests"] >= 7
     # context exit didn't shut the server down (TCP default) — do so now
     with ServeClient.tcp(port_box["port"]) as c2:
         c2.close(shutdown=True)
