@@ -476,6 +476,59 @@ def test_cli_export_specs_registry_formats(tmp_path, capsys):
     assert any("duplicate sweep name" in m for m in records)
 
 
+def test_export_specs_survives_sigkill_and_resumes(tmp_path):
+    """The restartable-export contract END TO END with a real SIGKILL:
+    a dataset export killed mid-run leaves only VALID complete PNGs (no
+    temp residue, every file decodes), and --resume finishes exactly the
+    missing remainder."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+    from spectral_tpu.render.png import decode_png
+    fs = 4000.0
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(120):
+        p = str(tmp_path / f"k{i:03d}.wav")
+        write_wav(p, (rng.standard_normal(int(fs)) * 0.3)
+                  .astype(np.float32), fs)
+        paths.append(p)
+    out = str(tmp_path / "specs")
+    cmd = [_sys.executable, "-m", "spectral_tpu.cli", "--cpu",
+           "export-specs", *paths, "-o", out, "--clip-seconds", "1",
+           "--nperseg", "256", "--hop", "64", "--batch", "8",
+           "--compress-level", "9"]
+    proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        done = [f for f in os.listdir(out)] if os.path.exists(out) else []
+        if len([f for f in done if f.endswith(".png")]) >= 5:
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.05)
+    killed = proc.poll() is None
+    if killed:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(30)
+    survivors = sorted(os.listdir(out))
+    if killed:      # the interesting case: mid-run interruption
+        assert 0 < len(survivors) < 120
+    assert not [f for f in survivors if ".tmp." in f]   # no residue
+    for f in survivors:                                 # all decode
+        img = np.asarray(decode_png(os.path.join(out, f)))
+        assert img.shape[0] > 0
+    # resume completes exactly the remainder
+    n_before = len(survivors)
+    r = subprocess.run(cmd + ["--resume"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert len(os.listdir(out)) == 120
+    assert f"resume: {n_before} already existed" in r.stdout \
+        or n_before == 0
+
+
 def test_cli_stream_bands(tmp_path, capsys):
     from spectral_tpu.cli import main
     fs = 1000.0
