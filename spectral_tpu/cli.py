@@ -359,6 +359,10 @@ def _make_serve_loop(*, max_sessions: int = 16,
       sweep of the files, same-(length, fs) groups each detected in ONE
       vmapped device dispatch (`detect --each --batched` as a warm
       request); response {"results": {name: {events} | {error}}}.
+      {"cmd": "stream_bands", "files": [...], "channel": 0?,
+       "chunk_seconds": 60?, "config": {...}?} — hour-scale band-power
+      analytics through the bounded-memory device fold (stream --bands
+      as a warm request; the PSD is never materialized).
       {"cmd": "ping"} -> liveness; {"cmd": "stats"} -> worker health
       (requests/errors/timeouts/cache-trims served, cached sessions,
       RSS); {"cmd": "shutdown"} -> exit 0.
@@ -452,6 +456,45 @@ def _make_serve_loop(*, max_sessions: int = 16,
                 compress_level=int(req.get("compress_level", 1)))
             return {"ok": True, "written": stats.pngs_written,
                     "seconds_audio": stats.seconds_audio}
+        if cmd == "stream_bands":
+            # long-recording analytics over serve: the device-resident
+            # fold (stream_band_powers) — bounded working memory, no PSD
+            # materialization — instead of the session's monolithic plot.
+            # Same overflow/underflow refusal contract as `stream --bands`
+            from spectral_tpu.io.registry import SweepRegistry
+            from spectral_tpu.parallel.streaming import stream_band_powers
+            r = SweepRegistry()
+            names: list = []
+            for p in req["files"]:
+                names += r.load_file(p)
+            ch = int(req.get("channel", 0))
+            if not 0 <= ch < len(names):
+                raise ValueError(f"channel {ch} out of range "
+                                 f"({len(names)} sweep(s))")
+            sig, fs = r.get_signal(names[ch], processed=True)
+            cfg = SpecConfig(**req.get("config", {}))
+            hop = cfg.hop_
+            chunk = max(-(-cfg.nperseg // hop) * hop,
+                        int(float(req.get("chunk_seconds", 60.0)) * fs)
+                        // hop * hop)
+            sig = np.asarray(sig, np.float32)
+            bp, total = stream_band_powers(sig, fs, cfg, chunk)
+            if ((not np.isfinite(total)
+                 or not all(np.isfinite(v) for v in bp.values()))
+                    and np.isfinite(sig).all()):
+                raise ValueError(
+                    "spectral power overflows float32: rescale the "
+                    "recording by a power of two (e.g. x * 2**-40)")
+            if total == 0.0 and np.isfinite(sig).all():
+                adet = float(np.abs(
+                    sig - sig.mean(dtype=np.float64)).max())
+                if 0.0 < adet < 1e-10:
+                    raise ValueError(
+                        "spectral power underflows float32: rescale the "
+                        "recording by a power of two (e.g. x * 2**80)")
+            return {"ok": True, "sweep": names[ch],
+                    "bands": {k: float(v) for k, v in bp.items()},
+                    "total_power": float(total)}
         if cmd == "detect_batch":
             # fleet detection: every sweep of the cached session's files,
             # same-(length, fs) groups vmapped into ONE device dispatch

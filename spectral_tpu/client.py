@@ -187,6 +187,18 @@ class ServeClient:
             req["config"] = config
         return self.request(req)
 
+    def stream_bands(self, files: Sequence[str], *, channel: int = 0,
+                     chunk_seconds: float = 60.0,
+                     config: Optional[dict] = None) -> Tuple[dict, float]:
+        """Hour-scale band powers via the bounded-memory streaming fold
+        (the PSD is never materialized server-side)."""
+        req = {"cmd": "stream_bands", "files": list(files),
+               "channel": channel, "chunk_seconds": chunk_seconds}
+        if config:
+            req["config"] = config
+        resp = self.request(req)
+        return resp["bands"], resp["total_power"]
+
     def detect_batch(self, files: Sequence[str], *,
                      config: Optional[dict] = None) -> dict:
         """{sweep_name: {"events": [...]} | {"error": "..."}}"""

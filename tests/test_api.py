@@ -1854,6 +1854,14 @@ def test_serve_client_tcp(tmp_path):
         assert res["c_sweep0"]["events"]
         learned = c.learn([wav], rois=[(3.0, 9.0)], config=cfg)
         assert learned and learned[0][0] >= 2.0
+        sb, stot = c.stream_bands([wav], chunk_seconds=5.0,
+                                  config={"nperseg": 256})
+        assert set(sb) and stot > 0
+        # the fold matches the session's monolithic band powers
+        mb, mtot = c.bands([wav], config={"nperseg": 256})
+        assert abs(stot - mtot) / mtot < 1e-4
+        for k in mb:
+            assert abs(sb[k] - mb[k]) < 1e-5
         bdir = str(tmp_path / "cb")
         rb = c.render_batch([wav], bdir, clip_seconds=15.0,
                             config={"nperseg": 256, "hop": 64,
