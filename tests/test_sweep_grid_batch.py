@@ -245,3 +245,17 @@ def test_batch_detect_refuses_nonfinite_features():
     feats[1, 5, 0] = np.nan
     with pytest.raises(ValueError, match=r"clips \[1\]"):
         batch_unsupervised_detect(t, feats)
+
+
+def test_batch_detect_equals_sequential_on_cpu():
+    """The vmapped fleet path and N sequential detections produce
+    IDENTICAL event lists on this backend (the documented caveat — vmap
+    may reassociate f32 reductions and nudge borderline boundaries — is
+    about accelerator tiling, not a standing difference; if this ever
+    fails here, the batched path regressed, not float noise)."""
+    from spectral_tpu.models.detector import BurstDetector
+    t, feats, _truths = _batch_features()
+    batched = batch_unsupervised_detect(t, feats)
+    seq = [BurstDetector(device="cpu").unsupervised_detect(t, f)
+           for f in feats]
+    assert batched == seq
