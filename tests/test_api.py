@@ -1282,6 +1282,16 @@ def test_cli_serve_protocol_fuzz(tmp_path):
         f'{{"cmd": "render_batch", "files": [], "out_dir": '
         f'"{tmp_path}/d"}}',
         '{"cmd": "bands", "files": []}',
+        # block-9 request types, hostile variants
+        '{"cmd": "detect_batch"}',                    # missing files
+        '{"cmd": "detect_batch", "files": "x"}',
+        '{"cmd": "stream_bands", "files": []}',       # channel out of range
+        f'{{"cmd": "stream_bands", "files": ["{wav_path}"], '
+        '"channel": 99}',
+        f'{{"cmd": "stream_bands", "files": ["{wav_path}"], '
+        '"chunk_seconds": "soon"}',
+        f'{{"cmd": "stream_bands", "files": ["{wav_path}"], '
+        '"config": {"center": true}}',                # streaming refuses
     ]
     # random printable junk lines (deterministic)
     for _ in range(20):
