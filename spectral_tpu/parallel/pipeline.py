@@ -40,6 +40,7 @@ class PipelineStats:
     #                              of failed): overflowed f32 power or
     #                              non-finite samples — no PNG is written
     skipped: int = 0             # resume=True: outputs that already existed
+    tmp_cleaned: int = 0         # stale .tmp.<dead-pid> residue swept at start
     # per-stage breakdown (seconds; encode_s is summed worker CPU-seconds,
     # the others are wall time on their stage's thread)
     stage_s: float = 0.0         # producer: staging + async dispatch
@@ -252,6 +253,11 @@ def export_spectrograms(clips: Iterable[Tuple[str, np.ndarray]], fs: float,
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
     stats = PipelineStats()
+    # SIGKILL can leave one in-flight .tmp file per encode worker; sweep
+    # residue from dead pids so resume/rerun directories stay clean
+    # (render.png.clean_stale_tmp leaves live processes' temps alone).
+    from spectral_tpu.render.png import clean_stale_tmp
+    stats.tmp_cleaned = clean_stale_tmp(out_dir)
     if prefetch < 0:
         raise ValueError("prefetch must be >= 0")
     # maxsize=0 would be an UNBOUNDED python queue — the opposite of

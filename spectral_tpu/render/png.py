@@ -59,6 +59,51 @@ def _write_atomic(path: str, data: bytes, fsync: bool = False) -> None:
             pass
         raise
 
+def clean_stale_tmp(dir_path: str) -> int:
+    """Remove ``*.tmp.<pid>.<n>`` residue left by a DEAD process.
+
+    SIGKILL can always land between the temp-file open and the
+    ``os.replace`` in :func:`_write_atomic`, so atomicity alone cannot
+    promise a residue-free directory — it only promises no truncated
+    file ever carries a FINAL name. Export runs call this on their
+    output directory so a restart (``resume=True``) also cleans the
+    previous run's corpses. Temps whose embedded pid is still alive are
+    left alone (a concurrent export into the same directory owns them).
+    Returns the number of files removed."""
+    removed = 0
+    try:
+        entries = os.listdir(dir_path)
+    except OSError:
+        return 0
+    for name in entries:
+        parts = name.rsplit(".tmp.", 1)
+        if len(parts) != 2:
+            continue
+        pid_s = parts[1].split(".", 1)[0]
+        if not pid_s.isdigit():
+            continue
+        pid = int(pid_s)
+        alive = True
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:
+            alive = True    # exists, owned by someone else
+        except OSError:
+            continue
+        if alive and pid != os.getpid():
+            continue
+        if alive and pid == os.getpid():
+            continue        # our own in-flight writes
+        try:
+            os.unlink(os.path.join(dir_path, name))
+            removed += 1
+        except OSError:
+            pass
+    return removed
+
+
 _native = None
 _native_checked = False
 

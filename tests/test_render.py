@@ -386,6 +386,57 @@ def test_png_writes_are_atomic(tmp_path, monkeypatch):
     assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
 
 
+def test_clean_stale_tmp_sweeps_dead_pids_only(tmp_path):
+    """clean_stale_tmp removes .tmp.<pid>.<n> residue whose pid is dead
+    (SIGKILL corpses), leaves live-pid temps (a concurrent export owns
+    them), our own pid's temps (in-flight writes), non-temp files, and
+    malformed names alone."""
+    import os
+    import subprocess
+    import sys as _sys
+    from spectral_tpu.render import png as png_mod
+    # a genuinely dead pid: spawn-and-wait a trivial child
+    proc = subprocess.Popen([_sys.executable, "-c", "pass"])
+    proc.wait()
+    dead_pid = proc.pid
+    (tmp_path / f"a.png.tmp.{dead_pid}.3").write_bytes(b"x")
+    (tmp_path / f"b.png.tmp.{os.getpid()}.1").write_bytes(b"x")   # ours
+    (tmp_path / "c.png").write_bytes(b"x")                        # final
+    (tmp_path / "d.png.tmp.notanum.2").write_bytes(b"x")          # malformed
+    removed = png_mod.clean_stale_tmp(str(tmp_path))
+    assert removed == 1
+    left = sorted(os.listdir(tmp_path))
+    assert f"a.png.tmp.{dead_pid}.3" not in left
+    assert f"b.png.tmp.{os.getpid()}.1" in left
+    assert "c.png" in left and "d.png.tmp.notanum.2" in left
+    # missing directory: a no-op, not an error
+    assert png_mod.clean_stale_tmp(str(tmp_path / "nope")) == 0
+
+
+def test_export_pipeline_sweeps_stale_tmp(tmp_path):
+    """export_spectrograms sweeps dead-pid temp residue from a previous
+    killed run before writing (stats.tmp_cleaned), so resume directories
+    end clean."""
+    import subprocess
+    import sys as _sys
+    from spectral_tpu.parallel.pipeline import export_spectrograms
+    from spectral_tpu.config import SpecConfig
+    out = tmp_path / "specs"
+    out.mkdir()
+    proc = subprocess.Popen([_sys.executable, "-c", "pass"])
+    proc.wait()
+    (out / f"x.png.tmp.{proc.pid}.0").write_bytes(b"junk")
+    fs = 4000.0
+    clips = [("x", np.random.default_rng(0)
+              .standard_normal(int(fs)).astype(np.float32))]
+    cfg = SpecConfig(nperseg=256, hop=64)
+    stats = export_spectrograms(iter(clips), fs, cfg, str(out),
+                                clip_samples=int(fs), batch=1)
+    assert stats.tmp_cleaned == 1
+    files = sorted(f.name for f in out.iterdir())
+    assert files == ["x.png"]
+
+
 def test_concurrent_writes_to_same_path_are_safe():
     """Duplicate clip stems make encode-pool threads race on ONE output
     path; each write must use a unique temp so the survivor is a VALID
