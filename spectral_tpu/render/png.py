@@ -69,6 +69,10 @@ def clean_stale_tmp(dir_path: str) -> int:
     output directory so a restart (``resume=True``) also cleans the
     previous run's corpses. Temps whose embedded pid is still alive are
     left alone (a concurrent export into the same directory owns them).
+    Liveness is judged with ``os.kill(pid, 0)`` on THIS host, so the
+    ownership guarantee is same-host only: on a shared filesystem a
+    writer on another host looks dead, and local pid reuse can shield a
+    genuinely stale temp. Single-host operation is the supported mode.
     Returns the number of files removed."""
     removed = 0
     try:
@@ -80,9 +84,14 @@ def clean_stale_tmp(dir_path: str) -> int:
         if len(parts) != 2:
             continue
         pid_s = parts[1].split(".", 1)[0]
-        if not pid_s.isdigit():
+        # isdigit() alone admits non-ASCII digit codepoints that int()
+        # rejects; a hostile filename must be skipped, not crash export.
+        if not (pid_s.isascii() and pid_s.isdigit()):
             continue
-        pid = int(pid_s)
+        try:
+            pid = int(pid_s)
+        except ValueError:
+            continue
         alive = True
         try:
             os.kill(pid, 0)

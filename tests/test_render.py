@@ -403,12 +403,17 @@ def test_clean_stale_tmp_sweeps_dead_pids_only(tmp_path):
     (tmp_path / f"b.png.tmp.{os.getpid()}.1").write_bytes(b"x")   # ours
     (tmp_path / "c.png").write_bytes(b"x")                        # final
     (tmp_path / "d.png.tmp.notanum.2").write_bytes(b"x")          # malformed
+    # non-ASCII digit codepoints: str.isdigit() True but int() raises —
+    # must be skipped, not crash the sweep (advisor finding r3)
+    (tmp_path / "e.png.tmp.².1").write_bytes(b"x")           # superscript 2
+    (tmp_path / "f.png.tmp.١٢.1").write_bytes(b"x")     # Arabic-Indic 12
     removed = png_mod.clean_stale_tmp(str(tmp_path))
     assert removed == 1
     left = sorted(os.listdir(tmp_path))
     assert f"a.png.tmp.{dead_pid}.3" not in left
     assert f"b.png.tmp.{os.getpid()}.1" in left
     assert "c.png" in left and "d.png.tmp.notanum.2" in left
+    assert "e.png.tmp.².1" in left and "f.png.tmp.١٢.1" in left
     # missing directory: a no-op, not an error
     assert png_mod.clean_stale_tmp(str(tmp_path / "nope")) == 0
 
