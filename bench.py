@@ -114,7 +114,16 @@ def main() -> int:
     # the staged batch, so HBM holds one input), each sub-batch's packed
     # image is reduced to a checksum on device, and one scalar readback
     # forces completion of everything.
-    reps = int(os.environ.get("BENCH_REPS", "1" if on_cpu else "2"))
+    #
+    # Regression-proofing (round-4): a 2-rep single number cannot tell a
+    # code regression from a bad tunnel day (r2->r3 read as a 17% "loss"
+    # that no on-chip kernel measurement reproduced). So: >=5 timed reps,
+    # each rep individually wall-clocked, and the JSON carries
+    # median/min/max/spread plus the tunnel's same-day dispatch floor
+    # (trivial program + scalar readback — the per-rep overhead a slow
+    # tunnel adds) and the compile-cache state. The headline value is the
+    # MEDIAN rep; `value_best` (min) is the least tunnel-contaminated.
+    reps = int(os.environ.get("BENCH_REPS", "2" if on_cpu else "5"))
     K = int(os.environ.get("BENCH_SUBBATCHES", "2" if on_cpu else "16"))
 
     def one(x, i):
@@ -125,15 +134,33 @@ def main() -> int:
 
     many_j = jax.jit(
         lambda x: jnp.sum(jax.lax.map(lambda i: one(x, i), jnp.arange(K))))
-    float(many_j(xb))  # warm: compile + first device->host transfer
-
-    t0 = time.time()
-    checksum = sum(float(many_j(xb)) for _ in range(reps))
-    dt = (time.time() - t0) / (reps * K)
+    t_compile0 = time.time()
+    checksum = float(many_j(xb))  # warm: compile + first device->host xfer
+    warmup_s = time.time() - t_compile0
     assert checksum == checksum  # not NaN
 
-    audio_hours = batch * clip_seconds / 3600.0
-    ahpm = audio_hours / (dt / 60.0)
+    # same-day dispatch floor: trivial jitted program + scalar readback,
+    # best of 5 — the fixed per-rep cost the tunnel imposes on ANY kernel
+    triv = jax.jit(lambda s: s + 1.0)
+    float(triv(jnp.float32(0.0)))  # compile
+    floor_ms = min(
+        (lambda t0: (float(triv(jnp.float32(i))), time.time() - t0)[1])(
+            time.time())
+        for i in range(5)) * 1e3
+
+    rep_s = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(many_j(xb))
+        rep_s.append(time.time() - t0)
+    rep_s_sorted = sorted(rep_s)
+    median_s = rep_s_sorted[len(rep_s) // 2] if reps % 2 else (
+        rep_s_sorted[reps // 2 - 1] + rep_s_sorted[reps // 2]) / 2.0
+    spread_pct = 100.0 * (rep_s_sorted[-1] - rep_s_sorted[0]) / median_s
+
+    audio_hours_per_rep = K * batch * clip_seconds / 3600.0
+    ahpm = audio_hours_per_rep / (median_s / 60.0)
+    ahpm_best = audio_hours_per_rep / (rep_s_sorted[0] / 60.0)
 
     # Accuracy artifacts: max |dB| error vs a float64 scipy oracle on one
     # clip (scipy is a bench/test oracle only, never a package dependency).
@@ -190,6 +217,8 @@ def main() -> int:
     except Exception:
         pass
 
+    from spectral_tpu.utils.cache import compilation_cache_dir
+    cache_dir = compilation_cache_dir()
     print(json.dumps({
         "metric": ("spectrogram pipeline throughput "
                    f"(n_fft=1024, hop=256, batch={batch}, 10s@16kHz, "
@@ -198,6 +227,14 @@ def main() -> int:
         "value": round(ahpm, 1),
         "unit": "audio-hours/min",
         "vs_baseline": round(ahpm / BASELINE_AUDIO_H_PER_MIN, 1),
+        "value_best": round(ahpm_best, 1),
+        "vs_baseline_best": round(ahpm_best / BASELINE_AUDIO_H_PER_MIN, 1),
+        "reps": reps,
+        "rep_seconds": [round(s, 4) for s in rep_s],
+        "spread_pct": round(spread_pct, 1),
+        "dispatch_floor_ms": round(floor_ms, 1),
+        "warmup_s": round(warmup_s, 1),
+        "compile_cache": cache_dir,
         "max_db_err_vs_scipy": max_db_err,
         "max_db_err_8192_scipy_compat": err_8192,
         "max_db_err_fast_tier": err_fast,

@@ -44,3 +44,14 @@ def enable_compilation_cache() -> bool:
         return True
     except Exception:
         return False
+
+
+def compilation_cache_dir() -> str | None:
+    """The active persistent-cache directory, or None when caching is off.
+
+    Bench artifacts record this so a slow `warmup_s` can be attributed
+    (cold cache vs tunnel compile-service slowness)."""
+    if not _enabled:
+        return None
+    import jax
+    return jax.config.jax_compilation_cache_dir
