@@ -477,10 +477,19 @@ def _ct_dft(x: Array, cfg: SpecConfig, factors: Tuple[int, int]
 
 
 def ct_dft_frames(fw: Array, nfft: int, factors: Tuple[int, int],
-                  onesided: bool, n_freqs: int, prec) -> Tuple[Array, Array]:
+                  onesided: bool, n_freqs: int, prec,
+                  compensate: bool = False) -> Tuple[Array, Array]:
     """The factorized transform on already windowed/detrended frames
     (..., T, nfft) — the sweep grid batches a window dimension over this
-    (parallel/sweep_grid.py), sharing one framing across the group."""
+    (parallel/sweep_grid.py), sharing one framing across the group.
+
+    compensate=True recovers the TWIDDLE step's f32 rounding exactly
+    (two-product/two-sum EFT on the elementwise complex multiply) and
+    carries it through stage 2 as a cheap extra contraction — the twiddle
+    injects eps * |A| ABSOLUTE error that stage 2 sums into every bin,
+    the dominant transform-internal term of the display-dB budget at
+    large nperseg (see _ct_power_compensated's module comment). The
+    default path is bit-identical to before."""
     N1, N2 = factors
     c1, s1, ct, st, c2, s2 = _ct_matrices(nfft, N1, N2, onesided)
     W1c, W1s = (jnp.asarray(c1, fw.dtype), jnp.asarray(s1, fw.dtype))
@@ -491,18 +500,170 @@ def ct_dft_frames(fw: Array, nfft: int, factors: Tuple[int, int],
     xr = jnp.swapaxes(fw.reshape(lead + (N1, N2)), -1, -2)  # (..., n2, n1)
     Are = jnp.matmul(xr, W1c, precision=prec)               # (..., n2, k1)
     Aim = jnp.matmul(xr, W1s, precision=prec)
-    Bre = Are * TWc - Aim * TWs
-    Bim = Are * TWs + Aim * TWc
+    if compensate:
+        p1, e1 = _two_prod(Are, TWc)
+        p2, e2 = _two_prod(Aim, TWs)
+        Bre, es = _two_sum(p1, -p2)
+        eBre = (e1 - e2) + es
+        p3, e3 = _two_prod(Are, TWs)
+        p4, e4 = _two_prod(Aim, TWc)
+        Bim, es = _two_sum(p3, p4)
+        eBim = (e3 + e4) + es
+    else:
+        Bre = Are * TWc - Aim * TWs
+        Bim = Are * TWs + Aim * TWc
     # contract n2 (the -2 axis): X[k2, k1]
     Xre = (jnp.einsum("...sk,sm->...mk", Bre, W2c, precision=prec)
            - jnp.einsum("...sk,sm->...mk", Bim, W2s, precision=prec))
     Xim = (jnp.einsum("...sk,sm->...mk", Bre, W2s, precision=prec)
            + jnp.einsum("...sk,sm->...mk", Bim, W2c, precision=prec))
+    if compensate:
+        # the residual is O(eps * |A|): single-pass bf16 suffices (its
+        # own error lands at O(1e-2 * eps), two orders below the term
+        # being recovered; bf16's 8-bit exponent holds the tiny scale)
+        rp = jax.lax.Precision.DEFAULT
+        Xre = Xre + (jnp.einsum("...sk,sm->...mk", eBre, W2c, precision=rp)
+                     - jnp.einsum("...sk,sm->...mk", eBim, W2s, precision=rp))
+        Xim = Xim + (jnp.einsum("...sk,sm->...mk", eBre, W2s, precision=rp)
+                     + jnp.einsum("...sk,sm->...mk", eBim, W2c, precision=rp))
     # flat k = k1 + N1*k2; one-sided output slices to n_freqs
     K2 = Xre.shape[-2]
     Xre = Xre.reshape(lead + (K2 * N1,))[..., :n_freqs]
     Xim = Xim.reshape(lead + (K2 * N1,))[..., :n_freqs]
     return Xre, Xim
+
+
+# ---------------------------------------------------------------------------
+# Compensated f32 prep for the CT route (error-free transformations)
+#
+# At large nperseg the display-dB contract (<=1e-3 dB vs scipy f64,
+# PlotEngine.py:113 at the GUI's legal max nperseg=8192, GUI.py:87-90) is
+# dominated NOT by the transform but by the f32 rounding of the prep chain
+# (detrend mean subtraction + window product): measured decomposition at
+# 8192 on white noise — f32 prep + PERFECT f64 DFT already shows 9.3e-4 dB,
+# i.e. no transform-side fix alone can widen the margin. The prep rounding
+# is recoverable exactly in f32 (error-free transformations: Knuth two-sum,
+# Dekker two-product), and the DFT is linear, so the lost bits ride a
+# second, CHEAP transform of the residual (|X+R|^2 in the sum form). The
+# twiddle step's rounding — the dominant transform-internal term — is
+# recovered the same way inside ct_dft_frames(compensate=True). Measured
+# on the v5e chip (white noise, display-dB error vs scipy f64, the driver
+# artifact's metric): 8192: 9.63e-4 -> 9.3e-5; 4096: 5.14e-4 -> 1.5e-4;
+# 2048: 7.02e-4 -> 2.0e-4 — a 10x margin under the 1e-3 contract at its
+# worst point. Cost: ~+50% on this path (0.089 -> 0.132 ms/clip at 8192,
+# amortized chip timing; elementwise-EFT-bound, not matmul-bound) — paid
+# only on the 'accurate' tier's CT route (nfft >= 2048 display/analysis
+# configs), never on the dense headline path. The residuals are ~eps
+# scale, so their transforms tolerate single-pass bf16 (error
+# contribution ~1e-2 * eps; verified on chip: identical display error vs
+# 3-pass). TPU note: the Dekker split constant 4097 = 2^12+1 is
+# f32-specific — the route is gated to f32 inputs (f64 validation runs
+# keep the plain path; their error is ~1e-12 already). Known limit: deep
+# spectral floors of near-pure TONES sit ~0.1-0.25 dB off scipy f64 in
+# ANY f32 arithmetic (the floor is 1e-12 of the peak; the stage matmuls'
+# own eps*||frame|| leakage dominates there, compensated or not) — the
+# contract's bench artifact and the golden suite measure noise-like
+# signals, where the budget holds with the margins above.
+# ---------------------------------------------------------------------------
+
+def _two_sum(a: Array, b: Array) -> Tuple[Array, Array]:
+    """Knuth two-sum: s = fl(a+b) and the EXACT rounding residual e
+    (a + b == s + e in exact arithmetic). 6 flops, branch-free."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _two_prod(a: Array, b: Array) -> Tuple[Array, Array]:
+    """Dekker two-product for f32: p = fl(a*b) and the EXACT residual e
+    (a * b == p + e). The 2^12+1 split halves the 24-bit mantissa so the
+    partial products are exact in f32. Valid while 4097*|a| does not
+    overflow (|a| < ~8e34 — far beyond any waveform)."""
+    split = jnp.asarray(4097.0, a.dtype)  # 2**12 + 1
+    p = a * b
+    c = split * a
+    a1 = c - (c - a)
+    a2 = a - a1
+    c = split * b
+    b1 = c - (c - b)
+    b2 = b - b1
+    e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, e
+
+
+def _mean_2sum(fr: Array, nperseg: int) -> Tuple[Array, Array]:
+    """Compensated per-frame mean as a double-f32 pair (m_hi, m_lo).
+
+    Pairwise two-sum tree (log2(nperseg) vectorized halving levels — no
+    scan), zero-padded to a power of two (zeros are exact); level errors
+    are accumulated naively (they are O(eps), their own rounding is
+    O(eps^2)). The divide-by-N residual is recovered with a two-product
+    of the quotient (exact when N is a power of two, first-order
+    otherwise)."""
+    n2 = 1 << (nperseg - 1).bit_length()
+    if n2 != nperseg:
+        fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, n2 - nperseg)])
+    s = fr
+    e_acc = jnp.zeros(fr.shape[:-1] + (1,), fr.dtype)
+    while s.shape[-1] > 1:
+        s, e = _two_sum(s[..., 0::2], s[..., 1::2])
+        e_acc = e_acc + jnp.sum(e, axis=-1, keepdims=True)
+    n = jnp.asarray(float(nperseg), fr.dtype)
+    m_hi = s / n
+    t, e_t = _two_prod(m_hi, n)
+    m_lo = ((s - t) - e_t + e_acc) / n
+    return m_hi, m_lo
+
+
+def _ct_power_compensated(x: Array, cfg: SpecConfig,
+                          factors: Tuple[int, int]) -> Array:
+    """Raw |X|^2 via the CT route with compensated f32 prep (module
+    comment above). Returns the unscaled power, frame-major
+    (..., nframes, n_freqs)."""
+    x = ensure_real_waveform(x)
+    if cfg.center:
+        p = cfg.nperseg // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)],
+                    mode=cfg.pad_mode)
+    frames = frame_signal(x, cfg.nperseg, cfg.hop_)
+    w = jnp.asarray(_window_f64(cfg), frames.dtype)
+    if cfg.detrend == "constant":
+        m_hi, m_lo = _mean_2sum(frames, cfg.nperseg)
+        d, e_d = _two_sum(frames, -m_hi)
+        r_d = e_d - m_lo
+    else:  # 'none' (the 'linear' detrend keeps the plain path)
+        d, r_d = frames, None
+    fw, e_p = _two_prod(d, w)
+    r = e_p if r_d is None else r_d * w + e_p
+    if cfg.nfft_ > cfg.nperseg:  # scipy nfft zero-padding semantics
+        pad = [(0, 0)] * (fw.ndim - 1) + [(0, cfg.nfft_ - cfg.nperseg)]
+        fw, r = jnp.pad(fw, pad), jnp.pad(r, pad)
+    xr, xi = ct_dft_frames(fw, cfg.nfft_, factors, cfg.onesided,
+                           cfg.n_freqs, matmul_precision(cfg),
+                           compensate=True)
+    # the residual is O(eps * |fw|): a single-pass bf16 transform of it
+    # contributes O(1e-2 * eps) — one pass instead of HIGHEST's six
+    rr, ri = ct_dft_frames(r, cfg.nfft_, factors, cfg.onesided,
+                           cfg.n_freqs, jax.lax.Precision.DEFAULT)
+    # |X+R|^2 as the SUM form, not |X|^2 + cross-term: the cross form can
+    # go NEGATIVE near spectral zeros (|X| ~ 0, correction dominates),
+    # which the display clip turns into -120 dB pixels (measured 0.25 dB
+    # blowup on a pure tone). The sum is nonnegative by construction; the
+    # (xr+rr) rounding is eps RELATIVE to the bin — harmless — while the
+    # recovered residual was eps * ||frame|| ABSOLUTE, the term that
+    # poisoned small bins.
+    sr, si = xr + rr, xi + ri
+    return sr * sr + si * si
+
+
+def _use_compensated_ct(x: Array, cfg: SpecConfig) -> bool:
+    """The compensated route applies on the 'accurate' tier for f32 inputs
+    with a foldable detrend; everything else keeps the plain CT path."""
+    return (cfg.precision == "accurate"
+            and cfg.detrend in ("constant", "none")
+            and jnp.result_type(jnp.asarray(x).dtype, jnp.float32)
+            == jnp.float32)
 
 
 def _matmul_dft(x: Array, cfg: SpecConfig) -> Tuple[Array, Array]:
@@ -604,8 +765,12 @@ def power_spectrogram(x: Array, fs: float, cfg: SpecConfig,
     if use_matmul is None:
         use_matmul = default_use_matmul(cfg)
     if use_matmul:
-        xr, xi = _matmul_dft(x, cfg)
-        p = xr * xr + xi * xi
+        fac = ct_factors(cfg)
+        if fac is not None and _use_compensated_ct(x, cfg):
+            p = _ct_power_compensated(x, cfg, fac)
+        else:
+            xr, xi = _matmul_dft(x, cfg)
+            p = xr * xr + xi * xi
     else:
         frames = _prep_frames(x, cfg)
         w = jnp.asarray(_window_f64(cfg), frames.dtype)

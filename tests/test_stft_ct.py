@@ -147,3 +147,105 @@ def test_ct_factors_cost_gating_small_nperseg():
     # from 512 up the factorization's FLOP cut wins again
     cfg = dataclasses.replace(SpecConfig.scipy_default(512), nfft=2048)
     assert stft_mod.ct_factors(cfg) == (128, 16)
+
+
+# ---------------------------------------------------------------------------
+# Compensated f32 prep + twiddle (error-free transformations)
+# ---------------------------------------------------------------------------
+
+def test_two_sum_two_prod_are_exact():
+    """Knuth two-sum / Dekker two-product: the residual is EXACT — the f64
+    promotion of (s, e) reproduces the f64 operation on the f32 inputs
+    bit-for-bit (f32 products and sums are exactly representable in f64)."""
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(4096).astype(np.float32) * 10.0 **
+                    rng.randint(-6, 6, 4096))
+    b = jnp.asarray(rng.randn(4096).astype(np.float32) * 10.0 **
+                    rng.randint(-6, 6, 4096))
+    s, e = stft_mod._two_sum(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(s, np.float64) + np.asarray(e, np.float64), exact)
+    p, e = stft_mod._two_prod(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(p, np.float64) + np.asarray(e, np.float64), exact)
+
+
+@pytest.mark.parametrize("nperseg", [96, 1024, 8192])  # incl. non-pow2
+def test_mean_2sum_matches_f64(nperseg):
+    rng = np.random.RandomState(1)
+    fr = jnp.asarray(rng.randn(7, nperseg).astype(np.float32) + 3.25)
+    m_hi, m_lo = stft_mod._mean_2sum(fr, nperseg)
+    m = np.asarray(m_hi, np.float64) + np.asarray(m_lo, np.float64)
+    ref = np.mean(np.asarray(fr, np.float64), axis=-1, keepdims=True)
+    np.testing.assert_allclose(m, ref, rtol=1e-13, atol=0)
+
+
+def test_compensated_ct_routing_gates():
+    """The compensated route: f32 + 'accurate' + constant/none detrend on
+    a CT-size config; f64 inputs, the fast tier, and linear detrend keep
+    the plain path."""
+    import jax
+    cfg = SpecConfig.scipy_default(8192)
+    x32 = jnp.zeros(9000, jnp.float32)
+    assert stft_mod._use_compensated_ct(x32, cfg)
+    jax.config.update("jax_enable_x64", True)  # f64 exists only under x64
+    try:
+        assert not stft_mod._use_compensated_ct(
+            np.zeros(9000, np.float64), cfg)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert not stft_mod._use_compensated_ct(
+        x32, dataclasses.replace(cfg, precision="fast"))
+    assert not stft_mod._use_compensated_ct(
+        x32, dataclasses.replace(cfg, detrend="linear"))
+    # int PCM promotes to f32 downstream -> compensated applies
+    assert stft_mod._use_compensated_ct(
+        jnp.zeros(9000, jnp.int16), cfg)
+
+
+def test_compensated_ct_beats_plain_at_8192():
+    """The display-dB error at the contract's worst point (scipy-compat
+    nperseg=8192, PlotEngine.py:113 at the GUI legal max GUI.py:87-90)
+    must improve on the plain CT path and stay well inside the 1e-3
+    contract even on this CPU rig (chip HIGHEST arithmetic is tighter:
+    9.3e-5 measured — bench.py records the driver artifact)."""
+    fs = 16000.0
+    x = np.random.RandomState(0).randn(160000).astype(np.float32)
+    cfg = SpecConfig.scipy_default(8192, log_scale=True)
+    _, _, ref = scipy.signal.spectrogram(
+        x.astype(np.float64), fs=fs, nperseg=8192,
+        scaling="density", mode="psd")
+
+    def db_img(s):
+        s = np.asarray(s, np.float64)
+        norm = np.clip(s / (s.max() + 1e-20), 0, 1)
+        db = np.nan_to_num(10 * np.log10(norm + 1e-12))
+        return (db - db.min()) / (db.max() - db.min()), db.max() - db.min()
+
+    ref_img, rng_db = db_img(ref)
+
+    p_comp = np.asarray(stft_mod.power_spectrogram(
+        jnp.asarray(x), fs, cfg, use_matmul=True)).T
+    xr, xi = stft_mod._matmul_dft(jnp.asarray(x), cfg)
+    p_plain = np.asarray(stft_mod._scale_psd(xr * xr + xi * xi, cfg, fs)).T
+
+    err_comp = np.max(np.abs(db_img(p_comp)[0] - ref_img)) * rng_db
+    err_plain = np.max(np.abs(db_img(p_plain)[0] - ref_img)) * rng_db
+    assert err_comp < err_plain, (err_comp, err_plain)
+    assert err_comp <= 5e-4, err_comp
+
+
+def test_compensated_ct_values_stay_scipy_close():
+    """Compensation must not MOVE the PSD away from scipy anywhere: the
+    relative error budget of the plain goldens still holds."""
+    fs = 1000.0
+    x = np.random.RandomState(2).randn(8192 * 6)
+    for nperseg in (2048, 4096):
+        cfg = SpecConfig.scipy_default(nperseg)
+        _, _, ref = scipy.signal.spectrogram(
+            x, fs=fs, nperseg=nperseg, scaling="density", mode="psd")
+        _, _, ours = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs,
+                                          cfg, use_matmul=True)
+        assert np.max(np.abs(np.asarray(ours) - ref)) / ref.max() < 2e-5
