@@ -257,36 +257,69 @@ class ScanStreamer:
                                          fmax=None)
         lead = (batch,) if batch else ()
 
+        # Small fleets (0 < batch < 8) unroll per-recording MONO bodies
+        # inside the scan step instead of batched (B, ...) arrays: TPU
+        # tiles the LAST TWO dims to (8, 128) sublanes x lanes, so every
+        # (B, n)-shaped giant — the staged input, the (nb, B, L) scan xs
+        # of the old one-transpose layout — physically occupies 8/B x its
+        # logical bytes (4x at stereo), and under a full bench's memory
+        # pressure those padded giants turned a 0.076 s hour into 0.377 s
+        # (BENCH_REPORT r3 stereo row; standalone the batched form ties
+        # mono, so the cost is allocator pressure, not the step compute).
+        # Per-recording xs are (nb, L) — unpadded — and the fold still
+        # sees the stacked (B, fpb, F) psd (last two dims full), so the
+        # fold contract is unchanged. At batch >= 8 the sublanes are full
+        # and the batched form is kept (no B-fold program duplication).
+        unroll_fleet = 0 < batch < 8
+
         def step(carry_acc, jb):
             carry, acc = carry_acc
-            j, block = jb
-            buf = jnp.concatenate([carry, block], axis=-1)
-            psd = power_spectrogram(buf, fs, stream_cfg,
-                                    use_matmul=use_matmul)
+            if unroll_fleet:
+                j, chans = jb[0], jb[1:]
+                psds, new_carry = [], []
+                for b in range(batch):
+                    buf = jnp.concatenate([carry[b], chans[b]], axis=-1)
+                    psds.append(power_spectrogram(buf, fs, stream_cfg,
+                                                  use_matmul=use_matmul))
+                    new_carry.append(jax.lax.slice_in_dim(
+                        buf, buf.shape[-1] - c, buf.shape[-1], axis=0))
+                psd = jnp.stack(psds)
+                new_carry = tuple(new_carry)
+            else:
+                j, block = jb
+                buf = jnp.concatenate([carry, block], axis=-1)
+                psd = power_spectrogram(buf, fs, stream_cfg,
+                                        use_matmul=use_matmul)
+                new_carry = jax.lax.slice_in_dim(buf, buf.shape[-1] - c,
+                                                 buf.shape[-1],
+                                                 axis=buf.ndim - 1)
             abs_idx = j * fpb - c // h + jnp.arange(fpb)
             valid = (abs_idx >= 0) & (abs_idx < total_frames)
             acc, y = fold(acc, psd, valid)
-            new_carry = jax.lax.slice_in_dim(buf, buf.shape[-1] - c,
-                                             buf.shape[-1],
-                                             axis=buf.ndim - 1)
             return (new_carry, acc), y
 
-        def run(xp, init):
-            # blocks are staged as scan xs (a reshape for the single-
-            # recording case; a transpose copy for batch mode). Two
-            # alternatives measured SLOWER on v5e and were rejected:
+        def run(blocks, init):
+            # blocks arrive pre-shaped lead + (nb, L) from __call__ (host
+            # inputs upload in this form directly — a (B, n) staging
+            # array would sublane-pad 8/B x on device). They become scan
+            # xs (per-recording (nb, L) arrays for small fleets; a
+            # transpose copy for batch >= 8). Two alternatives measured
+            # SLOWER on v5e and were rejected:
             # lax.dynamic_slice windows in the scan body (200x: 16.2 s vs
             # 0.08 s/hour — XLA pipelines xs but can't prefetch body-side
             # windows) and a channels-last (n, B) layout with per-block
             # transposes (43x: 15.0 s vs 0.35 s — a minor-dim-of-2 tile
             # transpose per step is pathological for TPU lane layout).
-            # The one-time (B, n) transpose is the cheapest option.
-            blocks = xp.reshape(lead + (n_blocks, block_size))
-            if batch:
-                blocks = jnp.moveaxis(blocks, 0, 1)   # (nb, B, L)
-            (_, acc), ys = jax.lax.scan(
-                step, (jnp.zeros(lead + (c,), jnp.float32), init),
-                (jnp.arange(n_blocks), blocks))
+            if unroll_fleet:
+                xs = (jnp.arange(n_blocks),) + tuple(
+                    blocks[b] for b in range(batch))
+                carry0 = (jnp.zeros(c, jnp.float32),) * batch
+            else:
+                if batch:
+                    blocks = jnp.moveaxis(blocks, 0, 1)   # (nb, B, L)
+                xs = (jnp.arange(n_blocks), blocks)
+                carry0 = jnp.zeros(lead + (c,), jnp.float32)
+            (_, acc), ys = jax.lax.scan(step, (carry0, init), xs)
             return acc, ys
 
         self._run = jax.jit(run)
@@ -296,12 +329,19 @@ class ScanStreamer:
         array -> (final_acc, stacked_ys)."""
         pad = self.padded_len - x.shape[-1]
         pad_spec = [(0, 0)] * (1 if self.batch else 0) + [(0, pad)]
+        shape = ((self.batch,) if self.batch else ()) + (
+            self.n_blocks, self.block_size)
         if isinstance(x, np.ndarray):
-            xp = jnp.asarray(np.pad(np.asarray(x, np.float32), pad_spec))
-        elif pad:
-            xp = jnp.pad(jnp.asarray(x, jnp.float32), pad_spec)
+            # pad + reshape on HOST: the upload lands as lead + (nb, L)
+            # whose last two dims are sublane-full — a (B, n) device
+            # staging array would occupy 8/B x its logical bytes
+            xp = jnp.asarray(
+                np.pad(np.asarray(x, np.float32), pad_spec).reshape(shape))
         else:
             xp = jnp.asarray(x, jnp.float32)
+            if pad:
+                xp = jnp.pad(xp, pad_spec)
+            xp = xp.reshape(shape)
         return self._run(xp, self._init)
 
 

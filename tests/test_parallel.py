@@ -223,13 +223,17 @@ def test_stream_fold_global_max_and_band_sum():
     np.testing.assert_allclose(float(s), ref.sum(), rtol=1e-4)
 
 
-def test_scan_streamer_batched_fleet():
+@pytest.mark.parametrize("B", [3, 8])
+def test_scan_streamer_batched_fleet(B):
     # batch mode streams a fleet of equal-length recordings in one scan;
-    # per-recording folds must equal the monolithic per-recording values
+    # per-recording folds must equal the monolithic per-recording values.
+    # B=3 takes the small-fleet UNROLLED form (per-recording mono bodies,
+    # no sublane-padded (B, n) giants); B=8 keeps the batched form — both
+    # must produce the same fold values.
     from spectral_tpu.parallel.streaming import ScanStreamer
     cfg = SpecConfig.scipy_default(512)          # hop 448
     fs = 1000.0
-    B, n = 3, 20000
+    n = 20000
     x = np.random.RandomState(13).randn(B, n).astype(np.float32)
 
     def fold(acc, psd, valid):                   # psd (B, fpb, F)
