@@ -16,19 +16,27 @@ scale = fADCRange / lADCResolution / fInstrumentScaleFactor / fSignalGain /
 fADCProgrammableGain (/ fTelegraphAdditGain when telegraph is enabled) and
 offset = fInstrumentOffset - fSignalOffset.
 
-Scope: episodic/gap-free int16 and float32 data without compression
-(enforced: compressed ABF2 and event-driven variable-length files raise
-ValueError). ABF1 channel order follows nADCSamplingSeq (the interleaved
-data is in sampling-sequence order; scaling arrays are indexed by physical
-channel), data starts nNumPointsIgnored samples into the data section, and
-telegraph gain applies from header version 1.6 on.
+Scope: episodic/gap-free/fixed-length and event-driven VARIABLE-LENGTH
+(nOperationMode 1) int16 and float32 data without compression (enforced:
+compressed ABF2 raises ValueError). Variable-length files segment the data
+section by the SynchArray section's (lStart, lLength) pairs — ABF2 section
+index 15, ABF1 pointer/size at header offsets 92/96 — whose lLength counts
+MULTIPLEXED samples (all channels interleaved); events are stored
+back-to-back, so event i occupies the cumulative-length slice. lStart is
+in fSynchTimeUnit microseconds per unit (0 = multiplexed samples);
+:meth:`AbfInfo.sweep_start_seconds` converts. A mode-1 file whose synch
+section is missing or inconsistent with the data section is refused with
+the mode named. ABF1 channel order follows nADCSamplingSeq (the
+interleaved data is in sampling-sequence order; scaling arrays are indexed
+by physical channel), data starts nNumPointsIgnored samples into the data
+section, and telegraph gain applies from header version 1.6 on.
 """
 
 from __future__ import annotations
 
 import os
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -122,10 +130,8 @@ class AbfInfo:
             raise ValueError(
                 "compressed ABF2 files are out of scope — the data section "
                 "is not raw samples")
-        if proto["nOperationMode"] == 1:
-            raise ValueError(
-                "ABF2 event-driven variable-length files (nOperationMode=1) "
-                "are out of scope — sweeps are not uniform")
+        self.operation_mode = proto["nOperationMode"]
+        self.synch_time_unit = proto["fSynchTimeUnit"]
         self.sample_interval_us = proto["fADCSequenceInterval"]
         self.samples_per_episode = proto["lNumSamplesPerEpisode"]
         self.adc_range = proto["fADCRange"]
@@ -170,7 +176,17 @@ class AbfInfo:
                                    offset=start)
         # int16 files always declare format 0; trust the section entry size
         self.data_is_int = data_size == 2
-        self._check_sweep_count()
+        if self.operation_mode == 1:
+            # event-driven variable-length: sweeps are the SynchArray's
+            # (lStart, lLength) events (section 15; 8-byte entries)
+            sy_block, sy_size, sy_count = self._section(15)
+            if sy_size not in (0, 8):
+                raise ValueError(
+                    f"unsupported ABF2 SynchArray entry size {sy_size}")
+            self._parse_synch_events(sy_block * BLOCK, sy_count)
+        else:
+            self._sweep_bounds = None
+            self._check_sweep_count()
 
     # -- ABF1 ---------------------------------------------------------------
 
@@ -179,11 +195,8 @@ class AbfInfo:
         self.version = 1
         u = lambda fmt, off: struct.unpack_from("<" + fmt, buf, off)[0]
         file_version = u("f", 4)                       # fFileVersionNumber
-        op_mode = u("h", 8)                            # nOperationMode
-        if op_mode == 1:
-            raise ValueError(
-                "ABF1 event-driven variable-length files (nOperationMode=1) "
-                "are out of scope — sweeps are not uniform")
+        self.operation_mode = u("h", 8)                # nOperationMode
+        self.synch_time_unit = u("f", 130)             # fSynchTimeUnit
         self.n_sweeps = max(1, u("i", 16))            # lActualEpisodes
         acq_len = u("i", 10)                           # lActualAcqLength
         points_ignored = u("h", 14)                    # nNumPointsIgnored
@@ -230,7 +243,52 @@ class AbfInfo:
             buf, dtype, count=acq_len,
             offset=data_ptr * BLOCK + points_ignored * itemsize)
         self.data_is_int = self.data_format == 0
-        self._check_sweep_count()
+        if self.operation_mode == 1:
+            # event-driven variable-length: events from the synch array
+            # (lSynchArrayPtr block @92, lSynchArraySize pairs @96)
+            sy_ptr = u("i", 92)
+            sy_count = u("i", 96)
+            self._parse_synch_events(sy_ptr * BLOCK, sy_count)
+        else:
+            self._sweep_bounds = None
+            self._check_sweep_count()
+
+    def _parse_synch_events(self, offset: int, count: int) -> None:
+        """Segment the data section by the SynchArray's (lStart, lLength)
+        events — nOperationMode 1 (event-driven variable-length), where
+        uniform division by episode count would misalign every sweep.
+        lLength counts MULTIPLEXED samples; events are stored back-to-back
+        in the data section, so bounds are cumulative lengths. All fields
+        are untrusted bytes: counts/lengths inconsistent with the data
+        section refuse with the mode named (pyabf loads these files,
+        SweepManager.py:21-58 rides it; refusing *valid* ones was the r3
+        scope gap)."""
+        mode_msg = ("ABF event-driven variable-length file "
+                    "(nOperationMode=1): ")
+        if count <= 0:
+            raise ValueError(
+                mode_msg + "missing/empty SynchArray section — cannot "
+                "segment events")
+        if count > max(1, len(self._data)):
+            raise ValueError(
+                mode_msg + f"implausible SynchArray count {count} for a "
+                f"{len(self._data)}-sample data section")
+        pairs = np.frombuffer(self._buf, "<i4", count=2 * int(count),
+                              offset=offset).reshape(-1, 2)
+        starts = pairs[:, 0]
+        lengths = pairs[:, 1].astype(np.int64)
+        if np.any(lengths <= 0):
+            raise ValueError(
+                mode_msg + "SynchArray event with non-positive length")
+        ends = np.cumsum(lengths)
+        if ends[-1] > len(self._data):
+            raise ValueError(
+                mode_msg + f"SynchArray lengths total {int(ends[-1])} "
+                f"samples but the data section holds {len(self._data)}")
+        self._sweep_bounds = [(int(e - l), int(l))
+                              for e, l in zip(ends, lengths)]
+        self._synch_starts = starts
+        self.n_sweeps = int(count)
 
     def _check_sweep_count(self) -> None:
         """Reject a declared episode count no real file can have: a sweep
@@ -258,16 +316,34 @@ class AbfInfo:
         return 1e6 / si
 
     def sweep(self, sweep_idx: int, channel: int = 0) -> np.ndarray:
-        """Scaled float32 data for one sweep/channel."""
+        """Scaled float32 data for one sweep/channel. Uniform modes divide
+        the data section evenly; variable-length mode slices each event's
+        own SynchArray bounds."""
         nch = self.n_channels
-        per_sweep_total = (len(self._data) // self.n_sweeps // nch) * nch
-        start = sweep_idx * per_sweep_total
-        chunk = self._data[start:start + per_sweep_total]
+        if self._sweep_bounds is not None:
+            start, length = self._sweep_bounds[sweep_idx]
+            chunk = self._data[start:start + (length // nch) * nch]
+        else:
+            per_sweep_total = (len(self._data) // self.n_sweeps // nch) * nch
+            start = sweep_idx * per_sweep_total
+            chunk = self._data[start:start + per_sweep_total]
         ch_data = chunk[channel::nch].astype(np.float32)
         if self.data_is_int:
             ch_data = (ch_data * self.channel_scale[channel]
                        + self.channel_offset[channel])
         return ch_data
+
+    def sweep_start_seconds(self, sweep_idx: int) -> Optional[float]:
+        """Event start time for variable-length files; None for uniform
+        modes (their grid is implicit). lStart is in fSynchTimeUnit
+        microseconds per unit, or multiplexed samples when the unit is 0."""
+        if self._sweep_bounds is None:
+            return None
+        start = float(self._synch_starts[sweep_idx])
+        unit = self.synch_time_unit
+        if unit and np.isfinite(unit) and unit > 0:
+            return start * unit / 1e6
+        return start / (self.data_rate * self.n_channels)
 
 
 def load_abf(filepath: str, registry) -> List[str]:
@@ -364,4 +440,81 @@ def write_abf2_fixture(filepath: str, sweeps: np.ndarray, fs: float,
         fh.write(bytes(header))
         fh.write(proto_b)
         fh.write(adc_b)
+        fh.write(data_b)
+
+
+def write_abf2_event_fixture(filepath: str, events, fs: float,
+                             n_channels: int = 1,
+                             starts_samples=None) -> None:
+    """Write a list of variable-length 1-D float arrays as an int16 ABF2
+    EVENT-DRIVEN (nOperationMode=1) file with a SynchArray section
+    (index 15), readable by this module. Events are stored back-to-back;
+    each synch entry is (lStart in multiplexed samples — fSynchTimeUnit
+    left 0 — and lLength in multiplexed samples)."""
+    events = [np.asarray(e, np.float64).ravel() for e in events]
+    if not events:
+        raise ValueError("at least one event required")
+    adc_range, adc_res = 10.0, 2 ** 15
+    peak = max(float(np.abs(e).max()) if e.size else 0.0
+               for e in events) or 1.0
+    inst_scale = adc_range / (peak * 1.2)
+    raws = [np.clip(np.round(e * inst_scale * adc_res / adc_range),
+                    -32768, 32767).astype("<i2") for e in events]
+    lengths = [r.size * n_channels for r in raws]    # multiplexed counts
+    if starts_samples is None:
+        gaps = np.cumsum([0] + lengths[:-1])
+        starts_samples = [int(g + 100 * i) for i, g in enumerate(gaps)]
+
+    proto_fmt = "<" + "".join(c for _, c in _PROTOCOL_FIELDS)
+    proto_vals = {n: 0 for n, _ in _PROTOCOL_FIELDS}
+    proto_vals.update(dict(
+        nOperationMode=1, fADCSequenceInterval=1e6 / fs, sUnused1=b"\0" * 3,
+        fADCRange=adc_range, lADCResolution=adc_res))
+    proto = struct.pack(proto_fmt,
+                        *[proto_vals[n] for n, _ in _PROTOCOL_FIELDS])
+
+    adc_fmt = "<" + "".join(c for _, c in _ADC_FIELDS)
+    adc_entries = b""
+    for ch in range(n_channels):
+        vals = {n: 0 for n, _ in _ADC_FIELDS}
+        vals.update(dict(nADCNum=ch, fADCProgrammableGain=1.0,
+                         fInstrumentScaleFactor=inst_scale,
+                         fSignalGain=1.0))
+        adc_entries += struct.pack(adc_fmt,
+                                   *[vals[n] for n, _ in _ADC_FIELDS])
+
+    synch = b"".join(struct.pack("<ii", int(s), int(l))
+                     for s, l in zip(starts_samples, lengths))
+    # interleave channels per event: [e0ch0 e0ch1 ...] sample-major
+    mux = [np.repeat(r, n_channels) if n_channels > 1 else r for r in raws]
+    data = np.concatenate(mux).astype("<i2")
+
+    def pad_block(b: bytes) -> bytes:
+        return b + b"\0" * (-len(b) % BLOCK)
+
+    header = bytearray(BLOCK)
+    header[0:4] = b"ABF2"
+    struct.pack_into("<I", header, 12, len(events))   # lActualEpisodes
+    struct.pack_into("<H", header, 30, 0)             # nDataFormat = int16
+
+    proto_b, adc_b = pad_block(proto), pad_block(adc_entries)
+    synch_b, data_b = pad_block(synch), data.tobytes()
+    proto_block = 1
+    adc_block = proto_block + len(proto_b) // BLOCK
+    synch_block = adc_block + len(adc_b) // BLOCK
+    data_block = synch_block + len(synch_b) // BLOCK
+
+    def sec(idx, block, size, count):
+        struct.pack_into("<IIq", header, 76 + 16 * idx, block, size, count)
+
+    sec(0, proto_block, len(proto), 1)
+    sec(1, adc_block, len(adc_entries) // max(n_channels, 1), n_channels)
+    sec(10, data_block, 2, data.size)
+    sec(15, synch_block, 8, len(events))
+
+    with open(filepath, "wb") as fh:
+        fh.write(bytes(header))
+        fh.write(proto_b)
+        fh.write(adc_b)
+        fh.write(synch_b)
         fh.write(data_b)

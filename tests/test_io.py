@@ -324,3 +324,46 @@ def test_wav_odd_sized_chunk_word_alignment(tmp_path):
     y, fs2 = wav_mod.read_wav(p)
     assert fs2 == fs and y.shape == (1000,)
     np.testing.assert_allclose(y, x, atol=1.0 / 32767)
+
+
+def test_abf2_event_fixture_roundtrip(tmp_path):
+    """nOperationMode=1 (event-driven variable-length): the SynchArray
+    section segments the data section into per-event sweeps — the r3
+    scope gap (SweepManager.py:21-58 loads these via pyabf)."""
+    import spectral_tpu.io.abf as abf_mod
+    fs = 20000.0
+    rng = np.random.RandomState(7)
+    events = [rng.randn(n).astype(np.float64) for n in (300, 1200, 64)]
+    p = str(tmp_path / "events.abf")
+    abf_mod.write_abf2_event_fixture(p, events, fs)
+
+    abf = abf_mod.AbfInfo(p)
+    assert abf.operation_mode == 1
+    assert abf.n_sweeps == 3
+    assert abf.data_rate == pytest.approx(fs, rel=1e-6)
+    for i, e in enumerate(events):
+        got = abf.sweep(i, 0)
+        assert got.shape == e.shape, i
+        np.testing.assert_allclose(got, e, atol=2e-3 * np.abs(e).max())
+    # start times: fSynchTimeUnit=0 -> lStart is in multiplexed samples
+    assert abf.sweep_start_seconds(0) == pytest.approx(0.0)
+    assert abf.sweep_start_seconds(1) == pytest.approx((300 + 100) / fs)
+    # uniform-mode files report no event start times
+    p2 = str(tmp_path / "epi.abf")
+    abf_mod.write_abf2_fixture(p2, rng.randn(2, 50), fs)
+    assert abf_mod.AbfInfo(p2).sweep_start_seconds(0) is None
+
+
+def test_abf2_event_fixture_registers_variable_sweeps(tmp_path):
+    import spectral_tpu.io.abf as abf_mod
+    from spectral_tpu.io.registry import SweepRegistry
+    events = [np.sin(np.linspace(0, 5, n)) for n in (500, 200)]
+    p = str(tmp_path / "ev.abf")
+    abf_mod.write_abf2_event_fixture(p, events, 10000.0)
+    reg = SweepRegistry()
+    names = abf_mod.load_abf(p, reg)
+    assert names == ["ev_sweep0", "ev_sweep1"]
+    for name, e in zip(names, events):
+        sig, fs = reg.get_signal(name, processed=False)
+        assert fs == pytest.approx(10000.0)
+        assert sig.shape == e.shape

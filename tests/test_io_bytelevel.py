@@ -352,11 +352,14 @@ def test_abf1_telegraph_gain_applied_from_v16(tmp_path):
                                raw * s_old + 1.0, rtol=1e-5, atol=1e-6)
 
 
-def test_abf_out_of_scope_files_raise(tmp_path):
+def test_abf1_event_mode_without_synch_array_rejects(tmp_path):
+    # variable-length files are IN scope (see the event-driven tests
+    # below), but a mode-1 file with no SynchArray cannot be segmented —
+    # refuse with the mode named, never divide uniformly
     raw = np.zeros(16, "<i2")
     p = tmp_path / "varlen.abf"
     p.write_bytes(_abf1_bytes(raw, op_mode=1))
-    with pytest.raises(ValueError, match="variable-length"):
+    with pytest.raises(ValueError, match="variable-length.*SynchArray"):
         AbfInfo(str(p))
 
 
@@ -610,3 +613,128 @@ def test_wav_variant_encodings_decode_exactly(tmp_path):
     p.write_bytes(_riff(_fmt16(7, 1, 1000, 16), b"\x00" * 6))
     with pytest.raises(ValueError, match="format code"):
         read_wav(str(p))
+
+
+# ---------------------------------------------------------------------------
+# Event-driven variable-length (nOperationMode 1) — SynchArray segmentation
+# ---------------------------------------------------------------------------
+
+def _abf2_event_bytes(events, fs=10000.0, synch_pairs=None,
+                      synch_count=None, synch_time_unit=0.0,
+                      inst_scale=0.5):
+    """Hand-assembled mode-1 ABF2: ProtocolSection, one-channel ADCSection,
+    SynchArraySection (index 15, 8-byte (lStart, lLength) entries), and a
+    DataSection holding the events back to back."""
+    events = [np.asarray(e, "<i2") for e in events]
+    header = bytearray(BLOCK)
+    header[0:4] = b"ABF2"
+    struct.pack_into("<I", header, 12, len(events))  # uActualEpisodes
+    struct.pack_into("<H", header, 30, 0)            # int16
+
+    proto = bytearray(BLOCK)
+    struct.pack_into("<h", proto, 0, 1)              # nOperationMode = 1
+    struct.pack_into("<f", proto, 2, 1e6 / fs)       # fADCSequenceInterval
+    struct.pack_into("<f", proto, 14, synch_time_unit)   # fSynchTimeUnit
+    struct.pack_into("<f", proto, 110, 10.0)         # fADCRange
+    struct.pack_into("<i", proto, 118, 32768)        # lADCResolution
+
+    ADC_STRIDE = 128
+    adc = bytearray(ADC_STRIDE)
+    struct.pack_into("<h", adc, 0, 0)                # nADCNum
+    struct.pack_into("<f", adc, 28, 1.0)             # fADCProgrammableGain
+    struct.pack_into("<f", adc, 40, inst_scale)      # fInstrumentScaleFactor
+    struct.pack_into("<f", adc, 48, 1.0)             # fSignalGain
+    adc += b"\0" * (-len(adc) % BLOCK)
+
+    if synch_pairs is None:
+        starts = np.cumsum([0] + [e.size for e in events[:-1]])
+        synch_pairs = [(int(s), e.size) for s, e in zip(starts, events)]
+    synch = b"".join(struct.pack("<ii", s, l) for s, l in synch_pairs)
+    synch += b"\0" * (-len(synch) % BLOCK)
+    data = np.concatenate(events).astype("<i2").tobytes()
+
+    proto_block = 1
+    adc_block = proto_block + len(proto) // BLOCK
+    synch_block = adc_block + len(adc) // BLOCK
+    data_block = synch_block + len(synch) // BLOCK
+
+    def sec(idx, block, size, count):
+        struct.pack_into("<IIq", header, 76 + 16 * idx, block, size, count)
+
+    sec(0, proto_block, 512, 1)
+    sec(1, adc_block, ADC_STRIDE, 1)
+    sec(10, data_block, 2, sum(e.size for e in events))
+    sec(15, synch_block, 8,
+        len(synch_pairs) if synch_count is None else synch_count)
+    return bytes(header) + bytes(proto) + bytes(adc) + synch + data
+
+
+def test_abf2_event_driven_bytelevel(tmp_path):
+    """Mode-1 ABF2: sweeps come from the SynchArray, not uniform division
+    (SweepManager.py:21-58 loads these through pyabf; refusing them was
+    the r3 scope gap)."""
+    rng = np.random.RandomState(3)
+    events = [rng.randint(-3000, 3000, size=n).astype("<i2")
+              for n in (40, 160, 8)]
+    p = tmp_path / "ev2.abf"
+    p.write_bytes(_abf2_event_bytes(events, fs=8000.0))
+    abf = AbfInfo(str(p))
+    assert abf.operation_mode == 1
+    assert abf.n_sweeps == 3
+    s = _expected_scale(0.5, 1.0, 1.0, None)
+    for i, e in enumerate(events):
+        np.testing.assert_allclose(abf.sweep(i, 0), e * s,
+                                   rtol=1e-5, atol=1e-6)
+    # fSynchTimeUnit=0: lStart is multiplexed samples
+    assert abf.sweep_start_seconds(1) == pytest.approx(40 / 8000.0)
+
+
+def test_abf2_event_synch_time_unit_microseconds(tmp_path):
+    # fSynchTimeUnit > 0: lStart counts that many microseconds per unit
+    events = [np.arange(16, dtype="<i2"), np.arange(8, dtype="<i2")]
+    p = tmp_path / "evu.abf"
+    p.write_bytes(_abf2_event_bytes(
+        events, synch_time_unit=50.0,
+        synch_pairs=[(0, 16), (1000, 8)]))
+    abf = AbfInfo(str(p))
+    assert abf.sweep_start_seconds(1) == pytest.approx(1000 * 50.0 / 1e6)
+
+
+def test_abf1_event_driven_bytelevel(tmp_path):
+    """Mode-1 ABF1: SynchArray via lSynchArrayPtr (@92) / lSynchArraySize
+    (@96)."""
+    rng = np.random.RandomState(4)
+    ev0 = rng.randint(-2000, 2000, size=24).astype("<i2")
+    ev1 = rng.randint(-2000, 2000, size=72).astype("<i2")
+    raw = np.concatenate([ev0, ev1])
+    blob = bytearray(_abf1_bytes(raw, op_mode=1, header_blocks=4))
+    # place the synch array in block 3 (the builder's data starts at its
+    # header_blocks... data follows the header; carve block 3 for synch)
+    struct.pack_into("<i", blob, 92, 3)              # lSynchArrayPtr
+    struct.pack_into("<i", blob, 96, 2)              # lSynchArraySize
+    struct.pack_into("<ii", blob, 3 * BLOCK, 0, 24)
+    struct.pack_into("<ii", blob, 3 * BLOCK + 8, 500, 72)
+    p = tmp_path / "ev1.abf"
+    p.write_bytes(bytes(blob))
+    abf = AbfInfo(str(p))
+    assert abf.version == 1 and abf.operation_mode == 1
+    assert abf.n_sweeps == 2
+    s = _expected_scale(0.25, 1.0, 1.0, None)
+    np.testing.assert_allclose(abf.sweep(0, 0), ev0 * s + 1.0,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(abf.sweep(1, 0), ev1 * s + 1.0,
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mutate,match", [
+    (dict(synch_count=0), "missing/empty SynchArray"),
+    (dict(synch_count=10 ** 6), "implausible SynchArray count"),
+    (dict(synch_pairs=[(0, 40), (40, -8)]), "non-positive length"),
+    (dict(synch_pairs=[(0, 40), (40, 10 ** 6)]), "lengths total"),
+])
+def test_abf2_event_hostile_synch_rejects(tmp_path, mutate, match):
+    events = [np.arange(40, dtype="<i2"), np.arange(8, dtype="<i2")]
+    p = tmp_path / "bad.abf"
+    p.write_bytes(_abf2_event_bytes(events, **mutate))
+    with pytest.raises(ValueError, match=match):
+        AbfInfo(str(p))
