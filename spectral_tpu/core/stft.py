@@ -520,7 +520,11 @@ def ct_dft_frames(fw: Array, nfft: int, factors: Tuple[int, int],
     if compensate:
         # the residual is O(eps * |A|): single-pass bf16 suffices (its
         # own error lands at O(1e-2 * eps), two orders below the term
-        # being recovered; bf16's 8-bit exponent holds the tiny scale)
+        # being recovered; bf16's 8-bit exponent holds the tiny scale).
+        # This is the ONE deliberate exemption to CLAUDE.md's
+        # HIGHEST-on-contract-paths rule; the exact HIGHEST/DEFAULT dot
+        # mix of the route is pinned by
+        # tests/test_stft_ct.py::test_compensated_route_precision_mix_is_pinned
         rp = jax.lax.Precision.DEFAULT
         Xre = Xre + (jnp.einsum("...sk,sm->...mk", eBre, W2c, precision=rp)
                      - jnp.einsum("...sk,sm->...mk", eBim, W2s, precision=rp))

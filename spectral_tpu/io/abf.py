@@ -180,7 +180,10 @@ class AbfInfo:
             # event-driven variable-length: sweeps are the SynchArray's
             # (lStart, lLength) events (section 15; 8-byte entries)
             sy_block, sy_size, sy_count = self._section(15)
-            if sy_size not in (0, 8):
+            # entry size 0 means "section absent" — with a positive count
+            # that is a contradiction, and reading 8-byte pairs anyway
+            # would parse whatever bytes the block field points at
+            if sy_count > 0 and sy_size != 8:
                 raise ValueError(
                     f"unsupported ABF2 SynchArray entry size {sy_size}")
             self._parse_synch_events(sy_block * BLOCK, sy_count)
@@ -273,6 +276,16 @@ class AbfInfo:
             raise ValueError(
                 mode_msg + f"implausible SynchArray count {count} for a "
                 f"{len(self._data)}-sample data section")
+        # block 0 is the file header in both ABF1 and ABF2 — a synch array
+        # "located" there (ABF1 lSynchArrayPtr=0, ABF2 section block=0)
+        # would parse the signature/header bytes as event bounds
+        if offset < BLOCK:
+            raise ValueError(
+                mode_msg + f"SynchArray at invalid file offset {offset}")
+        if offset + 8 * int(count) > len(self._buf):
+            raise ValueError(
+                mode_msg + f"SynchArray of {count} entries extends past "
+                "the end of the file")
         pairs = np.frombuffer(self._buf, "<i4", count=2 * int(count),
                               offset=offset).reshape(-1, 2)
         starts = pairs[:, 0]
@@ -280,6 +293,13 @@ class AbfInfo:
         if np.any(lengths <= 0):
             raise ValueError(
                 mode_msg + "SynchArray event with non-positive length")
+        # lLength counts MULTIPLEXED samples; a length that is not a whole
+        # number of channel frames would shift every LATER event's start
+        # off channel alignment, silently swapping channels downstream
+        if self.n_channels > 1 and np.any(lengths % self.n_channels):
+            raise ValueError(
+                mode_msg + "SynchArray event length not a multiple of "
+                f"the channel count {self.n_channels}")
         ends = np.cumsum(lengths)
         if ends[-1] > len(self._data):
             raise ValueError(

@@ -228,10 +228,14 @@ class ScanStreamer:
     recording at once (psd_block (batch, frames_per_block, F)). Shard the
     batch dim over a mesh ('data' axis) and each chip streams its
     recordings — long-form data parallelism (exercised by
-    __graft_entry__.dryrun_multichip)."""
+    __graft_entry__.dryrun_multichip). Sharded fleets MUST pass
+    unroll=False: the small-fleet unroll (below) slices per-recording xs,
+    which forces GSPMD to gather each recording across chips instead of
+    streaming one recording per chip."""
 
     def __init__(self, fs: float, cfg: SpecConfig, block_size: int, n: int,
-                 use_matmul: Optional[bool], fold, init, batch: int = 0):
+                 use_matmul: Optional[bool], fold, init, batch: int = 0,
+                 unroll: Optional[bool] = None):
         import dataclasses
         h = cfg.hop_
         _validate_chunking(cfg, block_size, "block_size")
@@ -270,7 +274,13 @@ class ScanStreamer:
         # sees the stacked (B, fpb, F) psd (last two dims full), so the
         # fold contract is unchanged. At batch >= 8 the sublanes are full
         # and the batched form is kept (no B-fold program duplication).
-        unroll_fleet = 0 < batch < 8
+        # unroll=None applies this single-chip heuristic; a fleet whose
+        # batch dim is SHARDED over a mesh must opt out (unroll=False) so
+        # each chip keeps streaming only its own recordings.
+        if unroll is None:
+            unroll_fleet = 0 < batch < 8
+        else:
+            unroll_fleet = bool(unroll) and batch > 0
 
         def step(carry_acc, jb):
             carry, acc = carry_acc

@@ -86,12 +86,10 @@ def clean_stale_tmp(dir_path: str) -> int:
         pid_s = parts[1].split(".", 1)[0]
         # isdigit() alone admits non-ASCII digit codepoints that int()
         # rejects; a hostile filename must be skipped, not crash export.
+        # (ASCII + isdigit == only 0-9, so int() below cannot fail.)
         if not (pid_s.isascii() and pid_s.isdigit()):
             continue
-        try:
-            pid = int(pid_s)
-        except ValueError:
-            continue
+        pid = int(pid_s)
         alive = True
         try:
             os.kill(pid, 0)

@@ -621,10 +621,11 @@ def test_wav_variant_encodings_decode_exactly(tmp_path):
 
 def _abf2_event_bytes(events, fs=10000.0, synch_pairs=None,
                       synch_count=None, synch_time_unit=0.0,
-                      inst_scale=0.5):
-    """Hand-assembled mode-1 ABF2: ProtocolSection, one-channel ADCSection,
+                      inst_scale=0.5, n_channels=1):
+    """Hand-assembled mode-1 ABF2: ProtocolSection, ADCSection,
     SynchArraySection (index 15, 8-byte (lStart, lLength) entries), and a
-    DataSection holding the events back to back."""
+    DataSection holding the events back to back. With n_channels > 1 the
+    event arrays are MULTIPLEXED samples (lLength semantics)."""
     events = [np.asarray(e, "<i2") for e in events]
     header = bytearray(BLOCK)
     header[0:4] = b"ABF2"
@@ -639,11 +640,12 @@ def _abf2_event_bytes(events, fs=10000.0, synch_pairs=None,
     struct.pack_into("<i", proto, 118, 32768)        # lADCResolution
 
     ADC_STRIDE = 128
-    adc = bytearray(ADC_STRIDE)
-    struct.pack_into("<h", adc, 0, 0)                # nADCNum
-    struct.pack_into("<f", adc, 28, 1.0)             # fADCProgrammableGain
-    struct.pack_into("<f", adc, 40, inst_scale)      # fInstrumentScaleFactor
-    struct.pack_into("<f", adc, 48, 1.0)             # fSignalGain
+    adc = bytearray(ADC_STRIDE * n_channels)
+    for ch in range(n_channels):
+        struct.pack_into("<h", adc, ADC_STRIDE * ch, ch)        # nADCNum
+        struct.pack_into("<f", adc, ADC_STRIDE * ch + 28, 1.0)  # prog gain
+        struct.pack_into("<f", adc, ADC_STRIDE * ch + 40, inst_scale)
+        struct.pack_into("<f", adc, ADC_STRIDE * ch + 48, 1.0)  # fSignalGain
     adc += b"\0" * (-len(adc) % BLOCK)
 
     if synch_pairs is None:
@@ -662,7 +664,7 @@ def _abf2_event_bytes(events, fs=10000.0, synch_pairs=None,
         struct.pack_into("<IIq", header, 76 + 16 * idx, block, size, count)
 
     sec(0, proto_block, 512, 1)
-    sec(1, adc_block, ADC_STRIDE, 1)
+    sec(1, adc_block, ADC_STRIDE, n_channels)
     sec(10, data_block, 2, sum(e.size for e in events))
     sec(15, synch_block, 8,
         len(synch_pairs) if synch_count is None else synch_count)
@@ -737,4 +739,78 @@ def test_abf2_event_hostile_synch_rejects(tmp_path, mutate, match):
     p = tmp_path / "bad.abf"
     p.write_bytes(_abf2_event_bytes(events, **mutate))
     with pytest.raises(ValueError, match=match):
+        AbfInfo(str(p))
+
+
+def test_abf2_event_synch_section_location_hostile(tmp_path):
+    """The SynchArray's LOCATION fields are untrusted too: block 0 points
+    at the file header (its signature bytes would parse as event bounds),
+    entry size 0 with a positive count is a self-contradiction, and an
+    array running past EOF must refuse with the mode named — not raise
+    numpy's raw buffer error."""
+    events = [np.arange(40, dtype="<i2"), np.arange(8, dtype="<i2")]
+    blob = bytearray(_abf2_event_bytes(events))
+    SEC15 = 76 + 16 * 15
+
+    b0 = bytearray(blob)
+    struct.pack_into("<I", b0, SEC15, 0)             # block -> 0 (header)
+    p = tmp_path / "blk0.abf"
+    p.write_bytes(bytes(b0))
+    with pytest.raises(ValueError, match="invalid file offset"):
+        AbfInfo(str(p))
+
+    bs = bytearray(blob)
+    struct.pack_into("<I", bs, SEC15 + 4, 0)         # entry size -> 0
+    p = tmp_path / "sz0.abf"
+    p.write_bytes(bytes(bs))
+    with pytest.raises(ValueError, match="SynchArray entry size 0"):
+        AbfInfo(str(p))
+
+    be = bytearray(blob)
+    struct.pack_into("<I", be, SEC15,
+                     len(blob) // BLOCK + 16)        # block past EOF
+    p = tmp_path / "eof.abf"
+    p.write_bytes(bytes(be))
+    with pytest.raises(ValueError, match="extends past"):
+        AbfInfo(str(p))
+
+
+def test_abf1_event_synch_ptr_zero_rejects(tmp_path):
+    """ABF1 lSynchArrayPtr=0 'locates' the synch array on the header."""
+    raw = np.arange(96, dtype="<i2")
+    blob = bytearray(_abf1_bytes(raw, op_mode=1, header_blocks=4))
+    struct.pack_into("<i", blob, 92, 0)              # lSynchArrayPtr
+    struct.pack_into("<i", blob, 96, 2)              # lSynchArraySize
+    p = tmp_path / "ptr0.abf"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="invalid file offset"):
+        AbfInfo(str(p))
+
+
+def test_abf2_event_two_channel_deinterleave(tmp_path):
+    """Mode-1 with 2 channels: lLength counts MULTIPLEXED samples; each
+    sweep deinterleaves to per-channel data, and the channel grid stays
+    aligned across events."""
+    rng = np.random.RandomState(7)
+    ev0 = rng.randint(-3000, 3000, size=12).astype("<i2")  # 6 frames
+    ev1 = rng.randint(-3000, 3000, size=20).astype("<i2")  # 10 frames
+    p = tmp_path / "st2.abf"
+    p.write_bytes(_abf2_event_bytes([ev0, ev1], n_channels=2))
+    abf = AbfInfo(str(p))
+    assert abf.n_channels == 2 and abf.n_sweeps == 2
+    s = _expected_scale(0.5, 1.0, 1.0, None)
+    np.testing.assert_allclose(abf.sweep(0, 0), ev0[0::2] * s, rtol=1e-5)
+    np.testing.assert_allclose(abf.sweep(0, 1), ev0[1::2] * s, rtol=1e-5)
+    np.testing.assert_allclose(abf.sweep(1, 0), ev1[0::2] * s, rtol=1e-5)
+    np.testing.assert_allclose(abf.sweep(1, 1), ev1[1::2] * s, rtol=1e-5)
+
+
+def test_abf2_event_channel_misaligned_length_rejects(tmp_path):
+    """A 2-channel event whose lLength is ODD would shift every LATER
+    event's start onto the wrong channel — silent channel swap. Refuse."""
+    ev0 = np.arange(5, dtype="<i2")                  # 5 % 2 != 0
+    ev1 = np.arange(20, dtype="<i2")
+    p = tmp_path / "mis.abf"
+    p.write_bytes(_abf2_event_bytes([ev0, ev1], n_channels=2))
+    with pytest.raises(ValueError, match="not a multiple of the channel"):
         AbfInfo(str(p))

@@ -223,13 +223,15 @@ def test_stream_fold_global_max_and_band_sum():
     np.testing.assert_allclose(float(s), ref.sum(), rtol=1e-4)
 
 
-@pytest.mark.parametrize("B", [3, 8])
-def test_scan_streamer_batched_fleet(B):
+@pytest.mark.parametrize("B,unroll", [(3, None), (8, None), (3, False)])
+def test_scan_streamer_batched_fleet(B, unroll):
     # batch mode streams a fleet of equal-length recordings in one scan;
     # per-recording folds must equal the monolithic per-recording values.
     # B=3 takes the small-fleet UNROLLED form (per-recording mono bodies,
     # no sublane-padded (B, n) giants); B=8 keeps the batched form — both
-    # must produce the same fold values.
+    # must produce the same fold values. unroll=False forces the batched
+    # form at small B — the layout a SHARDED fleet must use so each chip
+    # keeps streaming only its own recordings.
     from spectral_tpu.parallel.streaming import ScanStreamer
     cfg = SpecConfig.scipy_default(512)          # hop 448
     fs = 1000.0
@@ -241,7 +243,7 @@ def test_scan_streamer_batched_fleet(B):
         return acc + jnp.sum(psd * v, axis=(1, 2)), jnp.zeros(())
 
     st = ScanStreamer(fs, cfg, block_size=448 * 8, n=n, use_matmul=True,
-                      fold=fold, init=jnp.zeros(B), batch=B)
+                      fold=fold, init=jnp.zeros(B), batch=B, unroll=unroll)
     acc, _ = st(x)
     ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg)).sum((1, 2))
     np.testing.assert_allclose(np.asarray(acc), ref, rtol=1e-4)

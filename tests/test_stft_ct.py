@@ -249,3 +249,48 @@ def test_compensated_ct_values_stay_scipy_close():
         _, _, ours = stft_mod.spectrogram(jnp.asarray(x, jnp.float32), fs,
                                           cfg, use_matmul=True)
         assert np.max(np.abs(np.asarray(ours) - ref)) / ref.max() < 2e-5
+
+
+def _dot_precisions(jaxpr):
+    """Collect the precision of every dot_general in a (nested) jaxpr."""
+    out = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append(eqn.params.get("precision"))
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):           # ClosedJaxpr
+                out.extend(_dot_precisions(v.jaxpr))
+            elif hasattr(v, "eqns"):          # bare Jaxpr
+                out.extend(_dot_precisions(v))
+    return out
+
+
+def test_compensated_route_precision_mix_is_pinned():
+    """CLAUDE.md's rule — every contract-path dot carries explicit
+    HIGHEST — has ONE deliberate, measured exemption: the compensated CT
+    route's residual transforms (core/stft.py ct_dft_frames residual
+    einsums + the _ct_power_compensated residual pass). Those operands
+    are O(eps * |frame|), so single-pass bf16 contributes O(1e-2 * eps)
+    — two orders below the term being recovered (verified on chip:
+    display error identical to 6-pass). This guard pins the exact mix so
+    a refactor can neither silently downgrade a MAIN transform dot nor
+    feed a non-eps-scale operand through a new DEFAULT dot unnoticed:
+
+      HIGHEST: stage-1 (2) + stage-2 (4) of the main transform = 6
+      DEFAULT: 4 residual einsums inside compensate=True, plus the
+               residual signal's own 6-dot plain CT transform = 10
+    """
+    import jax
+
+    x = jnp.zeros(8192 * 3, jnp.float32)
+    cfg = SpecConfig.scipy_default(8192)
+    assert stft_mod._use_compensated_ct(x, cfg)
+    closed = jax.make_jaxpr(
+        lambda s: stft_mod.power_spectrogram(s, 1000.0, cfg,
+                                             use_matmul=True))(x)
+    precs = _dot_precisions(closed.jaxpr)
+    hp = jax.lax.Precision.HIGHEST
+    dp = jax.lax.Precision.DEFAULT
+    n_hi = sum(1 for p in precs if p == (hp, hp))
+    n_lo = sum(1 for p in precs if p in (None, (dp, dp)))
+    assert (n_hi, n_lo, len(precs)) == (6, 10, 16), precs

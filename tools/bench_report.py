@@ -444,7 +444,10 @@ def main() -> int:
                 st = run_mel()
                 runs.append((time.time() - t0, st))
             runs.sort(key=lambda r: r[0])
-            dt, st = runs[len(runs) // 2]
+            # LOWER median: with --quick's 2 reps, len//2 would select the
+            # SLOWER rep — exactly the tunnel-stall contamination the
+            # multi-rep change exists to damp
+            dt, st = runs[(len(runs) - 1) // 2]
         finally:
             shutil.rmtree(mel_dir, ignore_errors=True)
         assert st.pngs_written == 64
