@@ -33,7 +33,8 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
                            use_matmul: bool = True,
                            colormap: Optional[str] = "jet",
                            share_max: bool = False,
-                           flip_image: bool = False):
+                           flip_image: bool = False,
+                           psd_sharding=None):
     """Build the per-shard batch pipeline (B, n) -> dict of outputs.
 
     flip_image=True emits "image" (and "rgb_packed") display-flipped —
@@ -51,6 +52,16 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
     masked rows are a static contiguous slice, so the flip fold still
     applies. In mel mode the side output "psd" stays full-band (it is the
     pre-mel spectrum, not the displayed one).
+
+    psd_sharding (a NamedSharding over the freq-major (B, F, T) spectrum)
+    pins the DFT contraction's layout under pjit: sharding F over a mesh
+    axis is TENSOR parallelism over frequency bins — each chip contracts
+    frames against its slice of the DFT matrix columns (the matrices are
+    generated on device inside jit, so each chip materializes only its
+    rows) and the downstream per-image max/min reductions become ICI
+    collectives. The reference has no counterpart (single-process scipy);
+    this is the TPU scaling form for huge-nfft spectra that outgrow one
+    chip.
 
     Returns a plain jax-traceable function; wrap with jit/pjit via
     :func:`shard_pipeline` or call directly under vmap.
@@ -81,6 +92,8 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
         psd_fm = power_spectrogram_fm(xb, fs, cfg, use_matmul=use_matmul,
                                       flip_freqs=flip_dense,
                                       band=band)  # (B, F[band], T)
+        if psd_sharding is not None:
+            psd_fm = jax.lax.with_sharding_constraint(psd_fm, psd_sharding)
         if n_mels:
             out = {"psd": jnp.swapaxes(psd_fm, -1, -2)}  # full-band pre-mel
             fb = mel_filterbank(n_mels, psd_fm.shape[-2], fs, cfg.mel_fmin,
@@ -129,15 +142,30 @@ def shard_pipeline(mesh: Mesh, fs: float, cfg: SpecConfig, *,
                    use_matmul: bool = True,
                    colormap: Optional[str] = "jet",
                    share_max: bool = False,
-                   batch_axis: str = "data"):
+                   batch_axis: str = "data",
+                   freq_axis: Optional[str] = None):
     """jit the batch pipeline with the batch dim sharded over `batch_axis`.
 
     The batch size must be divisible by the mesh axis size.
+
+    freq_axis adds TENSOR parallelism over frequency bins on top of the
+    data parallelism: the freq-major spectrum is constrained to
+    P(batch_axis, freq_axis, None), so each chip contracts frames against
+    its own slice of the (device-generated) DFT matrix columns and the
+    per-image normalization max/min ride ICI collectives across the freq
+    shards. Outputs stay batch-sharded (GSPMD gathers the freq shards at
+    the boundary) — the win is that no chip ever materializes the full
+    (B/dp, F, T) spectrum or the full DFT matrices, the scaling form for
+    huge-nfft work. Mel configs compose: the mel contraction reduces over
+    the sharded F axis (an ICI reduce-scatter/all-reduce).
     """
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    psd_sh = (NamedSharding(mesh, P(batch_axis, freq_axis, None))
+              if freq_axis else None)
     fn = batched_spectrogram_fn(fs, cfg, use_matmul=use_matmul,
-                                colormap=colormap, share_max=share_max)
+                                colormap=colormap, share_max=share_max,
+                                psd_sharding=psd_sh)
     in_sh = NamedSharding(mesh, P(batch_axis))
     out_sh = NamedSharding(mesh, P(batch_axis))
     return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)

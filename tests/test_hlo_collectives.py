@@ -72,6 +72,48 @@ def test_share_max_pipeline_reduces_only_scalars():
             f"share_max should reduce scalars, got {cols}"
 
 
+def test_freq_tp_pipeline_shards_the_contraction():
+    # dp x tp (freq_axis='model'): the DFT contraction itself must be
+    # partitioned over frequency — the compiled program must contain a dot
+    # whose output frequency dim is the PER-SHARD size, and the only
+    # collectives are the output-boundary all-gathers of freq shards (plus
+    # scalar/row reductions for normalization) — never a gather of
+    # anything bigger than one output tensor's shard.
+    from spectral_tpu.parallel.mesh import make_mesh
+    from spectral_tpu.parallel.sharding import shard_pipeline
+    from spectral_tpu.core.stft import num_frames
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    cfg = SpecConfig.north_star(510, 128, log_scale=True)  # F=256: 2 | F
+    fn = shard_pipeline(mesh, 1000.0, cfg, freq_axis="model")
+    B, n = 16, 4000
+    txt = fn.lower(jax.ShapeDtypeStruct((B, n), np.float32)).compile(
+    ).as_text()
+
+    T = num_frames(n, 510, 128)
+    F, F_shard, B_shard = 256, 128, B // 4
+    # a dot producing the per-shard freq block proves tp took hold: XLA
+    # flattens the freq-major einsum to (B_shard*T, F_shard) — observed
+    # "%dot.2 = f32[112,128] dot(...)" with the DFT matrix rhs coming from
+    # a dynamic-slice fusion (each chip slices only its own matrix rows)
+    per_shard_dot = re.compile(
+        rf"=\s*f32\[{B_shard * T},{F_shard}\](?:\{{[\d,]*\}})?\s*dot\(")
+    assert per_shard_dot.search(txt), \
+        "no per-shard DFT contraction found — tp constraint ignored"
+    cols = _collectives(txt)
+    assert any(op == "all-gather" for op, _ in cols), \
+        "freq shards must be gathered at the batch-sharded output boundary"
+    per_shard_out = B_shard * F * T            # one gathered output tensor
+    for op, shapes in cols:
+        # collective-permute: the packed image's row flip over the SHARDED
+        # freq axis — jnp.flip across shards lowers to a ppermute swapping
+        # shard pairs (one shard-sized u32 block), the textbook lowering
+        assert op in ("all-gather", "all-reduce", "collective-permute"), cols
+        for s in shapes:
+            assert np.prod(s, dtype=int) <= per_shard_out, \
+                f"collective moves more than an output gather: {cols}"
+
+
 def test_sharded_em_step_reduces_only_sufficient_stats():
     from spectral_tpu.parallel.distributed_em import make_sharded_em_step
     step = make_sharded_em_step(_mesh())

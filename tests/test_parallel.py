@@ -78,6 +78,49 @@ def test_mel_in_pipeline():
     assert out["image"].shape == (8, 64, T)
 
 
+def test_freq_tensor_parallel_pipeline_matches():
+    # dp x tp: batch over 'data', DFT frequency bins over 'model' — each
+    # chip contracts frames against its slice of the DFT matrix columns;
+    # values must match the unsharded pipeline (CPU threading reassociates
+    # f32 sums by ~1 ulp, hence allclose not bitwise).
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128, log_scale=True)
+    rng = np.random.RandomState(4)
+    xb = rng.randn(8, 16000).astype(np.float32)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    fn = shard_pipeline(mesh, fs, cfg, use_matmul=True, colormap="jet",
+                        freq_axis="model")
+    out = fn(jnp.asarray(xb))
+    ref = batched_spectrogram_fn(fs, cfg, use_matmul=True,
+                                 colormap="jet")(jnp.asarray(xb))
+    np.testing.assert_allclose(np.asarray(out["psd"]), np.asarray(ref["psd"]),
+                               rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=1e-5)
+    a = np.asarray(out["rgb_packed"]).ravel()
+    b = np.asarray(ref["rgb_packed"]).ravel()
+    assert (a != b).mean() < 1e-3          # LUT bin-edge flips only
+    assert len(out["psd"].sharding.device_set) == 8
+
+
+def test_freq_tensor_parallel_mel_composes():
+    # mel reduces OVER the tp-sharded frequency axis (a cross-chip
+    # contraction), the one downstream consumer that communicates more
+    # than normalization scalars — values must still match unsharded.
+    fs = 16000.0
+    cfg = SpecConfig.north_star(512, 128, n_mels=64, log_scale=True)
+    xb = np.random.RandomState(5).randn(8, 8192).astype(np.float32)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    fn = shard_pipeline(mesh, fs, cfg, freq_axis="model", colormap=None)
+    out = fn(jnp.asarray(xb))
+    ref = batched_spectrogram_fn(fs, cfg, colormap=None)(jnp.asarray(xb))
+    np.testing.assert_allclose(np.asarray(out["mel"]), np.asarray(ref["mel"]),
+                               rtol=1e-5, atol=1e-30)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=1e-5)
+
+
 def test_fit_sharded_stops_on_ll_decrease(monkeypatch):
     # hmmlearn's ConvergenceMonitor stops whenever delta < tol — including a
     # sharp DECREASE in log-likelihood; fit_sharded mirrors that (it is not a
