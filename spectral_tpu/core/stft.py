@@ -328,6 +328,18 @@ def matmul_precision(cfg: SpecConfig):
                     faster at ~5e-2 dB — fine for display-only use, NOT for
                     the scipy contract. (A plain single-pass bf16 dot loses
                     the spectrum entirely: 17 dB error.)
+
+    Measured dead end (v5e, 2026-08-19), recorded so nobody re-tries it: a
+    4-pass "compensated X3" — X3(A,W) + dot(A-bf16(A), W-bf16(W)) — times at
+    0.041 ms/clip (21% under HIGHEST) but its raw matmul error is IDENTICAL
+    to plain X3 (1.54e-5/scale vs HIGHEST's 1.53e-7 on the headline
+    622x1024 @ 1024x513 dot). The X3 error is NOT the missing lo*lo product;
+    it is the 2-way bf16 split's representation truncation (the third 8-bit
+    mantissa chunk, ~2^-16, enters via a3*b1 + a1*b3), which no add-on pass
+    over the 2-way residuals can recover — only the 6-pass 3-way-split X6
+    (== HIGHEST on f32) restores contract accuracy. X9 and F32_F32_F32
+    presets fail to compile on this toolchain (tpu_compile_helper exit 1).
+    There is no useful tier between 3 and 6 passes.
     """
     if cfg.precision == "accurate":
         return jax.lax.Precision.HIGHEST
