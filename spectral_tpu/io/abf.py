@@ -293,6 +293,14 @@ class AbfInfo:
         if np.any(lengths <= 0):
             raise ValueError(
                 mode_msg + "SynchArray event with non-positive length")
+        # lStart is untrusted too: events are recorded in acquisition
+        # order, so starts must be non-negative and non-decreasing — a
+        # negative or non-monotone start would flow silently into
+        # sweep_start_seconds() as a nonsense timestamp
+        if starts[0] < 0 or np.any(np.diff(starts) < 0):
+            raise ValueError(
+                mode_msg + "SynchArray event starts are negative or not "
+                "in acquisition order")
         # lLength counts MULTIPLEXED samples; a length that is not a whole
         # number of channel frames would shift every LATER event's start
         # off channel alignment, silently swapping channels downstream

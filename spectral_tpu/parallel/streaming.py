@@ -228,10 +228,14 @@ class ScanStreamer:
     recording at once (psd_block (batch, frames_per_block, F)). Shard the
     batch dim over a mesh ('data' axis) and each chip streams its
     recordings — long-form data parallelism (exercised by
-    __graft_entry__.dryrun_multichip). Sharded fleets MUST pass
-    unroll=False: the small-fleet unroll (below) slices per-recording xs,
-    which forces GSPMD to gather each recording across chips instead of
-    streaming one recording per chip."""
+    __graft_entry__.dryrun_multichip). With the default unroll=None, a
+    fleet whose batch dim arrives PARTITIONED over a mesh is detected at
+    call time and routed through the batched form automatically — the
+    small-fleet unroll (below) slices per-recording xs, which would force
+    GSPMD to gather each recording onto every chip. Passing unroll=True
+    explicitly overrides that protection (single-chip / replicated inputs
+    only); unroll=False always keeps the batched form. The form actually
+    used by the last call is recorded in ``self.last_layout``."""
 
     def __init__(self, fs: float, cfg: SpecConfig, block_size: int, n: int,
                  use_matmul: Optional[bool], fold, init, batch: int = 0,
@@ -275,64 +279,77 @@ class ScanStreamer:
         # fold contract is unchanged. At batch >= 8 the sublanes are full
         # and the batched form is kept (no B-fold program duplication).
         # unroll=None applies this single-chip heuristic; a fleet whose
-        # batch dim is SHARDED over a mesh must opt out (unroll=False) so
-        # each chip keeps streaming only its own recordings.
+        # batch dim arrives PARTITIONED over a mesh is rerouted to the
+        # batched form at call time (__call__ checks x.sharding) so each
+        # chip keeps streaming only its own recordings.
         if unroll is None:
             unroll_fleet = 0 < batch < 8
         else:
             unroll_fleet = bool(unroll) and batch > 0
 
-        def step(carry_acc, jb):
-            carry, acc = carry_acc
-            if unroll_fleet:
-                j, chans = jb[0], jb[1:]
-                psds, new_carry = [], []
-                for b in range(batch):
-                    buf = jnp.concatenate([carry[b], chans[b]], axis=-1)
-                    psds.append(power_spectrogram(buf, fs, stream_cfg,
-                                                  use_matmul=use_matmul))
-                    new_carry.append(jax.lax.slice_in_dim(
-                        buf, buf.shape[-1] - c, buf.shape[-1], axis=0))
-                psd = jnp.stack(psds)
-                new_carry = tuple(new_carry)
-            else:
-                j, block = jb
-                buf = jnp.concatenate([carry, block], axis=-1)
-                psd = power_spectrogram(buf, fs, stream_cfg,
-                                        use_matmul=use_matmul)
-                new_carry = jax.lax.slice_in_dim(buf, buf.shape[-1] - c,
-                                                 buf.shape[-1],
-                                                 axis=buf.ndim - 1)
-            abs_idx = j * fpb - c // h + jnp.arange(fpb)
-            valid = (abs_idx >= 0) & (abs_idx < total_frames)
-            acc, y = fold(acc, psd, valid)
-            return (new_carry, acc), y
+        def make_run(unrolled: bool):
+            def step(carry_acc, jb):
+                carry, acc = carry_acc
+                if unrolled:
+                    j, chans = jb[0], jb[1:]
+                    psds, new_carry = [], []
+                    for b in range(batch):
+                        buf = jnp.concatenate([carry[b], chans[b]], axis=-1)
+                        psds.append(power_spectrogram(
+                            buf, fs, stream_cfg, use_matmul=use_matmul))
+                        new_carry.append(jax.lax.slice_in_dim(
+                            buf, buf.shape[-1] - c, buf.shape[-1], axis=0))
+                    psd = jnp.stack(psds)
+                    new_carry = tuple(new_carry)
+                else:
+                    j, block = jb
+                    buf = jnp.concatenate([carry, block], axis=-1)
+                    psd = power_spectrogram(buf, fs, stream_cfg,
+                                            use_matmul=use_matmul)
+                    new_carry = jax.lax.slice_in_dim(buf, buf.shape[-1] - c,
+                                                     buf.shape[-1],
+                                                     axis=buf.ndim - 1)
+                abs_idx = j * fpb - c // h + jnp.arange(fpb)
+                valid = (abs_idx >= 0) & (abs_idx < total_frames)
+                acc, y = fold(acc, psd, valid)
+                return (new_carry, acc), y
 
-        def run(blocks, init):
-            # blocks arrive pre-shaped lead + (nb, L) from __call__ (host
-            # inputs upload in this form directly — a (B, n) staging
-            # array would sublane-pad 8/B x on device). They become scan
-            # xs (per-recording (nb, L) arrays for small fleets; a
-            # transpose copy for batch >= 8). Two alternatives measured
-            # SLOWER on v5e and were rejected:
-            # lax.dynamic_slice windows in the scan body (200x: 16.2 s vs
-            # 0.08 s/hour — XLA pipelines xs but can't prefetch body-side
-            # windows) and a channels-last (n, B) layout with per-block
-            # transposes (43x: 15.0 s vs 0.35 s — a minor-dim-of-2 tile
-            # transpose per step is pathological for TPU lane layout).
-            if unroll_fleet:
-                xs = (jnp.arange(n_blocks),) + tuple(
-                    blocks[b] for b in range(batch))
-                carry0 = (jnp.zeros(c, jnp.float32),) * batch
-            else:
-                if batch:
-                    blocks = jnp.moveaxis(blocks, 0, 1)   # (nb, B, L)
-                xs = (jnp.arange(n_blocks), blocks)
-                carry0 = jnp.zeros(lead + (c,), jnp.float32)
-            (_, acc), ys = jax.lax.scan(step, (carry0, init), xs)
-            return acc, ys
+            def run(blocks, init):
+                # blocks arrive pre-shaped lead + (nb, L) from __call__
+                # (host inputs upload in this form directly — a (B, n)
+                # staging array would sublane-pad 8/B x on device). They
+                # become scan xs (per-recording (nb, L) arrays for small
+                # fleets; a transpose copy for batch >= 8). Two
+                # alternatives measured SLOWER on v5e and were rejected:
+                # lax.dynamic_slice windows in the scan body (200x: 16.2 s
+                # vs 0.08 s/hour — XLA pipelines xs but can't prefetch
+                # body-side windows) and a channels-last (n, B) layout with
+                # per-block transposes (43x: 15.0 s vs 0.35 s — a
+                # minor-dim-of-2 tile transpose per step is pathological
+                # for TPU lane layout).
+                if unrolled:
+                    xs = (jnp.arange(n_blocks),) + tuple(
+                        blocks[b] for b in range(batch))
+                    carry0 = (jnp.zeros(c, jnp.float32),) * batch
+                else:
+                    if batch:
+                        blocks = jnp.moveaxis(blocks, 0, 1)   # (nb, B, L)
+                    xs = (jnp.arange(n_blocks), blocks)
+                    carry0 = jnp.zeros(lead + (c,), jnp.float32)
+                (_, acc), ys = jax.lax.scan(step, (carry0, init), xs)
+                return acc, ys
 
-        self._run = jax.jit(run)
+            return run
+
+        self._unroll_fleet = unroll_fleet
+        self._run = jax.jit(make_run(unroll_fleet))
+        # unroll=None picked the unrolled layout heuristically; keep a
+        # batched fallback for call-time rerouting of mesh-partitioned
+        # fleets (compiled lazily — costs nothing unless used). An
+        # EXPLICIT unroll=True is the caller's override and is respected.
+        self._run_batched = (jax.jit(make_run(False))
+                             if unroll is None and unroll_fleet else None)
+        self.last_layout: Optional[str] = None
 
     def __call__(self, x):
         """x: (n,) — or (batch, n) when batch > 0 — host numpy or device
@@ -352,7 +369,24 @@ class ScanStreamer:
             if pad:
                 xp = jnp.pad(xp, pad_spec)
             xp = xp.reshape(shape)
-        return self._run(xp, self._init)
+        run = self._run
+        self.last_layout = ("unrolled" if self._unroll_fleet
+                            else "batched" if self.batch else "single")
+        if self._run_batched is not None and not isinstance(x, np.ndarray):
+            # the default-heuristic unroll is single-chip only: a fleet
+            # whose batch dim is partitioned over a mesh would be gathered
+            # onto every chip by the per-recording xs slicing — reroute it
+            # through the batched layout (one recording per chip)
+            sh = getattr(x, "sharding", None)
+            try:
+                partitioned = (sh is not None
+                               and sh.shard_shape(x.shape)[0] != x.shape[0])
+            except (TypeError, ValueError):  # odd/uneven sharding: be safe
+                partitioned = sh is not None and not sh.is_fully_replicated
+            if partitioned:
+                run = self._run_batched
+                self.last_layout = "batched"
+        return run(xp, self._init)
 
 
 def scan_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,

@@ -733,6 +733,10 @@ def test_abf1_event_driven_bytelevel(tmp_path):
     (dict(synch_count=10 ** 6), "implausible SynchArray count"),
     (dict(synch_pairs=[(0, 40), (40, -8)]), "non-positive length"),
     (dict(synch_pairs=[(0, 40), (40, 10 ** 6)]), "lengths total"),
+    # lStart is untrusted too: negative or out-of-order starts would flow
+    # silently into sweep_start_seconds() as nonsense timestamps
+    (dict(synch_pairs=[(-5, 40), (40, 8)]), "negative or not"),
+    (dict(synch_pairs=[(1000, 40), (10, 8)]), "negative or not"),
 ])
 def test_abf2_event_hostile_synch_rejects(tmp_path, mutate, match):
     events = [np.arange(40, dtype="<i2"), np.arange(8, dtype="<i2")]

@@ -292,6 +292,43 @@ def test_scan_streamer_batched_fleet(B, unroll):
     np.testing.assert_allclose(np.asarray(acc), ref, rtol=1e-4)
 
 
+def test_scan_streamer_sharded_small_fleet_reroutes_to_batched():
+    """unroll=None's small-fleet unroll is single-chip only: a fleet whose
+    batch dim arrives PARTITIONED over a mesh must not be sliced
+    per-recording (GSPMD would gather every recording onto every chip).
+    __call__ detects the partitioned batch dim and reroutes through the
+    batched layout with unchanged values; host inputs keep the unroll."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from spectral_tpu.parallel.streaming import ScanStreamer
+    cfg = SpecConfig.scipy_default(512)          # hop 448
+    fs, B, n = 1000.0, 4, 20000
+    x = np.random.RandomState(7).randn(B, n).astype(np.float32)
+
+    def fold(acc, psd, valid):                   # psd (B, fpb, F)
+        v = valid[None, :, None].astype(psd.dtype)
+        return acc + jnp.sum(psd * v, axis=(1, 2)), jnp.zeros(())
+
+    st = ScanStreamer(fs, cfg, block_size=448 * 8, n=n, use_matmul=True,
+                      fold=fold, init=jnp.zeros(B), batch=B)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg)).sum((1, 2))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    acc, _ = st(xs)
+    assert st.last_layout == "batched"
+    np.testing.assert_allclose(np.asarray(acc), ref, rtol=1e-4)
+
+    acc2, _ = st(x)                              # host numpy: no sharding
+    assert st.last_layout == "unrolled"
+    np.testing.assert_allclose(np.asarray(acc2), ref, rtol=1e-4)
+
+    rep = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+    acc3, _ = st(rep)                            # replicated: unroll is fine
+    assert st.last_layout == "unrolled"
+    np.testing.assert_allclose(np.asarray(acc3), ref, rtol=1e-4)
+
+
 def test_streaming_random_lengths():
     cfg = SpecConfig.north_star(512, 128)
     fs = 1000.0
