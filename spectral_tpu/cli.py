@@ -848,7 +848,10 @@ def _dispatch(args) -> int:
                 e = r.data[n]
                 nraw = len(e.raw) if e.raw is not None else 0
                 nproc = len(e.processed) if e.processed is not None else 0
-                print(f"{n}: fs={e.fs:g} raw={nraw} processed={nproc}")
+                # event-driven ABF sweeps carry an absolute recording time
+                t0 = ("" if e.start_seconds is None
+                      else f" t0={e.start_seconds:g}s")
+                print(f"{n}: fs={e.fs:g} raw={nraw} processed={nproc}{t0}")
         return 0
 
     def _status(msg: str) -> int:

@@ -402,7 +402,8 @@ def load_abf(filepath: str, registry) -> List[str]:
         name = f"{base}_sweep{i}"
         registry.register(name, SweepEntry(
             filepath=filepath, sweep_idx=i, fs=fs, fs_raw=fs,
-            raw=raw, processed=None))
+            raw=raw, processed=None,
+            start_seconds=abf.sweep_start_seconds(i)))
         names.append(name)
     return names
 

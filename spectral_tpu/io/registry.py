@@ -28,13 +28,20 @@ import numpy as np
 
 @dataclass
 class SweepEntry:
-    """One sweep's registry record (the reference's per-name dict)."""
+    """One sweep's registry record (the reference's per-name dict).
+
+    start_seconds extends the reference schema: the absolute recording
+    time of the sweep's first sample, known only for event-driven
+    variable-length ABF files (the SynchArray's lStart — pyabf exposes it
+    as sweepX offsets; the reference app never surfaces it). None for
+    uniform-grid modes and other formats."""
     filepath: str
     sweep_idx: int
     fs: float
     fs_raw: Optional[float]
     raw: Optional[np.ndarray]
     processed: Optional[np.ndarray]
+    start_seconds: Optional[float] = None
 
 
 class SweepRegistry:

@@ -367,3 +367,14 @@ def test_abf2_event_fixture_registers_variable_sweeps(tmp_path):
         sig, fs = reg.get_signal(name, processed=False)
         assert fs == pytest.approx(10000.0)
         assert sig.shape == e.shape
+    # the absolute event start times ride into the registry (pyabf users
+    # get them as sweep offsets; uniform modes stay None)
+    assert reg.data["ev_sweep0"].start_seconds == pytest.approx(0.0)
+    assert reg.data["ev_sweep1"].start_seconds == pytest.approx(
+        (500 + 100) / 10000.0)
+    p2 = str(tmp_path / "epi.abf")
+    abf_mod.write_abf2_fixture(p2, np.random.RandomState(0).randn(2, 50),
+                               10000.0)
+    reg2 = SweepRegistry()
+    for n2 in abf_mod.load_abf(p2, reg2):
+        assert reg2.data[n2].start_seconds is None
