@@ -146,9 +146,13 @@ def _collect_generic_segments(f) -> List[List[Tuple[str, np.ndarray, Optional[fl
 
     def visit(name, obj):
         if isinstance(obj, h5py.Dataset) and obj.ndim in (1, 2):
+            # corrupted link names can arrive as non-UTF-8 BYTES from
+            # h5py's visititems — '"/" in name' on bytes is a TypeError
+            # (found by the 25x loader fuzz soak); normalize first
+            name = _to_str(name)
             parent = name.rsplit("/", 1)[0] if "/" in name else ""
             by_parent.setdefault(parent, []).append(
-                (_to_str(name.rsplit("/", 1)[-1]),
+                (name.rsplit("/", 1)[-1],
                  np.asarray(obj).reshape(-1), fs_of(obj)))
 
     f.visititems(visit)

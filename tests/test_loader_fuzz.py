@@ -123,6 +123,31 @@ def test_h5_corruption(tmp_path):
     assert n_ok[0] > 0
 
 
+def test_h5_non_utf8_link_name_loads(tmp_path):
+    """h5py's visititems delivers a link name that fails UTF-8 decode as
+    raw BYTES; '"/" in name' on bytes is a TypeError. Found by the 25x
+    fuzz soak (a byte flip landed inside a stored link name); pinned
+    deterministically with a low-level-API-crafted file. The generic
+    collector must normalize the name and load the sweep."""
+    import h5py
+    p = str(tmp_path / "badname.h5")
+    with h5py.File(p, "w") as f:
+        space = h5py.h5s.create_simple((16,))
+        dt = h5py.h5t.py_create(np.float32)
+        ds = h5py.h5d.create(f.id, b"raw\xff\xfe", dt, space)
+        ds.write(h5py.h5s.ALL, h5py.h5s.ALL,
+                 np.arange(16, dtype=np.float32))
+    with h5py.File(p, "a") as f:
+        key = list(f.keys())[0]          # comes back as bytes
+        assert isinstance(key, bytes)
+        f[key].attrs["fs"] = 1000.0
+    reg = SweepRegistry()
+    names = reg.load_file(p)
+    assert names == ["badname_sweep0"]
+    sig, fs = reg.get_signal(names[0], processed=False)
+    assert fs == 1000.0 and sig.shape == (16,)
+
+
 def test_missing_file_raises_filenotfound_not_corruption(tmp_path):
     """A typo'd path is not corruption: every loader raises
     FileNotFoundError for a missing file, never the 'not readable'
