@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.core import events as ev
-from spectral_tpu.models import hmm
+from spectral_tpu.models import hmm, hmm_pscan
 
 Event = Tuple[float, float]
 
@@ -26,18 +26,23 @@ Event = Tuple[float, float]
 # models/detector.py::_viterbi_jit)
 
 
-def _fused_one(p, x, n):
+def _fused_one(p, x, n, parallel=False):
     """Per-clip fit + escape-patch + baseline + Viterbi, states and baseline
     packed into one (T+1,) array so the whole batch comes back to host in a
-    single readback (same packing as detector._fused_detect_packed)."""
-    _params, states, baseline, _ll, _it = hmm.unsupervised_fit_decode(
+    single readback (same packing as detector._fused_detect_packed).
+    parallel selects the engine by per-clip length, same correctness rule
+    as detector.PSCAN_THRESHOLD (the sequential f32 E-step is wrong from
+    ~2k frames — models/hmm_pscan.py)."""
+    eng = hmm_pscan if parallel else hmm
+    _params, states, baseline, _ll, _it = eng.unsupervised_fit_decode(
         p, x, n_iter=n)
     return jnp.concatenate([states, baseline[None].astype(states.dtype)])
 
 
-_fused_detect_v = jax.jit(jax.vmap(_fused_one, in_axes=(0, 0, None)),
-                          static_argnums=2)
+_fused_detect_v = jax.jit(jax.vmap(_fused_one, in_axes=(0, 0, None, None)),
+                          static_argnums=(2, 3))
 _viterbi_shared = jax.jit(jax.vmap(hmm.viterbi, in_axes=(None, 0)))
+_viterbi_shared_ps = jax.jit(jax.vmap(hmm_pscan.viterbi, in_axes=(None, 0)))
 
 
 def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
@@ -80,7 +85,8 @@ def batch_unsupervised_detect(t: np.ndarray, feats: np.ndarray,
     # host-side patch in between paid an extra dispatch plus two extra
     # device<->host transfers per batch, O(100 ms) each over a tunneled
     # runtime
-    packed = np.asarray(_fused_detect_v(params0, jnp.asarray(feats), n_iter))
+    packed = np.asarray(_fused_detect_v(params0, jnp.asarray(feats), n_iter,
+                                        T >= hmm_pscan.SEQ_SAFE_T))
     states, baselines = packed[:, :-1], packed[:, -1]
 
     out: List[List[Event]] = []
@@ -102,8 +108,9 @@ def batch_viterbi_detect(params: hmm.HMMParams, t: np.ndarray,
     scan='baseline': the unsupervised semantics with baseline =
     argmin(mean log-power) — the robust choice for EM-fitted shared models.
     """
-    states = np.asarray(_viterbi_shared(params,
-                                        jnp.asarray(feats, jnp.float32)))
+    vit = (_viterbi_shared_ps
+           if feats.shape[1] >= hmm_pscan.SEQ_SAFE_T else _viterbi_shared)
+    states = np.asarray(vit(params, jnp.asarray(feats, jnp.float32)))
     if scan == "label":
         return [ev.merge_overlapping_events(ev.label_scan(states[b], t))
                 for b in range(states.shape[0])]

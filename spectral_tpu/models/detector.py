@@ -16,13 +16,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.core import events as ev
-from spectral_tpu.models import hmm
+from spectral_tpu.models import hmm, hmm_pscan
 
 Event = Tuple[float, float]
 
 # one persistent jit wrapper so repeated decodes hit the compilation cache
 # (a fresh jax.jit(...) per call would retrace every time)
 _viterbi_jit = jax.jit(hmm.viterbi)
+
+
+def _engine(parallel: bool):
+    """Sequential lax.scan engine (reference-parity) or the parallel-prefix
+    engine (models/hmm_pscan.py): same contracts, O(log T) vs O(T) depth."""
+    return hmm_pscan if parallel else hmm
 
 
 def _check_finite_features(X: np.ndarray) -> None:
@@ -38,25 +44,26 @@ def _check_finite_features(X: np.ndarray) -> None:
             "(the analysis is scale-invariant)")
 
 
-@jax.jit
-def _viterbi_packed(params: hmm.HMMParams, X):
+@functools.partial(jax.jit, static_argnames=("parallel",))
+def _viterbi_packed(params: hmm.HMMParams, X, parallel: bool = False):
     """Refined-model decode in one dispatch + ONE readback: states and the
     baseline state (argmin mean log-power, PlotEngine.py:445) packed into
     a single array — fetching params.means separately for a host argmin
     costs its own device->host round trip on remote runtimes."""
-    states = hmm.viterbi(params, X)
+    states = _engine(parallel).viterbi(params, X)
     baseline = jnp.argmin(params.means[:, 0])
     return jnp.concatenate([states, baseline[None].astype(states.dtype)])
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
-def _fused_detect_packed(params0: hmm.HMMParams, X, n_iter: int):
+@functools.partial(jax.jit, static_argnames=("n_iter", "parallel"))
+def _fused_detect_packed(params0: hmm.HMMParams, X, n_iter: int,
+                         parallel: bool = False):
     """unsupervised_fit_decode with states and baseline packed into ONE
     output array: over a tunneled runtime every device->host fetch is a
     separate O(10 ms) round trip, so the warm interactive path reads the
     whole decode ([states..., baseline]) in a single np.asarray."""
-    params, states, baseline, _ll, _it = hmm.unsupervised_fit_decode(
-        params0, X, n_iter=n_iter)
+    params, states, baseline, _ll, _it = _engine(
+        parallel).unsupervised_fit_decode(params0, X, n_iter=n_iter)
     return params, jnp.concatenate([states,
                                     baseline[None].astype(states.dtype)])
 
@@ -66,28 +73,64 @@ class BurstDetector:
     (PlotEngine.py:20-21: GaussianHMM(4, diag, n_iter=100, random_state=42),
     is_model_refined)."""
 
-    # Below this many feature elements the HMM runs on host CPU: EM on a
-    # hundred-frame sequence is dominated by accelerator round-trips (and,
-    # over a tunneled TPU, costs seconds per dispatch), not compute.
+    # Below this many feature elements a SEQUENTIAL-engine problem runs on
+    # host CPU: EM on a hundred-frame sequence is dominated by accelerator
+    # round-trips (and, over a tunneled TPU, costs seconds per dispatch),
+    # not compute. Parallel-engine problems always prefer the accelerator
+    # (see _uses_cpu).
     AUTO_CPU_THRESHOLD = 262144
 
+    # At or above this many FRAMES, engine='auto' switches to the
+    # parallel-prefix HMM (models/hmm_pscan.py) on EVERY backend. This is
+    # a CORRECTNESS threshold, not a speed knob: the sequential f32
+    # E-step materializes -O(T) log alpha/beta whose rounding destroys
+    # the sufficient statistics as T grows — max |gamma - f64 oracle|
+    # measured 0.012 at T=601, 0.059 at 2048, 1.3 at 4096, and at 65536
+    # gamma overflows to inf outright, while the pscan E-step holds
+    # ~1.7e-7 at every T (its rescaled blocks never see the offsets; see
+    # hmm_pscan.py). Speed agrees on the accelerator anyway (v5e 5-iter
+    # fit: 26/27 ms at T=4096/65536 vs sequential 44/144 ms); on XLA:CPU
+    # pscan is ~4-5x slower than the scan engine, which is the price of
+    # correct statistics — the reference's ~600-frame sweeps stay on the
+    # (hmmlearn-parity, accurate-at-that-scale) sequential engine.
+    PSCAN_THRESHOLD = hmm_pscan.SEQ_SAFE_T
+
     def __init__(self, n_states: int = 4, n_iter: int = 100, seed: int = 42,
-                 device: str = "auto"):
+                 device: str = "auto", engine: str = "auto"):
         """device: 'auto' (CPU for small problems, default backend otherwise),
-        'cpu', or 'default'."""
+        'cpu', or 'default'. engine: 'auto' (parallel-prefix HMM for
+        sequences of >= PSCAN_THRESHOLD frames), 'scan' (always sequential),
+        or 'pscan' (always parallel-prefix)."""
+        if engine not in ("auto", "scan", "pscan"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.n_states = n_states
         self.n_iter = n_iter
         self.seed = seed
         self.device = device
+        self.engine = engine
         self.params: Optional[hmm.HMMParams] = None
         self.is_model_refined = False
 
-    def _device_ctx(self, n_elems: int):
+    def _parallel(self, T: int) -> bool:
+        if self.engine == "pscan":
+            return True
+        return self.engine == "auto" and T >= self.PSCAN_THRESHOLD
+
+    def _uses_cpu(self, n_elems: int, parallel: bool = False) -> bool:
+        if self.device == "cpu":
+            return True
+        if self.device != "auto":
+            return False
+        # auto: parallel-engine problems always prefer the accelerator
+        # (fast there even just above the threshold — the engine exists
+        # for T where the f32 sequential statistics are wrong, and on
+        # host it pays ~4-5x the scan engine's time); sequential
+        # problems below the dispatch-amortization cap stay on host
+        return (not parallel) and n_elems < self.AUTO_CPU_THRESHOLD
+
+    def _device_ctx(self, n_elems: int, parallel: bool = False):
         import jax
-        use_cpu = (self.device == "cpu"
-                   or (self.device == "auto"
-                       and n_elems < self.AUTO_CPU_THRESHOLD))
-        if use_cpu:
+        if self._uses_cpu(n_elems, parallel):
             return jax.default_device(jax.devices("cpu")[0])
         import contextlib
         return contextlib.nullcontext()
@@ -111,14 +154,15 @@ class BurstDetector:
         interactive budget). Shape-only AOT lowering — no data, no
         execution. Keyed per shape; jax's jit cache plus the persistent
         compilation cache make repeats free."""
-        key = (int(T), int(D), self.n_states, self.n_iter, self.device)
+        par = self._parallel(int(T))
+        key = (int(T), int(D), self.n_states, self.n_iter, self.device, par)
         if T <= 0 or key in BurstDetector._warmed:
             return
         BurstDetector._warmed.add(key)
 
         def _compile():
             try:
-                with self._device_ctx(T * D):
+                with self._device_ctx(T * D, par):
                     X = jax.ShapeDtypeStruct((T, D), jnp.float32)
                     K = self.n_states
                     p = hmm.HMMParams(
@@ -127,8 +171,8 @@ class BurstDetector:
                         means=jax.ShapeDtypeStruct((K, D), jnp.float32),
                         covars=jax.ShapeDtypeStruct((K, D), jnp.float32))
                     _fused_detect_packed.lower(
-                        p, X, n_iter=self.n_iter).compile()
-                    _viterbi_packed.lower(p, X).compile()
+                        p, X, n_iter=self.n_iter, parallel=par).compile()
+                    _viterbi_packed.lower(p, X, parallel=par).compile()
             except Exception:       # warmup must never break detection
                 BurstDetector._warmed.discard(key)
 
@@ -160,7 +204,8 @@ class BurstDetector:
         feats_np = np.asarray(features, np.float32)
         _check_finite_features(feats_np)
 
-        with self._device_ctx(feats_np.size):
+        par = self._parallel(feats_np.shape[0])
+        with self._device_ctx(feats_np.size, par):
             X = jnp.asarray(feats_np)
             if not self.is_model_refined:
                 if X.shape[0] < self.n_states:
@@ -174,11 +219,12 @@ class BurstDetector:
                 # array — separate fetches of states / baseline /
                 # params.means each cost their own device->host round trip
                 self.params, packed_d = _fused_detect_packed(
-                    params0, X, n_iter=self.n_iter)
+                    params0, X, n_iter=self.n_iter, parallel=par)
                 packed = np.asarray(packed_d)
                 states, baseline_state = packed[:-1], int(packed[-1])
             else:
-                packed = np.asarray(_viterbi_packed(self.params, X))
+                packed = np.asarray(_viterbi_packed(
+                    self.params, X, parallel=par))
                 states, baseline_state = packed[:-1], int(packed[-1])
         events = ev.baseline_scan(states, t, baseline_state)
         return ev.merge_overlapping_events(events)
@@ -212,12 +258,14 @@ class BurstDetector:
         self.params = hmm.supervised_fit(X, labels, self.n_states)
         self.is_model_refined = True  # PlotEngine.py:387
 
-        with self._device_ctx(X.size):
+        par = self._parallel(X.shape[0])
+        with self._device_ctx(X.size, par):
             # decode through the same packed program warmup() precompiled
             # (the baseline element is unused here — label_scan semantics);
             # a distinct jit entry would pay a fresh compile on the first
             # Refine Model click, exactly the latency warmup exists to hide
-            packed = np.asarray(_viterbi_packed(self.params, jnp.asarray(X)))
+            packed = np.asarray(_viterbi_packed(
+                self.params, jnp.asarray(X), parallel=par))
         events = ev.label_scan(packed[:-1], t)
         return ev.merge_overlapping_events(events)
 
@@ -230,16 +278,23 @@ class BurstDetector:
         """
         if len(roi_features) < self.n_states:
             return None
-        with self._device_ctx(roi_features.size):
+        # ROIs are normally a few hundred frames (the parity regime), but a
+        # user CAN sweep an ROI across a long recording — route those
+        # through the parallel engine too (the sequential f32 E-step is
+        # wrong from ~2k frames; see PSCAN_THRESHOLD)
+        par = self._parallel(len(roi_features))
+        eng = _engine(par)
+        with self._device_ctx(roi_features.size, par):
             X = jnp.asarray(roi_features, jnp.float32)
             try:
                 params0 = hmm.init_params(X, 2, seed=self.seed)
-                params, _, _ = hmm.fit(params0, X, n_iter=50)
+                params, _, _ = eng.fit(params0, X, n_iter=50)
             except (ValueError, FloatingPointError):
                 return None
             means = np.asarray(params.means)
             burst_state = int(np.argmax(means[:, 0]))  # larger mean log-power
-            states = np.asarray(_viterbi_jit(params, X))
+            states = np.asarray(jax.jit(eng.viterbi)(params, X)
+                                if par else _viterbi_jit(params, X))
         burst_idx = np.where(states == burst_state)[0]
         if len(burst_idx) == 0:
             return None

@@ -17,6 +17,15 @@ detection behavior matches the reference:
     no covariance floor after init (min_covar is init-only, as in hmmlearn);
   * convergence: stop when the log-likelihood gain drops below tol (1e-2).
 
+SCOPE (f32): these sequential passes materialize log alpha/beta that grow
+like -O(T), so their f32 rounding eats the per-state differences as T
+grows — the E-step's gamma is within 0.012 of an f64 oracle at the
+reference's T~600 but wrong by O(1) from T~4096 and overflows to inf by
+T~65536 (hmmlearn runs f64 and never sees this). Long recordings must use
+:mod:`spectral_tpu.models.hmm_pscan` (oracle-accurate at every measured T;
+same contracts); ``BurstDetector(engine='auto')`` routes there from
+PSCAN_THRESHOLD frames automatically.
+
 Closed-form supervised fitting and the transition-matrix "escape route" patch
 reproduce PlotEngine._train_supervised (:328-387) and unsupervised_detect's
 transmat surgery (:423-437) exactly — see :mod:`spectral_tpu.models.detector`.
@@ -176,14 +185,11 @@ def _m_step(params: HMMParams, X: Array, gamma: Array, xi_sum: Array,
     return HMMParams(start_new, trans_new, means_new, covars_new)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
-def fit(params0: HMMParams, X: Array, n_iter: int = 100,
-        tol: float = DEFAULT_TOL) -> Tuple[HMMParams, Array, Array]:
-    """Baum-Welch EM, fully jitted (lax.while_loop). vmap over a batch by
-    vmapping this function over (params0, X).
-
-    Returns (params, final_loglik, n_iterations_run).
-    """
+def _em_loop(e_step_fn, params0: HMMParams, X: Array, n_iter: int,
+             tol: float) -> Tuple[HMMParams, Array, Array]:
+    """Shared Baum-Welch driver (lax.while_loop) parameterized by the
+    E-step engine: :func:`_e_step` here (sequential lax.scan passes) or
+    :func:`spectral_tpu.models.hmm_pscan.e_step` (parallel-prefix)."""
     def cond(carry):
         params, prev_ll, ll, it = carry
         # hmmlearn ConvergenceMonitor: converged when delta < tol, so the
@@ -193,13 +199,24 @@ def fit(params0: HMMParams, X: Array, n_iter: int = 100,
 
     def body(carry):
         params, prev_ll, ll, it = carry
-        gamma, xi_sum, cur_ll = _e_step(params, X)
+        gamma, xi_sum, cur_ll = e_step_fn(params, X)
         new_params = _m_step(params, X, gamma, xi_sum)
         return (new_params, ll, cur_ll, it + 1)
 
     init = (params0, -jnp.inf, -jnp.inf, jnp.asarray(0))
     params, _, ll, it = jax.lax.while_loop(cond, body, init)
     return params, ll, it
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def fit(params0: HMMParams, X: Array, n_iter: int = 100,
+        tol: float = DEFAULT_TOL) -> Tuple[HMMParams, Array, Array]:
+    """Baum-Welch EM, fully jitted (lax.while_loop). vmap over a batch by
+    vmapping this function over (params0, X).
+
+    Returns (params, final_loglik, n_iterations_run).
+    """
+    return _em_loop(_e_step, params0, X, n_iter, tol)
 
 
 # ---------------------------------------------------------------------------

@@ -20,15 +20,25 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from spectral_tpu.models import hmm
+from spectral_tpu.models import hmm, hmm_pscan
 
 Array = jax.Array
 
 
+def _e_step_for(T: int):
+    """Sequential E-step below hmm_pscan.SEQ_SAFE_T frames per sequence,
+    the parallel-prefix one from there: the sequential f32 passes
+    materialize -O(T) log magnitudes whose rounding corrupts gamma from
+    ~2k frames (models/hmm_pscan.py docstring has the measured curve)."""
+    return hmm_pscan.e_step if T >= hmm_pscan.SEQ_SAFE_T else hmm._e_step
+
+
 def _batch_e_step(params: hmm.HMMParams, Xb: Array):
     """Per-sequence E-step over (B, T, D); returns summed sufficient stats."""
+    e_step = _e_step_for(Xb.shape[1])
+
     def one(X):
-        gamma, xi_sum, ll = hmm._e_step(params, X)
+        gamma, xi_sum, ll = e_step(params, X)
         # HIGHEST for the same reason as hmm._m_step: the covariance update
         # is a cancellation, and TPU-default bf16 stats collapse the model.
         hp = jax.lax.Precision.HIGHEST

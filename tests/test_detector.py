@@ -170,7 +170,7 @@ def test_warmup_precompiles_and_detect_matches():
 
     warm = BurstDetector()
     warm.warmup(T, 2, background=False)
-    key = (T, 2, 4, 100, "auto")
+    key = (T, 2, 4, 100, "auto", False)
     assert key in BurstDetector._warmed
     t0 = time.time()
     warm.warmup(T, 2, background=False)     # second call: cache no-op
@@ -198,3 +198,34 @@ def test_nonfinite_features_refused_like_hmmlearn():
             BurstDetector().unsupervised_detect(t, f_bad)
         with pytest.raises(ValueError, match="NaN/Inf"):
             BurstDetector().learn_and_detect(t, f_bad, [(1.0, 4.0)])
+
+
+def test_engine_pscan_matches_scan_detection():
+    """engine='pscan' (parallel-prefix HMM) must reproduce the default
+    sequential engine's detections; engine='auto' switches at
+    PSCAN_THRESHOLD frames (models/hmm_pscan.py)."""
+    rng = np.random.RandomState(3)
+    T = 400
+    t = np.arange(T) / 20.0
+    feats = rng.randn(T, 2).astype(np.float32)
+    feats[120:180, 0] += 6.0
+    feats[260:300, 0] += 6.0
+    ev_scan = BurstDetector(engine="scan").unsupervised_detect(t, feats)
+    ev_ps = BurstDetector(engine="pscan").unsupervised_detect(t, feats)
+    assert ev_ps == ev_scan and len(ev_scan) >= 2
+
+    # PSCAN_THRESHOLD is a CORRECTNESS threshold — backend-independent
+    # (the sequential f32 E-step is wrong from ~2k frames; detector.py)
+    det = BurstDetector(engine="auto")
+    assert not det._parallel(det.PSCAN_THRESHOLD - 1)
+    assert det._parallel(det.PSCAN_THRESHOLD)
+    assert BurstDetector(engine="pscan")._parallel(2)
+    assert not BurstDetector(engine="scan")._parallel(10 ** 9)
+    # device routing: parallel problems prefer the accelerator; small
+    # sequential problems stay on host; explicit device always wins
+    assert det._uses_cpu(600 * 2, parallel=False)
+    assert not det._uses_cpu(4096 * 2, parallel=True)
+    assert BurstDetector(device="cpu")._uses_cpu(1 << 30, parallel=True)
+    assert not BurstDetector(device="default")._uses_cpu(4, parallel=False)
+    with pytest.raises(ValueError, match="engine"):
+        BurstDetector(engine="fancy")

@@ -400,6 +400,31 @@ def test_distributed_em_matches_serial():
     np.testing.assert_allclose(ll_d, float(ll_s), rtol=1e-4)
 
 
+def test_distributed_em_routes_long_sequences_to_pscan():
+    """Per-sequence E-step engine selection: sequential below
+    hmm_pscan.SEQ_SAFE_T frames (the f32-trusted regime), parallel-prefix
+    at and above it — and a long-T sharded EM step must produce finite,
+    improving statistics (the sequential engine's gamma is O(1)-wrong
+    there; models/hmm_pscan.py has the measured curve)."""
+    from spectral_tpu.models import hmm_pscan
+    assert distributed_em._e_step_for(hmm_pscan.SEQ_SAFE_T - 1) is hmm._e_step
+    assert (distributed_em._e_step_for(hmm_pscan.SEQ_SAFE_T)
+            is hmm_pscan.e_step)
+
+    Xb = _batch_sequences(B=8, T=4096, seed=3)
+    p0 = hmm.init_params(Xb.reshape(-1, 2)[:8192], 2, seed=42)
+    mesh = make_mesh()
+    step = distributed_em.make_sharded_em_step(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    Xs = jax.device_put(jnp.asarray(Xb), NamedSharding(mesh, P("data")))
+    params, ll1 = step(p0, Xs)
+    params, ll2 = step(params, Xs)
+    assert np.isfinite(float(ll1)) and np.isfinite(float(ll2))
+    assert float(ll2) >= float(ll1) - 1e-3
+    for f in params._fields:
+        assert np.isfinite(np.asarray(getattr(params, f))).all(), f
+
+
 def test_distributed_em_loglik_increases():
     Xb = _batch_sequences(seed=1)
     p0 = hmm.init_params(Xb.reshape(-1, 2), 2, seed=42)

@@ -318,6 +318,50 @@ def main() -> int:
                 "irreducible round-trip cost, which is why detector AUTO "
                 "mode picks cpu for small T"}
 
+    # Long-recording HMM: the parallel-prefix engine (models/hmm_pscan.py,
+    # chunked two-level scans) vs the sequential lax.scan forms at hour
+    # scale — T=524288 frames is ~1 h of 48 kHz audio at the north-star
+    # hop (or ~9 h of 1 kHz EEG at scipy-default 1024). The sequential
+    # engine pays O(T) tiny steps per pass; the pscan engine is ~flat in
+    # T. Viterbi paths are bitwise-equal between engines (pinned in
+    # tests/test_hmm_pscan.py); the pscan E-step is also the MORE accurate
+    # one (gamma 1.3e-7 vs 1.2e-2 against an f64 oracle at T=601).
+    from spectral_tpu.models import hmm_pscan
+    T_long = 524288
+    rng_l = np.random.RandomState(11)
+    X_long = jnp.asarray(rng_l.randn(T_long, 2).astype(np.float32))
+    p0_long = hmm.init_params(
+        np.asarray(X_long[:4096], np.float64), 4, seed=42)
+    row_long = {}
+    for name, mod in (("pscan", hmm_pscan), ("scan", hmm)):
+        if name == "scan":
+            # the sequential engine at T=524288 costs minutes per program
+            # on TPU; measure it at T=65536 and report per-frame cost
+            Tm = 65536
+            Xm = X_long[:Tm]
+        else:
+            Tm, Xm = T_long, X_long
+        vit = jax.jit(mod.viterbi)
+        st = np.asarray(vit(p0_long, Xm))               # compile + warm
+        t0 = time.time()
+        st = np.asarray(vit(p0_long, Xm))
+        row_long[f"{name}_viterbi_T{Tm}_ms"] = round(
+            (time.time() - t0) * 1000, 1)
+        fit5 = jax.jit(lambda p, x, m=mod: m.fit(p, x, n_iter=5, tol=-1e30))
+        _ = float(fit5(p0_long, Xm)[1])
+        t0 = time.time()
+        _ = float(fit5(p0_long, Xm)[1])
+        row_long[f"{name}_fit5_T{Tm}_ms"] = round((time.time() - t0) * 1000, 1)
+    row_long["note"] = (
+        "parallel-prefix HMM at T=524288 (~1 h @ 48 kHz, hop 256) vs the "
+        "sequential engine at T=65536 (its per-frame cost scales "
+        "linearly); BurstDetector engine='auto' switches at "
+        f"{BurstDetector.PSCAN_THRESHOLD} frames on EVERY backend — a "
+        "correctness threshold: the sequential f32 E-step is wrong from "
+        "~2k frames (gamma off by O(1) at 4096, inf by 65536) while the "
+        "pscan E-step holds ~1.7e-7 vs an f64 oracle at every measured T")
+    S["hmm_long_context"] = row_long
+
     # Interactive plot latency: the session's fused plot program (one
     # jitted dispatch + one stacked D2H pull of the banded display pair;
     # api/session._plot_program) at the reference GUI's exact interactive
