@@ -86,6 +86,14 @@ def _session_for(paths: List[str], args):
             sys.exit(f"error: {e}")
     if not names:
         sys.exit("no sweeps loaded")
+    # Files loaded, heavy device work is next: persist its compiles. Every
+    # one-shot CLI process otherwise re-pays the full tunneled-TPU compile
+    # (20 s-minutes in slow spells) on each invocation. Lazy ON PURPOSE —
+    # after the cheap-validation fast-fail paths above, never at import
+    # time (CLAUDE.md: it initializes the backend); no-op on the CPU
+    # backend and under SPECTRAL_TPU_NO_CACHE=1.
+    from spectral_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     sel = names if args.combine else names[:1]
     if len(names) > 1 and not args.combine:
         # the non-combine path analyzes the first sweep only (reference
@@ -701,6 +709,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bands", action="store_true",
                    help="fold EEG band powers on device instead of "
                         "materializing the PSD (long-form analytics)")
+    p.add_argument("--detect", action="store_true",
+                   help="hour-scale unsupervised burst detection in "
+                        "bounded memory: features folded on device "
+                        "(never materializing the PSD), HMM on the "
+                        "parallel-prefix engine for long recordings")
+    p.add_argument("--csv", default=None,
+                   help="with --detect: write the burst table here")
     p.add_argument("--channel", type=int, default=0,
                    help="sweep/channel index for multi-channel files "
                         "(default 0, the reference's channel heuristic)")
@@ -946,6 +961,8 @@ def _dispatch(args) -> int:
         if any(n > len(x) for n in n_ffts):
             sys.exit(f"error: n_fft larger than the signal "
                      f"({len(x)} samples)")
+        from spectral_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()   # persist the grid-group compiles
         psds = sweep_grid(jnp.asarray(x), fs, configs)
         payload = {}
         for cfg_i, psd in zip(configs, psds):
@@ -983,6 +1000,11 @@ def _dispatch(args) -> int:
         except KeyError as e:
             sys.exit(f"error: {e}")
         cfg = _make_config(args)
+        # persist the streaming programs' compiles (same rationale and
+        # placement as _session_for: after cheap validation, before the
+        # first device work)
+        from spectral_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         hop = cfg.hop_
         # chunk must be a multiple of hop AND >= nperseg; the floor is
         # ceil(nperseg/hop)*hop — bare nperseg is NEVER a hop multiple in
@@ -1026,8 +1048,33 @@ def _dispatch(args) -> int:
             print(f"Total absolute power: {total:.6g}")
             if args.out is None:
                 return 0
+        if args.detect:
+            from spectral_tpu.parallel.streaming import stream_detect
+            try:
+                events = stream_detect(np.asarray(sig, np.float32), fs,
+                                       cfg, chunk)
+            except ValueError as e:
+                sys.exit(f"error: {e}")
+            for a, b in events:
+                print(f"{a:.4f}\t{b:.4f}")
+            if args.csv:
+                # same exporter/columns as `detect --csv`; the stream flow
+                # has no session, so hand it the minimal surface the
+                # exporter reads (events + single-source attribution)
+                from types import SimpleNamespace
+                from spectral_tpu.api.export import export_events_csv
+                shim = SimpleNamespace(
+                    last_detected_events=events, segment_map=[],
+                    currently_plotted_items=[os.path.basename(args.file)])
+                status = export_events_csv(args.csv, shim)
+                print(status)
+                if status.startswith("Error"):
+                    return 1
+            if args.out is None:
+                return 0
         if args.out is None:
-            sys.exit("error: -o/--out is required unless --bands is given")
+            sys.exit("error: -o/--out is required unless --bands or "
+                     "--detect is given")
         streamer = scan_spectrogram if args.scan else stream_spectrogram
         psd = streamer(np.asarray(sig, np.float32), fs, cfg, chunk)
         # --fmin/--fmax are honored like in render, but the mask (and for
@@ -1105,6 +1152,8 @@ def _dispatch(args) -> int:
                   if all_wav else
                   registry_clip_source(args.files, fs,
                                        on_error=args.on_error))
+        from spectral_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()   # persist the pipeline compiles
         stats = export_spectrograms(
             source,
             fs, cfg,

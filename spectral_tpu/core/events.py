@@ -49,6 +49,15 @@ def _features_core(psd_tf: Array, w: Array) -> Array:
     # 2e-4 feature contract (and these reductions are never the hot path).
     power = jnp.einsum("...tf,f->...t", psd_tf.astype(jnp.float32), w,
                        precision=jax.lax.Precision.HIGHEST)
+    return features_from_band_power(power)
+
+
+def features_from_band_power(power: Array) -> Array:
+    """(..., T) per-frame band power -> (..., T, 2) HMM features: the exact
+    PlotEngine.py:238-242 arithmetic (log10(power + 1e-20) and its
+    prepend-first np.diff) applied to an already-reduced band power — the
+    streaming path (parallel/streaming.stream_features) folds the PSD down
+    to this on device without ever materializing it."""
     log_power = jnp.log10(power + 1e-20)
     delta = jnp.diff(log_power, axis=-1,
                      prepend=log_power[..., :1])

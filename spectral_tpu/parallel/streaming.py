@@ -513,3 +513,66 @@ def iter_stream(chunks: Iterator[np.ndarray], fs: float, cfg: SpecConfig,
         abs_idx = first_abs + np.arange(s.frames_per_chunk)
         valid = valid & (abs_idx * h + cfg.nperseg <= n_seen)
         yield np.asarray(psd)[valid], max(first_abs, 0)
+
+
+def stream_features(x, fs: float, cfg: SpecConfig, chunk_size: int,
+                    use_matmul: Optional[bool] = None,
+                    chunks_per_block: int = 64):
+    """Per-frame HMM detection features for an arbitrarily long recording:
+    ONE device dispatch, bounded HBM. The PSD is folded block-by-block to
+    per-frame band power over the session's detection band (cfg.fmin..fmax
+    defaulting to the full axis — api/session._features semantics,
+    PlotEngine.py:238-242) and never materialized; an hour of 48 kHz audio
+    yields a ~1.4 GB PSD but only a ~2.7 MB power track.
+
+    Returns (t (T,) host frame times, feats (T, 2) on device) — identical
+    to core/events.features_from_psd of the monolithic PSD up to float
+    reassociation (pinned in tests/test_parallel.py)."""
+    from spectral_tpu.core.events import features_from_band_power
+    from spectral_tpu.core.stft import freq_axis, time_axis
+    _validate_chunking(cfg, chunk_size, "chunk_size")
+    f = freq_axis(cfg, fs)
+    fmin = cfg.fmin if cfg.fmin is not None else 0.0
+    fmax = cfg.fmax if cfg.fmax is not None else float(f[-1])
+    w = jnp.asarray(((f >= fmin) & (f <= fmax)).astype(np.float32))
+    hp = jax.lax.Precision.HIGHEST
+
+    def fold(acc, psd, valid):
+        # HIGHEST for the same reason as events._features_core: the
+        # TPU-default dot rounds the PSD to bf16 inside the band reduction
+        return acc, jnp.einsum("tf,f->t", psd.astype(jnp.float32), w,
+                               precision=hp)
+
+    block = chunk_size * max(1, chunks_per_block)
+    n_blocks = max(1, math.ceil(x.shape[-1] / block))
+    if n_blocks == 1:
+        block = chunk_size * max(1, min(
+            chunks_per_block, math.ceil(x.shape[-1] / chunk_size)))
+    s = ScanStreamer(fs, cfg, block, x.shape[-1], use_matmul, fold,
+                     jnp.zeros(()))
+    _, ys = s(x)
+    power = jax.lax.slice_in_dim(ys.reshape(-1), s.skip,
+                                 s.skip + s.total_frames, axis=0)
+    return time_axis(cfg, fs, x.shape[-1]), features_from_band_power(power)
+
+
+def stream_detect(x, fs: float, cfg: SpecConfig, chunk_size: int,
+                  detector=None, use_matmul: Optional[bool] = None,
+                  chunks_per_block: int = 64):
+    """Hour-scale unsupervised burst detection in bounded memory: streaming
+    feature extraction (:func:`stream_features`) into a BurstDetector,
+    whose engine='auto' routes long feature sequences to the
+    parallel-prefix HMM (models/hmm_pscan.py — the sequential f32 E-step
+    is wrong from ~2k frames). The reference's equivalent needs the whole
+    Sxx in RAM (PlotEngine.py:411-473 after :113's full STFT); here
+    neither the PSD nor the display image ever exists.
+
+    Returns merged (start, end) events (same scan + merge semantics as the
+    plot-based flow; identical results on the same recording are pinned in
+    tests/test_parallel.py)."""
+    from spectral_tpu.models.detector import BurstDetector
+    t, feats = stream_features(x, fs, cfg, chunk_size,
+                               use_matmul=use_matmul,
+                               chunks_per_block=chunks_per_block)
+    det = detector if detector is not None else BurstDetector()
+    return det.unsupervised_detect(t, np.asarray(feats))

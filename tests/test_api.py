@@ -552,6 +552,48 @@ def test_cli_stream_bands(tmp_path, capsys):
     assert bp["Theta (θ)"] > 0.5
 
 
+def test_cli_stream_detect_matches_detect(tmp_path, capsys):
+    """`stream --detect` (bounded-memory features + auto-engine HMM) must
+    report the same events and CSV rows as the plot-based `detect`."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "long.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=60.0) * 0.5, fs)
+
+    csv_a = str(tmp_path / "a.csv")
+    assert main(["detect", wav_path, "--scipy-compat", "--fmin", "0",
+                 "--fmax", "30", "--csv", csv_a]) == 0
+    out_detect = [l for l in capsys.readouterr().out.splitlines()
+                  if "\t" in l]
+
+    csv_b = str(tmp_path / "b.csv")
+    assert main(["stream", wav_path, "--detect", "--scipy-compat",
+                 "--fmin", "0", "--fmax", "30", "--chunk-seconds", "5",
+                 "--csv", csv_b]) == 0
+    out_stream = [l for l in capsys.readouterr().out.splitlines()
+                  if "\t" in l]
+    assert out_stream == out_detect and len(out_detect) >= 1
+    rows_a = open(csv_a).read().splitlines()
+    rows_b = open(csv_b).read().splitlines()
+    # same header and same (start, end, IBI) columns; source-file
+    # attribution differs only by design (session display name vs file)
+    assert rows_a[0] == rows_b[0]
+    assert [r.split(",")[3:] for r in rows_a[1:]] == \
+           [r.split(",")[3:] for r in rows_b[1:]]
+
+
+def test_cli_stream_detect_requires_no_out(tmp_path, capsys):
+    """--detect alone is a complete command (no -o needed), like --bands."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "s.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=30.0) * 0.5, fs)
+    assert main(["stream", wav_path, "--detect", "--nperseg", "512",
+                 "--hop", "128", "--chunk-seconds", "5", "--fmin", "0",
+                 "--fmax", "30"]) == 0
+    assert "\t" in capsys.readouterr().out
+
+
 def test_cli_stream_channel_select(tmp_path, capsys):
     """--channel picks a sweep of a multi-channel file; out-of-range is a
     clear error (default 0 = the reference's channel heuristic)."""

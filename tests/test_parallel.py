@@ -373,6 +373,58 @@ def test_iter_stream_indices():
     np.testing.assert_allclose(cat, ref, rtol=1e-4, atol=1e-9)
 
 
+def test_stream_features_matches_monolithic():
+    """stream_features' folded band power must reproduce
+    features_from_psd of the monolithic PSD (same HIGHEST reduction,
+    never materializing the PSD)."""
+    from spectral_tpu.parallel.streaming import stream_features
+    from spectral_tpu.core import events as ev
+    from spectral_tpu.core.stft import power_spectrogram, freq_axis, time_axis
+    rng = np.random.RandomState(0)
+    fs = 1000.0
+    x = rng.randn(60 * 1000).astype(np.float32)
+    for cfg in (SpecConfig.north_star(256, 64),
+                SpecConfig.scipy_default(1024),
+                SpecConfig.scipy_default(1024, fmin=0.0, fmax=30.0)):
+        t, feats = stream_features(x, fs, cfg, chunk_size=8 * cfg.hop_,
+                                   chunks_per_block=4)
+        psd = power_spectrogram(jnp.asarray(x), fs, cfg)
+        f = freq_axis(cfg, fs)
+        fmin = cfg.fmin if cfg.fmin is not None else 0.0
+        fmax = cfg.fmax if cfg.fmax is not None else float(f[-1])
+        ref = np.asarray(ev.features_from_psd(f, psd, fmin, fmax))
+        np.testing.assert_allclose(np.asarray(feats), ref,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(t, time_axis(cfg, fs, len(x)))
+
+
+def test_stream_detect_matches_plot_based_detect():
+    """The bounded-memory detection flow must report the same events as
+    the plot-based BurstDetector flow on the same recording."""
+    from spectral_tpu.parallel.streaming import stream_detect
+    from spectral_tpu.core import events as ev
+    from spectral_tpu.core.stft import power_spectrogram, freq_axis, time_axis
+    from spectral_tpu.models.detector import BurstDetector
+    rng = np.random.RandomState(2)
+    fs = 1000.0
+    n = 60 * 1000
+    t_samp = np.arange(n) / fs
+    x = 0.02 * rng.randn(n)
+    for a, b in ((10, 15), (30, 38)):
+        m = (t_samp >= a) & (t_samp < b)
+        x[m] += 0.6 * np.hanning(m.sum()) * np.sin(
+            2 * np.pi * 6.0 * t_samp[m])
+    x = x.astype(np.float32)
+    cfg = SpecConfig.scipy_default(1024, fmin=0.0, fmax=30.0)
+    ev_stream = stream_detect(x, fs, cfg, chunk_size=8 * cfg.hop_)
+    psd = power_spectrogram(jnp.asarray(x), fs, cfg)
+    f = freq_axis(cfg, fs)
+    feats = np.asarray(ev.features_from_psd(f, psd, 0.0, 30.0))
+    ev_plot = BurstDetector().unsupervised_detect(
+        time_axis(cfg, fs, n), feats)
+    assert ev_stream == ev_plot and len(ev_plot) >= 2
+
+
 # ---- distributed EM --------------------------------------------------------
 
 def _batch_sequences(B=8, T=200, seed=0):
