@@ -138,6 +138,110 @@ def batched_spectrogram_fn(fs: float, cfg: SpecConfig, *,
     return fn
 
 
+def time_sharded_spectrogram(mesh: Mesh, fs: float, cfg: SpecConfig, *,
+                             seq_axis: str = "data",
+                             use_matmul: bool = True):
+    """Sequence parallelism over ONE recording's raw sample axis.
+
+    The dp/tp forms above parallelize over clips and frequency bins; this
+    is the third mesh axis of the problem — a single recording too long
+    for one chip, sharded along TIME. Each device holds a contiguous span
+    of samples and computes the frames that START in its span; because
+    frames overlap by ``nperseg - hop`` samples, each device first fetches
+    that many samples from its right neighbour with ONE
+    ``lax.ppermute`` (a nearest-neighbour ICI hop — no all-gather, no
+    full-signal replication anywhere). The reference has no counterpart
+    (single-process scipy over the whole array, PlotEngine.py:113); this
+    is the TPU-native scaling form for pod-scale recordings.
+
+    Returns a jitted callable ``x (..., L) -> psd (..., L//hop, F)`` where
+    the last axis of ``x`` and the frame axis of the output are sharded
+    over ``seq_axis``. The output is an ordinary GSPMD global array:
+    downstream reductions (band-power folds, normalization max) compose
+    under jit and lower to ICI collectives automatically.
+
+    The frame axis is the evenly-shardable ``L//hop``, NOT scipy's
+    ``num_frames(L, nperseg, hop)``: the last ``L//hop - num_frames``
+    rows (< nperseg/hop, all on the last shard) are frames whose window
+    would cross the end of the recording — scipy drops them; here they
+    are ZEROED in-shard so sums/maxes over frames match the valid-frame
+    answer exactly. They cannot be sliced off on device: an uneven
+    sharded axis is unrepresentable (jit rejects it) and the only other
+    lowering is a full all-gather of the spectrogram just to drop <4
+    rows (observed before this design). Slice ``[..., :num_frames(L,
+    cfg.nperseg, cfg.hop_), :]`` after fetching to host (or accept the
+    gather) when the exact scipy shape is needed.
+
+    Constraints (checked at trace time): ``center=False`` framing (the
+    scipy contract; centered padding does not decompose across shards),
+    ``L`` divisible by the axis size, per-shard length a multiple of
+    ``hop`` (so every frame start lands in exactly one shard), and halo
+    ``nperseg - hop <= L/D`` (halo crosses at most one neighbour).
+    Per-frame values match :func:`core.stft.power_spectrogram` exactly up
+    to matmul-shape reassociation (pinned in tests/test_parallel.py).
+    """
+    if cfg.center:
+        raise ValueError("time_sharded_spectrogram requires center=False "
+                         "framing (centered padding does not decompose "
+                         "across time shards)")
+    if cfg.mode == "complex":
+        raise ValueError("mode='complex' has no power spectrogram")
+    if seq_axis not in mesh.shape:
+        raise ValueError(f"mesh has no axis {seq_axis!r}: {mesh.shape}")
+    from spectral_tpu.core.stft import num_frames, power_spectrogram
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    D = mesh.shape[seq_axis]
+    hop, nperseg = cfg.hop_, cfg.nperseg
+    halo = nperseg - hop
+
+    def call(x: Array) -> Array:
+        L = x.shape[-1]
+        if L % D:
+            raise ValueError(f"sample axis {L} not divisible by "
+                             f"{seq_axis!r} size {D}")
+        Lc = L // D
+        if Lc % hop:
+            raise ValueError(f"per-shard length {Lc} must be a multiple of "
+                             f"hop {hop} so frame starts align to shards")
+        if halo > Lc:
+            raise ValueError(f"halo nperseg-hop={halo} exceeds the shard "
+                             f"length {Lc}; use fewer shards")
+        t_total = num_frames(L, nperseg, hop)
+        if t_total <= 0:
+            raise ValueError(f"recording ({L} samples) shorter than one "
+                             f"frame ({nperseg})")
+        lead = (None,) * (x.ndim - 1)
+        perm = [(d + 1, d) for d in range(D - 1)]
+        t_loc = Lc // hop
+
+        def body(xs: Array) -> Array:
+            if halo:
+                h = jax.lax.ppermute(xs[..., :halo], seq_axis, perm)
+                xs = jnp.concatenate([xs, h], axis=-1)
+            # (Lc + halo - nperseg)//hop + 1 == Lc//hop local frames —
+            # exactly the frames starting in this shard
+            psd = power_spectrogram(xs, fs, cfg, use_matmul=use_matmul)
+            if t_loc * D > t_total:
+                # the last shard's tail frames window into the ppermute
+                # zero-fill (no right neighbour) — scipy drops these
+                # partial frames; zero them in-shard (docstring)
+                g = (jax.lax.axis_index(seq_axis) * t_loc
+                     + jnp.arange(t_loc))
+                psd = psd * (g < t_total).astype(psd.dtype)[:, None]
+            return psd
+
+        return shard_map(body, mesh=mesh,
+                         in_specs=P(*lead, seq_axis),
+                         out_specs=P(*lead, seq_axis, None))(x)
+
+    from spectral_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    return jax.jit(call)
+
+
 def shard_pipeline(mesh: Mesh, fs: float, cfg: SpecConfig, *,
                    use_matmul: bool = True,
                    colormap: Optional[str] = "jet",

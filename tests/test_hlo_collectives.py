@@ -130,3 +130,30 @@ def test_sharded_em_step_reduces_only_sufficient_stats():
         for s in shapes:
             assert np.prod(s, dtype=int) <= K * K, \
                 f"collective moves more than sufficient stats: {cols}"
+
+
+def test_time_sharded_stft_moves_only_the_halo():
+    # sequence parallelism over one recording's sample axis: the ONLY
+    # cross-chip traffic is the nearest-neighbour halo exchange of
+    # nperseg - hop samples (a collective-permute) — never an all-gather
+    # of the signal or the spectrogram. The tail-frame zeroing and the
+    # per-shard framing are all local.
+    from spectral_tpu.parallel.sharding import time_sharded_spectrogram
+    cfg = SpecConfig.north_star(256, 64)           # halo = 192
+    fn = time_sharded_spectrogram(_mesh(), 1000.0, cfg)
+    txt = fn.lower(
+        jax.ShapeDtypeStruct((8 * 1024,), np.float32)).compile().as_text()
+    cols = _collectives(txt)
+    assert cols, "the overlapped framing must exchange a halo"
+    for op, shapes in cols:
+        assert op == "collective-permute", cols
+        for s in shapes:
+            assert np.prod(s, dtype=int) <= 192, \
+                f"halo exchange moves more than nperseg-hop samples: {cols}"
+    # no-overlap framing (hop == nperseg): embarrassingly parallel,
+    # zero collectives
+    fn0 = time_sharded_spectrogram(_mesh(), 1000.0,
+                                   SpecConfig.north_star(128, 128))
+    txt0 = fn0.lower(
+        jax.ShapeDtypeStruct((8 * 512,), np.float32)).compile().as_text()
+    assert _collectives(txt0) == []

@@ -1144,3 +1144,75 @@ def test_export_pipeline_isolates_underflowed_clips(tmp_path):
     with pytest.raises(ValueError, match="underflow"):
         export_spectrograms([("tiny", clips[0][1])], fs, cfg,
                             str(tmp_path / "b"), clip_samples=n, batch=2)
+
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism: one recording's sample axis sharded over the mesh
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("cfg,L", [
+    (SpecConfig.north_star(256, 64), 8 * 1024),      # halo 192
+    (SpecConfig.scipy_default(256), 8 * 224 * 5),    # reference framing, halo 32
+    (SpecConfig.north_star(128, 128), 8 * 512),      # hop == nperseg: no halo
+])
+def test_time_sharded_spectrogram_matches_monolithic(cfg, L):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from spectral_tpu.parallel.sharding import time_sharded_spectrogram
+    fs = 1000.0
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    fn = time_sharded_spectrogram(mesh, fs, cfg)
+    x = np.random.RandomState(0).randn(L).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    got = np.asarray(fn(xs))
+    t_valid = num_frames(L, cfg.nperseg, cfg.hop_)
+    ref = np.asarray(power_spectrogram(jnp.asarray(x), fs, cfg))
+    assert got.shape == (L // cfg.hop_, ref.shape[-1])
+    np.testing.assert_allclose(got[:t_valid], ref, rtol=2e-5, atol=1e-9)
+    # scipy drops trailing partial frames; here they are zeroed in-shard
+    assert (got[t_valid:] == 0).all()
+
+
+def test_time_sharded_spectrogram_batched_and_fold_compose():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from spectral_tpu.parallel.sharding import time_sharded_spectrogram
+    fs, L = 1000.0, 8 * 512
+    cfg = SpecConfig.north_star(256, 64)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    fn = time_sharded_spectrogram(mesh, fs, cfg)
+    xb = np.random.RandomState(1).randn(3, L).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(xb), NamedSharding(mesh, P(None, "data")))
+    t_valid = num_frames(L, cfg.nperseg, cfg.hop_)
+    ref = np.asarray(power_spectrogram(jnp.asarray(xb), fs, cfg))
+    got = np.asarray(fn(xs))
+    np.testing.assert_allclose(got[:, :t_valid], ref, rtol=2e-5, atol=1e-9)
+    # downstream reductions compose under jit (GSPMD inserts the
+    # collectives); the zeroed tail frames keep the fold exact
+    tot = jax.jit(lambda a: jnp.sum(fn(a), axis=-2))(xs)
+    np.testing.assert_allclose(np.asarray(tot), ref.sum(-2), rtol=2e-5)
+
+
+def test_time_sharded_spectrogram_validation():
+    from jax.sharding import Mesh
+    from spectral_tpu.parallel.sharding import time_sharded_spectrogram
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    fs = 1000.0
+    with pytest.raises(ValueError, match="center=False"):
+        time_sharded_spectrogram(mesh, fs,
+                                 SpecConfig.north_star(256, 64, center=True))
+    with pytest.raises(ValueError, match="no axis"):
+        time_sharded_spectrogram(mesh, fs, SpecConfig.north_star(256, 64),
+                                 seq_axis="model")
+    fn = time_sharded_spectrogram(mesh, fs, SpecConfig.north_star(256, 64))
+    with pytest.raises(ValueError, match="not divisible"):
+        fn(jnp.zeros(8 * 1024 + 1))
+    with pytest.raises(ValueError, match="multiple of"):
+        fn(jnp.zeros(8 * 1000))              # shard 1000 % hop 64 != 0
+    big = time_sharded_spectrogram(mesh, fs, SpecConfig.north_star(4096, 64))
+    with pytest.raises(ValueError, match="halo"):
+        big(jnp.zeros(8 * 1024))             # halo 4032 > shard 1024
+    # only reachable on a 1-device mesh: 8-way shard constraints already
+    # imply L >= nperseg (Lc >= max(hop, halo) makes L >= nperseg at D >= 2)
+    one = Mesh(np.array(jax.devices()[:1]), ("data",))
+    fn1 = time_sharded_spectrogram(one, fs, SpecConfig.north_star(256, 64))
+    with pytest.raises(ValueError, match="shorter than one frame"):
+        fn1(jnp.zeros(192))                  # 192 % 64 == 0, halo fits, L < 256
