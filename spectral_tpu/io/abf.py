@@ -16,17 +16,23 @@ scale = fADCRange / lADCResolution / fInstrumentScaleFactor / fSignalGain /
 fADCProgrammableGain (/ fTelegraphAdditGain when telegraph is enabled) and
 offset = fInstrumentOffset - fSignalOffset.
 
-Scope: episodic/gap-free/fixed-length and event-driven VARIABLE-LENGTH
-(nOperationMode 1) int16 and float32 data without compression (enforced:
-compressed ABF2 raises ValueError). Variable-length files segment the data
-section by the SynchArray section's (lStart, lLength) pairs — ABF2 section
-index 15, ABF1 pointer/size at header offsets 92/96 — whose lLength counts
+Scope: episodic/gap-free/fixed-length and both EVENT-DRIVEN modes —
+variable-length (nOperationMode 1) and fixed-length (nOperationMode 2) —
+int16 and float32 data without compression (enforced: compressed ABF2
+raises ValueError). Event-driven files segment the data section by the
+SynchArray section's (lStart, lLength) pairs — ABF2 section index 15,
+ABF1 pointer/size at header offsets 92/96 — whose lLength counts
 MULTIPLEXED samples (all channels interleaved); events are stored
 back-to-back, so event i occupies the cumulative-length slice. lStart is
 in fSynchTimeUnit microseconds per unit (0 = multiplexed samples);
-:meth:`AbfInfo.sweep_start_seconds` converts. A mode-1 file whose synch
-section is missing or inconsistent with the data section is refused with
-the mode named. ABF1 channel order follows nADCSamplingSeq (the
+:meth:`AbfInfo.sweep_start_seconds` converts. In mode 2 every episode
+must additionally match lNumSamplesPerEpisode (the last may be shorter —
+acquisition can stop mid-episode); a mismatch elsewhere means the header
+and synch array disagree about segmentation and the file is refused. An
+event-driven file whose synch section is missing or inconsistent with
+the data section is refused with the mode named — never silently
+uniform-divided (pyabf reads both modes via their synch arrays,
+SweepManager.py:21-58). ABF1 channel order follows nADCSamplingSeq (the
 interleaved data is in sampling-sequence order; scaling arrays are indexed
 by physical channel), data starts nNumPointsIgnored samples into the data
 section, and telegraph gain applies from header version 1.6 on.
@@ -176,9 +182,10 @@ class AbfInfo:
                                    offset=start)
         # int16 files always declare format 0; trust the section entry size
         self.data_is_int = data_size == 2
-        if self.operation_mode == 1:
-            # event-driven variable-length: sweeps are the SynchArray's
-            # (lStart, lLength) events (section 15; 8-byte entries)
+        if self.operation_mode in (1, 2):
+            # event-driven (variable- or fixed-length): sweeps are the
+            # SynchArray's (lStart, lLength) events (section 15; 8-byte
+            # entries)
             sy_block, sy_size, sy_count = self._section(15)
             # entry size 0 means "section absent" — with a positive count
             # that is a contradiction, and reading 8-byte pairs anyway
@@ -246,9 +253,10 @@ class AbfInfo:
             buf, dtype, count=acq_len,
             offset=data_ptr * BLOCK + points_ignored * itemsize)
         self.data_is_int = self.data_format == 0
-        if self.operation_mode == 1:
-            # event-driven variable-length: events from the synch array
-            # (lSynchArrayPtr block @92, lSynchArraySize pairs @96)
+        if self.operation_mode in (1, 2):
+            # event-driven (variable- or fixed-length): events from the
+            # synch array (lSynchArrayPtr block @92, lSynchArraySize
+            # pairs @96)
             sy_ptr = u("i", 92)
             sy_count = u("i", 96)
             self._parse_synch_events(sy_ptr * BLOCK, sy_count)
@@ -258,16 +266,22 @@ class AbfInfo:
 
     def _parse_synch_events(self, offset: int, count: int) -> None:
         """Segment the data section by the SynchArray's (lStart, lLength)
-        events — nOperationMode 1 (event-driven variable-length), where
-        uniform division by episode count would misalign every sweep.
-        lLength counts MULTIPLEXED samples; events are stored back-to-back
-        in the data section, so bounds are cumulative lengths. All fields
-        are untrusted bytes: counts/lengths inconsistent with the data
-        section refuse with the mode named (pyabf loads these files,
-        SweepManager.py:21-58 rides it; refusing *valid* ones was the r3
-        scope gap)."""
-        mode_msg = ("ABF event-driven variable-length file "
-                    "(nOperationMode=1): ")
+        events — nOperationMode 1 (event-driven variable-length) and 2
+        (event-driven fixed-length), where uniform division by episode
+        count would misalign every sweep (mode 1) or silently discard the
+        recorded episode start times (mode 2). lLength counts MULTIPLEXED
+        samples; events are stored back-to-back in the data section, so
+        bounds are cumulative lengths. In mode 2 lLength must also equal
+        lNumSamplesPerEpisode for every episode but the last (which may
+        be truncated by a stop mid-episode) — a mismatch means the header
+        and synch array disagree about segmentation. All fields are
+        untrusted bytes: counts/lengths inconsistent with the data
+        section refuse with the mode named (pyabf loads both modes,
+        SweepManager.py:21-58 rides it; refusing *valid* mode-1 files was
+        the r3 scope gap, silently uniform-dividing mode-2 the r4 one)."""
+        kind = {1: "variable-length", 2: "fixed-length"}[self.operation_mode]
+        mode_msg = (f"ABF event-driven {kind} file "
+                    f"(nOperationMode={self.operation_mode}): ")
         if count <= 0:
             raise ValueError(
                 mode_msg + "missing/empty SynchArray section — cannot "
@@ -308,6 +322,18 @@ class AbfInfo:
             raise ValueError(
                 mode_msg + "SynchArray event length not a multiple of "
                 f"the channel count {self.n_channels}")
+        if self.operation_mode == 2 and self.samples_per_episode > 0:
+            # fixed-length episodes: every lLength must be the protocol's
+            # lNumSamplesPerEpisode (multiplexed); only the LAST may be
+            # shorter (acquisition stopped mid-episode). Any other
+            # mismatch means header and synch array disagree about where
+            # episodes live — segmenting by either would be a guess.
+            spe = int(self.samples_per_episode)
+            if (np.any(lengths[:-1] != spe) or lengths[-1] > spe):
+                raise ValueError(
+                    mode_msg + "SynchArray episode lengths "
+                    f"{[int(l) for l in lengths[:4]]}... disagree with "
+                    f"lNumSamplesPerEpisode={spe}")
         ends = np.cumsum(lengths)
         if ends[-1] > len(self._data):
             raise ValueError(
@@ -474,15 +500,27 @@ def write_abf2_fixture(filepath: str, sweeps: np.ndarray, fs: float,
 
 def write_abf2_event_fixture(filepath: str, events, fs: float,
                              n_channels: int = 1,
-                             starts_samples=None) -> None:
-    """Write a list of variable-length 1-D float arrays as an int16 ABF2
-    EVENT-DRIVEN (nOperationMode=1) file with a SynchArray section
-    (index 15), readable by this module. Events are stored back-to-back;
-    each synch entry is (lStart in multiplexed samples — fSynchTimeUnit
-    left 0 — and lLength in multiplexed samples)."""
+                             starts_samples=None,
+                             operation_mode: int = 1) -> None:
+    """Write a list of 1-D float arrays as an int16 ABF2 EVENT-DRIVEN
+    file with a SynchArray section (index 15), readable by this module.
+    operation_mode 1 = variable-length (any event lengths); 2 =
+    fixed-length (all events equal — the last may be shorter — and
+    lNumSamplesPerEpisode is stamped into the protocol). Events are
+    stored back-to-back; each synch entry is (lStart in multiplexed
+    samples — fSynchTimeUnit left 0 — and lLength in multiplexed
+    samples)."""
+    if operation_mode not in (1, 2):
+        raise ValueError(f"operation_mode must be 1 or 2: {operation_mode}")
     events = [np.asarray(e, np.float64).ravel() for e in events]
     if not events:
         raise ValueError("at least one event required")
+    if operation_mode == 2:
+        head = {e.size for e in events[:-1]} or {events[-1].size}
+        if len(head) != 1 or events[-1].size > max(head):
+            raise ValueError(
+                "mode-2 fixture requires equal-length events "
+                "(last may be shorter)")
     adc_range, adc_res = 10.0, 2 ** 15
     peak = max(float(np.abs(e).max()) if e.size else 0.0
                for e in events) or 1.0
@@ -497,8 +535,10 @@ def write_abf2_event_fixture(filepath: str, events, fs: float,
     proto_fmt = "<" + "".join(c for _, c in _PROTOCOL_FIELDS)
     proto_vals = {n: 0 for n, _ in _PROTOCOL_FIELDS}
     proto_vals.update(dict(
-        nOperationMode=1, fADCSequenceInterval=1e6 / fs, sUnused1=b"\0" * 3,
-        fADCRange=adc_range, lADCResolution=adc_res))
+        nOperationMode=operation_mode, fADCSequenceInterval=1e6 / fs,
+        sUnused1=b"\0" * 3, fADCRange=adc_range, lADCResolution=adc_res))
+    if operation_mode == 2:
+        proto_vals["lNumSamplesPerEpisode"] = events[0].size * n_channels
     proto = struct.pack(proto_fmt,
                         *[proto_vals[n] for n, _ in _PROTOCOL_FIELDS])
 

@@ -172,6 +172,14 @@ def time_sharded_spectrogram(mesh: Mesh, fs: float, cfg: SpecConfig, *,
     cfg.nperseg, cfg.hop_), :]`` after fetching to host (or accept the
     gather) when the exact scipy shape is needed.
 
+    .. warning:: The zero rows are neutral ONLY for nonnegative
+       reductions (sum, max, mean-after-rescale). A min over frames, a
+       log/dB map, or normalize-style (val - min)/(max - min) scaling
+       sees the zeros as real data (min collapses to 0; log underflows
+       to -inf). For those folds, slice to the valid frame count first
+       — the returned callable carries it as ``fn.num_valid_frames(L)``
+       — or fold only over ``[..., :fn.num_valid_frames(L), :]``.
+
     Constraints (checked at trace time): ``center=False`` framing (the
     scipy contract; centered padding does not decompose across shards),
     ``L`` divisible by the axis size, per-shard length a multiple of
@@ -239,7 +247,11 @@ def time_sharded_spectrogram(mesh: Mesh, fs: float, cfg: SpecConfig, *,
 
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    return jax.jit(call)
+    fn = jax.jit(call)
+    # Host-side companion for the docstring's min/log-fold warning: the
+    # count of frames that are real (non-zeroed) for a given length.
+    fn.num_valid_frames = lambda L: num_frames(L, nperseg, hop)
+    return fn
 
 
 def shard_pipeline(mesh: Mesh, fs: float, cfg: SpecConfig, *,
