@@ -706,6 +706,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan", action="store_true",
                    help="device-resident lax.scan: the whole recording in "
                         "ONE dispatch (fastest on remote/tunneled runtimes)")
+    p.add_argument("--mesh", action="store_true",
+                   help="with --scan on a multi-device runtime: shard the "
+                        "recording's SAMPLE axis over all devices "
+                        "(sequence parallelism; each device computes its "
+                        "own frames after a one-hop ppermute halo "
+                        "exchange). Ignored with a single device")
     p.add_argument("--bands", action="store_true",
                    help="fold EEG band powers on device instead of "
                         "materializing the PSD (long-form analytics)")
@@ -1075,8 +1081,18 @@ def _dispatch(args) -> int:
         if args.out is None:
             sys.exit("error: -o/--out is required unless --bands or "
                      "--detect is given")
-        streamer = scan_spectrogram if args.scan else stream_spectrogram
-        psd = streamer(np.asarray(sig, np.float32), fs, cfg, chunk)
+        if args.scan and getattr(args, "mesh", False):
+            # sequence parallelism: sample axis sharded over every device,
+            # halo via ppermute (parallel/sharding.time_sharded_spectrogram;
+            # scan_spectrogram pads/slices back to the monolithic grid and
+            # falls back to the single-device scan when it cannot apply —
+            # e.g. centered framing or a 1-device runtime)
+            from spectral_tpu.parallel.mesh import make_mesh
+            psd = scan_spectrogram(np.asarray(sig, np.float32), fs, cfg,
+                                   chunk, mesh=make_mesh())
+        else:
+            streamer = scan_spectrogram if args.scan else stream_spectrogram
+            psd = streamer(np.asarray(sig, np.float32), fs, cfg, chunk)
         # --fmin/--fmax are honored like in render, but the mask (and for
         # PNG output the normalize/colormap too) runs ON DEVICE so only
         # the rows being written cross the link — a 1 h @ 48 kHz full-band

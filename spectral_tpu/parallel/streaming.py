@@ -391,13 +391,55 @@ class ScanStreamer:
 
 def scan_spectrogram(x, fs: float, cfg: SpecConfig, chunk_size: int,
                      use_matmul: Optional[bool] = None,
-                     chunks_per_block: int = 64) -> Array:
+                     chunks_per_block: int = 64,
+                     mesh=None, seq_axis: str = "data") -> Array:
     """Fully device-resident streaming STFT: ONE dispatch for the whole
     signal, `lax.scan` over staged chunk blocks with the overlap carry
     threaded as scan state (VERDICT round-1 item 1). Working set per scan
     step is one block; the stacked PSD lands in HBM and is returned trimmed
-    to the monolithic frame grid, identical to power_spectrogram(x)."""
+    to the monolithic frame grid, identical to power_spectrogram(x).
+
+    With ``mesh`` (and >1 device on ``seq_axis``) the recording is instead
+    SHARDED ALONG TIME over the mesh axis and computed by
+    :func:`spectral_tpu.parallel.sharding.time_sharded_spectrogram` — each
+    device holds a contiguous span of samples, fetches the nperseg-hop halo
+    from its right neighbour with one ``lax.ppermute``, and computes only
+    its own frames. The sample axis is zero-padded up to a multiple of
+    D*hop so every frame start lands in exactly one shard; the returned
+    PSD is sliced back to the monolithic frame grid (the slice gathers
+    only at the consumer boundary). Falls back to the single-device scan
+    when the sharded form cannot apply: centered framing (the scipy
+    contract's center=False is required — centered padding does not
+    decompose across shards), complex mode, or a recording so short the
+    halo would span a whole shard."""
     _validate_chunking(cfg, chunk_size, "chunk_size")
+    if mesh is not None:
+        D = int(mesh.shape.get(seq_axis, 1))
+        L0 = int(x.shape[-1])
+        hop, nperseg = cfg.hop_, cfg.nperseg
+        quantum = D * hop
+        Lp = -(-L0 // quantum) * quantum              # ceil to D*hop
+        if (D > 1 and not cfg.center and cfg.mode != "complex"
+                and nperseg - hop <= Lp // D and L0 >= nperseg):
+            from jax.sharding import NamedSharding, PartitionSpec
+            from spectral_tpu.core.stft import num_frames
+            from spectral_tpu.parallel.sharding import (
+                time_sharded_spectrogram)
+            lead = (None,) * (x.ndim - 1)
+            sh = NamedSharding(mesh, PartitionSpec(*lead, seq_axis))
+            xp = jnp.asarray(x)
+            if Lp != L0:
+                pad = [(0, 0)] * (xp.ndim - 1) + [(0, Lp - L0)]
+                xp = jnp.pad(xp, pad)
+            xp = jax.device_put(xp, sh)
+            psd = time_sharded_spectrogram(mesh, fs, cfg,
+                                           use_matmul=use_matmul
+                                           if use_matmul is not None
+                                           else True)(xp)
+            # frames windowing into the zero pad are dropped exactly by
+            # slicing to the ORIGINAL length's frame count (frame i is
+            # real iff i*hop + nperseg <= L0)
+            return psd[..., :num_frames(L0, nperseg, hop), :]
     block = chunk_size * max(1, chunks_per_block)
     n_blocks = max(1, math.ceil(x.shape[-1] / block))
     if n_blocks == 1:

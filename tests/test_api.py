@@ -370,6 +370,15 @@ def test_cli_stream_npz_and_png(tmp_path):
     np.testing.assert_allclose(np.load(scan_npz)["psd"], z["psd"],
                                rtol=1e-5, atol=1e-10)
 
+    # --scan --mesh: sample axis sharded over every (virtual) device with
+    # the ppermute halo exchange; values match the plain scan
+    mesh_npz = str(tmp_path / "psd_mesh.npz")
+    assert main(["stream", wav_path, "-o", mesh_npz, "--nperseg", "512",
+                 "--hop", "128", "--chunk-seconds", "5", "--scan",
+                 "--mesh"]) == 0
+    np.testing.assert_allclose(np.load(mesh_npz)["psd"], z["psd"],
+                               rtol=1e-4, atol=1e-9)
+
 
 def test_cli_export_specs(tmp_path, capsys):
     from spectral_tpu.cli import main
