@@ -758,9 +758,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fsync each PNG before its atomic rename "
                         "(~1.6 ms/file): resume-safe even across power "
                         "loss / kernel crash, not just a killed process")
-    p.add_argument("--encode-workers", type=int, default=4,
-                   help="parallel PNG encoders (scale with host cores "
-                        "when export is encode-bound; see OPERATIONS.md)")
+    p.add_argument("--encode-workers", type=int, default=None,
+                   help="parallel PNG encoders (default: one per host "
+                        "CPU; scale explicitly when export is "
+                        "encode-bound; see OPERATIONS.md)")
     p.add_argument("--encode-executor", choices=("thread", "process"),
                    default="thread",
                    help="'process' sidesteps the GIL for the encoder's "
