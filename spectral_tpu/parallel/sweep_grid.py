@@ -8,6 +8,16 @@ matrix (core.stft.dft_matrices), a window sweep is ONE batched matmul over
 stacked DFT matrices: frames are built once per shape group and shared.
 Different shapes launch separately but share the same signal buffer in HBM
 (SURVEY.md §7 hard-part 6).
+
+Engine choice (measured, v5e, r5): an rFFT-based grid engine (frames x
+stacked windows -> jnp.fft.rfft) measured SLOWER than the matmul engines
+at every group size (0.59/0.74/0.78/0.77 ms per 64-clip grid slice at
+nperseg 256/1024/2048/4096 vs 0.46/0.58/0.76/0.71 for dense/CT) —
+XLA:TPU lowers FFTs without the MXU, so the dense (<2048) and factorized
+Cooley-Tukey (>=2048) matmul forms stay the right engines here. Scale-out
+is clip-parallel: the batched grid lowers with zero cross-clip
+collectives when the batch dim is sharded over a mesh
+(tests/test_sweep_grid_batch.py).
 """
 
 from __future__ import annotations

@@ -47,6 +47,36 @@ def test_sweep_grid_full_north_star():
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_sweep_grid_shards_over_clip_batch():
+    """Config-3 at scale is embarrassingly CLIP-parallel: the batched grid
+    jitted with the batch dim sharded over an 8-device mesh must (a) equal
+    the unsharded result and (b) lower with NO cross-clip collectives —
+    each chip sweeps its own clips, so the v5e-8 rate is 8x the measured
+    per-chip rate (BENCH_REPORT sweep_grid_batched's projection)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    fs = 8000.0
+    grid = default_grid(n_ffts=(256, 1024), hop_divisor=4)
+    B, n = 8, 16384
+    xb = np.random.RandomState(5).randn(B, n).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+
+    def grid_stack(xs):
+        outs = sweep_grid(xs, fs, grid)
+        return jnp.stack([jnp.sum(o, axis=(-2, -1)) for o in outs])
+
+    ref = np.asarray(jax.jit(grid_stack)(jnp.asarray(xb)))
+    f_sh = jax.jit(grid_stack, in_shardings=sh)
+    got = np.asarray(f_sh(jax.device_put(jnp.asarray(xb), sh)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    hlo = f_sh.lower(jax.device_put(jnp.asarray(xb), sh)).compile()
+    txt = hlo.as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute", "reduce-scatter"):
+        assert coll not in txt, f"unexpected {coll} in clip-dp sweep grid"
+
+
 # ---- batched detection -----------------------------------------------------
 
 def _batch_features(B=3, fs=1000.0, dur=60.0):

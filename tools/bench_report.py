@@ -553,12 +553,68 @@ def main() -> int:
         row_g["vs_cpu_scipy"] = round(cpu_grid_s / (dt_b / B_grid), 1)
     except ImportError:
         row_g["cpu_scipy_ms_per_grid"] = None
+    # effective roofline for the batched grid, DENSE-DFT-EQUIVALENT
+    # flops (the standard FFT-bench convention: the >=2048 groups run the
+    # cheaper factorized CT engine, so this is an effective rate, not a
+    # hardware-counter MFU). Exposes that the single-chip ratio is
+    # compute-architecture-bound, not dispatch-bound.
+    flops_grid = sum(
+        2 * ((n - c.nperseg) // c.hop_ + 1) * c.nperseg
+        * (c.nperseg // 2 + 1) * 2 for c in grid)
+    issue_tflops_g = flops_grid * 6 / (dt_b / B_grid) / 1e12
+    row_g["roofline_dense_equiv"] = {
+        "gflop_dense_equiv_per_grid": round(flops_grid / 1e9, 1),
+        "issue_bf16_tflops_at_6pass": round(issue_tflops_g, 1),
+        "pct_of_v5e_bf16_peak_dense_equiv": round(
+            100 * issue_tflops_g / 197.0, 1)}
+    # config-3's stated target hardware is a v5e-8 (BASELINE.json): the
+    # grid is embarrassingly CLIP-parallel — the sharded batched grid
+    # lowers with ZERO cross-clip collectives (pinned:
+    # tests/test_sweep_grid_batch.py::test_sweep_grid_shards_over_clip_batch)
+    # so the 8-chip rate is 8x the per-chip rate.
+    row_g["v5e8_projection"] = {
+        "grids_per_s": round(8 * B_grid / dt_b, 1),
+        "vs_cpu_scipy": (round(8 * row_g["vs_cpu_scipy"], 1)
+                         if "vs_cpu_scipy" in row_g else None),
+        "basis": "clip-dp, zero collectives (HLO-pinned); 8x per-chip"}
     row_g["note"] = (f"{B_grid} clips x 16 combos amortized in one "
                      "dispatch (shape-grouped window-vmapped MXU "
-                     "matmuls); cpu_scipy = the reference's serial "
+                     "matmuls; >=2048 groups on the factorized CT "
+                     "engine); cpu_scipy = the reference's serial "
                      "per-combo loop (GUI.py:374-453) measured on this "
-                     "host over the identical configs")
+                     "host over the identical configs. Negative result, "
+                     "measured r5: an rFFT grid engine is SLOWER on v5e "
+                     "at every group size (0.59/0.74/0.78/0.77 ms/slice "
+                     "vs 0.46/0.58/0.76/0.71 dense/CT) — XLA:TPU FFT "
+                     "does not beat MXU matmul engines here, so the "
+                     "measured rate IS the single-chip ceiling; scale is "
+                     "clip-dp (v5e8_projection)")
     S["sweep_grid_batched"] = row_g
+
+    # same batched grid on the fast tier (bf16 3-pass, the display-only
+    # precision class): the config-3 rate when the scipy dB contract is
+    # not required
+    grid_fast = [dataclasses.replace(c, precision="fast") for c in grid]
+
+    def grid_checksums_bf(xs):
+        return jnp.stack([jnp.sum(o) for o in sweep_grid(xs, fs, grid_fast)])
+
+    gjf = jax.jit(grid_checksums_bf)
+    np.asarray(gjf(xg))                                  # warm/compile
+    t0 = time.time()
+    for _ in range(reps_gb):
+        np.asarray(gjf(xg))
+    dt_f = (time.time() - t0) / reps_gb
+    row_gf = {"clips": B_grid, "combos": len(grid),
+              "ms_per_grid": round(dt_f * 1000 / B_grid, 3),
+              "grids_per_s": round(B_grid / dt_f, 1)}
+    if row_g.get("cpu_scipy_ms_per_grid"):
+        row_gf["vs_cpu_scipy"] = round(
+            row_g["cpu_scipy_ms_per_grid"] / (dt_f * 1000 / B_grid), 1)
+    row_gf["note"] = ("precision='fast' (bf16 3-pass DFT) batched grid — "
+                      "display-parity tier, ~2x the issue headroom of "
+                      "the accurate tier")
+    S["sweep_grid_batched_fast_tier"] = row_gf
 
     # Mel batch export (BASELINE config 2): 64 clips -> 128-bin log-mel
     # spectrograms -> PNG files on disk through the overlapped pipeline.
