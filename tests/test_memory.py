@@ -95,3 +95,19 @@ def test_serve_trims_and_keeps_answering(tmp_path):
     out = [json.loads(l) for l in stdout.getvalue().splitlines()]
     assert [o["ok"] for o in out] == [True, True, True, True]
     assert all("bands" in o for o in out[:3])
+
+
+def test_rss_mb_proc_read_failure_returns_zero(monkeypatch):
+    """A container without /proc visibility must degrade to 0.0 (which
+    disables the trim heuristics), never raise."""
+    import builtins
+    real_open = builtins.open
+
+    def no_proc(path, *a, **k):
+        if str(path).startswith("/proc/"):
+            raise OSError("denied")
+        return real_open(path, *a, **k)
+    monkeypatch.setattr(builtins, "open", no_proc)
+    assert memory.rss_mb() == 0.0
+    # and the trim gate treats the unreadable RSS as under-threshold
+    assert memory.maybe_trim_caches(max_rss_mb=1.0) is False
