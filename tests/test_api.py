@@ -1465,6 +1465,65 @@ def test_cli_error_arms_exit_cleanly(tmp_path, capsys):
     from spectral_tpu.render.png import decode_png
     assert decode_png(out_png).shape[0] == 32    # mel-height image
 
+    # corrupt (non-loadable) file: the loaders' ValueError surfaces via
+    # the friendly arm in BOTH the session path and the --each path
+    bad = str(tmp_path / "bad.abf")
+    with open(bad, "wb") as fh:
+        fh.write(b"NOPE" + b"\x00" * 600)
+    for argv in (["detect", bad], ["detect", bad, "--each"]):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert "error:" in str(ei.value) and "Traceback" not in str(ei.value)
+
+    # a file that loads but registers ZERO sweeps ((0, n) raw) -> the
+    # empty-registry arm, not a confusing downstream IndexError
+    empty = str(tmp_path / "empty.npz")
+    np.savez(empty, fs=1000.0, raw=np.zeros((0, 100), np.float32))
+    for argv in (["detect", empty], ["detect", empty, "--each"]):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert "no sweeps loaded" in str(ei.value)
+
+
+def test_cli_learn_and_grid_error_arms(tmp_path, capsys):
+    """learn's ROI parse/flow and grid's spec validation exit via the
+    friendly arms (coverage-lens: cli.py learn/grid blocks)."""
+    from spectral_tpu.cli import main
+    fs = 1000.0
+    wav_path = str(tmp_path / "eeg.wav")
+    write_wav(wav_path, _bursty(fs=fs, dur=60.0) * 0.5, fs)
+
+    # bad ROI spec refuses BEFORE any device work
+    with pytest.raises(SystemExit) as ei:
+        main(["learn", wav_path, "--roi", "8-17"])
+    assert "start:end" in str(ei.value)
+
+    # happy path: learn two ROIs, write the CSV through the exporter
+    csv_path = str(tmp_path / "l.csv")
+    rc = main(["learn", wav_path, "--roi", "10:16", "--roi", "35:42",
+               "--csv", csv_path, "--scipy-compat"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert os.path.exists(csv_path) and "\t" in out
+
+    # grid validation arms
+    with pytest.raises(SystemExit) as ei:
+        main(["grid", wav_path, "-o", str(tmp_path / "g.npz"),
+              "--channel", "7"])
+    assert "out of range" in str(ei.value)
+    with pytest.raises(SystemExit) as ei:
+        main(["grid", wav_path, "-o", str(tmp_path / "g.npz"),
+              "--n-ffts", "abc"])
+    assert "bad grid spec" in str(ei.value)
+    with pytest.raises(SystemExit) as ei:
+        main(["grid", wav_path, "-o", str(tmp_path / "g.npz"),
+              "--n-ffts", ""])
+    assert "empty grid" in str(ei.value)
+    with pytest.raises(SystemExit) as ei:
+        main(["grid", wav_path, "-o", str(tmp_path / "g.npz"),
+              "--n-ffts", "1048576"])
+    assert "larger than the signal" in str(ei.value)
+
 
 def test_cli_serve_csv_arm_and_doctor_unreachable(tmp_path, capsys,
                                                   monkeypatch):
