@@ -86,6 +86,41 @@ def test_abf_truncation_and_corruption(tmp_path):
     assert n_ok[0] > 0
 
 
+@pytest.mark.parametrize("op_mode", [1, 2])
+def test_abf_event_driven_truncation_and_corruption(tmp_path, op_mode):
+    """Both event-driven modes (variable-length 1, fixed-length 2) ride
+    the SynchArray segmentation path — byte-flips and truncations there
+    must reject cleanly like every other loader path (the synch fields
+    are the newest untrusted surface)."""
+    import tests.test_io_bytelevel as bl
+    from spectral_tpu.io import abf as abf_mod
+    rng = np.random.RandomState(4 + op_mode + FUZZ_SEED)
+    n = 64
+    events = [rng.randint(-3000, 3000, size=n).astype("<i2")
+              for _ in range(3)]
+    if op_mode == 1:
+        events[1] = events[1][: n // 2]          # variable lengths
+        good = bytearray(bl._abf2_event_bytes(events, op_mode=1))
+    else:
+        good = bytearray(bl._abf2_event_bytes(
+            events, op_mode=2, samples_per_episode=n,
+            synch_pairs=[(0, n), (200, n), (900, n)]))
+    reg_loader = lambda path: abf_mod.load_abf(path, SweepRegistry())  # noqa
+    n_ok = [0]
+    for cut in range(0, len(good), max(1, len(good) // 97)):
+        q = tmp_path / "cut.abf"
+        q.write_bytes(bytes(good[:cut]))
+        _fuzz_load(reg_loader, str(q), n_ok)
+    for trial in range(200 * FUZZ_SCALE):
+        buf = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        q = tmp_path / "fz.abf"
+        q.write_bytes(bytes(buf))
+        _fuzz_load(reg_loader, str(q), n_ok)
+    assert n_ok[0] > 0
+
+
 def test_npz_corruption(tmp_path):
     p = tmp_path / "g.npz"
     np.savez(str(p), raw=np.zeros(100, np.float32), fs=1000.0)
