@@ -75,6 +75,13 @@ def main() -> int:
     from spectral_tpu.parallel.sharding import batched_spectrogram_fn
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    # tiny-first D2H: the tunnel's per-client transfer setup is
+    # per-client, not per-byte (STALL_CAPTURE.json: 938.7 s when the
+    # first fetch was 1 MB; ~7 s for 8 int32s) — pay it with the
+    # smallest possible fetch so the big warmup below isn't the one
+    # sampling it
+    from spectral_tpu.utils.backend import warm_transfer_path
+    warm_transfer_path()
 
     clip_seconds = 10.0
     fs = 16000.0

@@ -94,6 +94,12 @@ def _session_for(paths: List[str], args):
     # backend and under SPECTRAL_TPU_NO_CACHE=1.
     from spectral_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    # pay the tunnel's per-client transfer setup with an 8-int32 fetch
+    # BEFORE the first real result crosses the link: the setup cost is
+    # per-client, not per-byte (measured: ~7 s tiny vs 938.7 s when the
+    # first fetch was 1 MB — STALL_CAPTURE.json / utils/backend.py)
+    from spectral_tpu.utils.backend import warm_transfer_path
+    warm_transfer_path()
     sel = names if args.combine else names[:1]
     if len(names) > 1 and not args.combine:
         # the non-combine path analyzes the first sweep only (reference
@@ -401,6 +407,8 @@ def _make_serve_loop(*, max_sessions: int = 16,
     from spectral_tpu.utils.cache import enable_compilation_cache
     from spectral_tpu.utils.memory import maybe_trim_caches
     enable_compilation_cache()
+    from spectral_tpu.utils.backend import warm_transfer_path
+    warm_transfer_path()  # tiny-first D2H before any request's big fetch
 
     # The cache is passed INTO each request handler (not read from the
     # enclosing scope at call time) so that after a timeout the main loop
@@ -970,6 +978,8 @@ def _dispatch(args) -> int:
                      f"({len(x)} samples)")
         from spectral_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()   # persist the grid-group compiles
+        from spectral_tpu.utils.backend import warm_transfer_path
+        warm_transfer_path()         # tiny-first D2H (see _session_for)
         psds = sweep_grid(jnp.asarray(x), fs, configs)
         payload = {}
         for cfg_i, psd in zip(configs, psds):
@@ -1012,6 +1022,8 @@ def _dispatch(args) -> int:
         # first device work)
         from spectral_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
+        from spectral_tpu.utils.backend import warm_transfer_path
+        warm_transfer_path()         # tiny-first D2H (see _session_for)
         hop = cfg.hop_
         # chunk must be a multiple of hop AND >= nperseg; the floor is
         # ceil(nperseg/hop)*hop — bare nperseg is NEVER a hop multiple in
@@ -1171,6 +1183,8 @@ def _dispatch(args) -> int:
                                        on_error=args.on_error))
         from spectral_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()   # persist the pipeline compiles
+        from spectral_tpu.utils.backend import warm_transfer_path
+        warm_transfer_path()         # tiny-first D2H (see _session_for)
         stats = export_spectrograms(
             source,
             fs, cfg,

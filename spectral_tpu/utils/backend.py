@@ -16,6 +16,39 @@ import sys
 from typing import Tuple
 
 
+_transfer_warmed = False
+
+
+def warm_transfer_path() -> float:
+    """Pay the tunnel's per-client transfer-path setup with a TINY fetch.
+
+    Measured (r5, STALL_CAPTURE.json + /tmp probe): a fresh client's
+    FIRST sizeable device->host fetch can stall for minutes (938.7 s for
+    1 MB in the captured worst case) while the setup cost for an 8-int32
+    first fetch was ~7 s — after which the next 1 MB fetch took 0.16 s.
+    The setup is per-client, not per-byte, so warming with the smallest
+    possible fetch bounds the worst case. Idempotent per process; no-op
+    cost (~ms) on local backends. Returns the seconds the warm fetch
+    took (0.0 when already warmed).
+
+    Call AFTER backend selection, right before the first real device
+    work — never at import time (initializes the backend, CLAUDE.md).
+    """
+    global _transfer_warmed
+    if _transfer_warmed:
+        return 0.0
+    _transfer_warmed = True
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    out = jax.jit(lambda v: v + 1)(jnp.zeros(8, jnp.int32))
+    t0 = time.time()
+    np.asarray(out)                       # the tiny first D2H
+    return time.time() - t0
+
+
 def probe_backend_init(timeout: float) -> Tuple[bool, str]:
     """(reachable, detail): run `import jax; jax.devices()` in a fresh
     subprocess, killed after `timeout` seconds. detail is the last stderr
